@@ -1,0 +1,176 @@
+"""Layer-level tests: QuantLinear modes, calibration flow, smooth quant,
+name-pattern resolution."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from viditq_tpu.quant import (
+    LayerQuantSpec, QuantSpec, SmoothQuantSpec, QuantCtx, QuantLinear,
+    calibrate_weight_tables, finalize_act_tables, pattern_in,
+    resolve_layer_spec, quant_params_dict, load_quant_params_dict)
+
+W8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+               round_mode="nearest")
+A8_DYN = QuantSpec(n_bits=8, granularity="token", round_mode="nearest_ste",
+                   dynamic=True)
+A8_STATIC = QuantSpec(n_bits=8, granularity="token", round_mode="nearest_ste",
+                      running_stat=True, timestep_wise=True, n_timestep=2)
+
+
+def make_layer(lspec, features=32, **kw):
+    layer = QuantLinear(features=features, lspec=lspec, dtype=jnp.float32,
+                        **kw)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 16, 24)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp"))
+    return layer, variables, x
+
+
+def test_fp_mode_is_plain_dense():
+    lspec = LayerQuantSpec(weight=W8, act=A8_DYN)
+    layer, variables, x = make_layer(lspec)
+    y_fp = layer.apply(variables, x, QuantCtx(mode="fp"))
+    y_none = layer.apply(variables, x, None)
+    np.testing.assert_array_equal(np.asarray(y_fp), np.asarray(y_none))
+
+
+def test_dynamic_w8a8_close_to_fp():
+    lspec = LayerQuantSpec(weight=W8, act=A8_DYN)
+    layer, variables, x = make_layer(lspec)
+    resolve = lambda name: lspec
+    variables = dict(variables)
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], resolve)
+    y_fp = layer.apply(variables, x, QuantCtx(mode="fp"))
+    y_q = layer.apply(variables, x, QuantCtx(mode="quant"))
+    rel = np.linalg.norm(np.asarray(y_q - y_fp)) / np.linalg.norm(np.asarray(y_fp))
+    assert 0 < rel < 0.02  # 8-bit fake quant error is small but nonzero
+
+
+def test_static_act_calibration_flow():
+    lspec = LayerQuantSpec(weight=W8, act=A8_STATIC)
+    layer, variables, x = make_layer(lspec)
+    resolve = lambda name: lspec
+    variables = dict(variables)
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], resolve)
+    # act-calib forwards for both slots
+    for slot in (0, 1):
+        for xb in (x, x * 1.1):
+            _, upd = layer.apply(
+                variables, xb,
+                QuantCtx(mode="a_calib", act_slot=jnp.asarray(slot)),
+                mutable=["qstats"])
+            variables["qstats"] = upd["qstats"]
+    assert bool(np.all(np.asarray(variables["qstats"]["a_init"])))
+    variables["quant"] = finalize_act_tables(
+        variables["quant"], variables["qstats"], resolve)
+    assert np.all(np.asarray(variables["quant"]["a_delta"]) > 0)
+    y_fp = layer.apply(variables, x, QuantCtx(mode="fp"))
+    y_q = layer.apply(variables, x,
+                      QuantCtx(mode="quant", act_slot=jnp.asarray(0)))
+    rel = np.linalg.norm(np.asarray(y_q - y_fp)) / np.linalg.norm(np.asarray(y_fp))
+    assert rel < 0.05
+
+
+def test_smooth_quant_stats_and_inference():
+    sq = SmoothQuantSpec(enable=True, alpha=(0.5, 0.5),
+                         timerange=((0, 500), (501, 1000)))
+    lspec = LayerQuantSpec(weight=W8, act=A8_DYN, smooth_quant=sq)
+    layer, variables, x = make_layer(lspec)
+    variables = dict(variables)
+    # stat passes in both timeranges
+    for t, seed in ((100, 1), (100, 2), (800, 3)):
+        _, upd = layer.apply(
+            variables, x * (seed + 1),
+            QuantCtx(mode="sq_stat", t_id=jnp.asarray(t)),
+            mutable=["quant", "qstats"])
+        variables["quant"] = upd["quant"]
+        variables["qstats"] = upd["qstats"]
+    scale = np.asarray(variables["quant"]["act_scale"])
+    assert np.all(scale > 0)
+    assert not np.allclose(scale[0], scale[1])
+    resolve = lambda name: lspec
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], resolve)
+    # both timeranges produce outputs close to fp
+    y_fp = layer.apply(variables, x, QuantCtx(mode="fp"))
+    for t in (100, 900):
+        y_q = layer.apply(variables, x,
+                          QuantCtx(mode="quant", t_id=jnp.asarray(t)))
+        rel = (np.linalg.norm(np.asarray(y_q - y_fp))
+               / np.linalg.norm(np.asarray(y_fp)))
+        assert rel < 0.02, (t, rel)
+
+
+def test_smooth_quant_momentum_matches_reference_update():
+    sq = SmoothQuantSpec(enable=True, alpha=(0.5,), momentum=0.9,
+                         timerange=((0, 1000),))
+    lspec = LayerQuantSpec(weight=W8, act=A8_DYN, smooth_quant=sq)
+    layer, variables, x = make_layer(lspec)
+    variables = dict(variables)
+    xs = [x, x * 2.0]
+    expected = None
+    for xb in xs:
+        cur = np.abs(np.asarray(xb)).max(axis=-2).mean(axis=0)
+        expected = cur if expected is None else expected * 0.9 + cur * 0.1
+        _, upd = layer.apply(variables, xb, QuantCtx(mode="sq_stat"),
+                             mutable=["quant", "qstats"])
+        variables["quant"] = upd["quant"]
+        variables["qstats"] = upd["qstats"]
+    np.testing.assert_allclose(
+        np.asarray(variables["quant"]["act_scale"][0]), expected, rtol=1e-5)
+
+
+def test_token_layout_spatial_roundtrip():
+    lspec = LayerQuantSpec(weight=None, act=A8_DYN, weight_quant=False)
+    layer = QuantLinear(features=8, lspec=lspec, dtype=jnp.float32,
+                        token_layout="spatial", d_t=4, d_s=16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2 * 4, 16, 12)).astype(np.float32))  # [(B T), S, C]
+    variables = layer.init(jax.random.PRNGKey(0), x, QuantCtx(mode="quant"))
+    y = layer.apply(variables, x, QuantCtx(mode="quant"))
+    assert y.shape == (8, 16, 8)
+    # per-token quant on the [B, T*S, C] view differs from naive per-token on
+    # the raw [(B T), S, C] view — verify the layout actually matters
+    from viditq_tpu.quant import core
+    xv = x.reshape(2, 64, 12)
+    want = core.fake_quant_dynamic(xv, A8_DYN).reshape(8, 16, 12)
+    got_in = want @ np.asarray(variables["params"]["kernel"]) + np.asarray(
+        variables["params"]["bias"])
+    np.testing.assert_allclose(np.asarray(y), got_in, rtol=1e-4, atol=1e-4)
+
+
+def test_pattern_matching_reference_cases():
+    assert pattern_in("blocks.0.attn.q", "blocks.[0-13].attn.q")
+    assert not pattern_in("blocks.14.attn.q", "blocks.[0-13].attn.q")
+    assert pattern_in("blocks.5.cross_attn.kv_linear", "cross_attn")
+    assert pattern_in("final_layer.linear", "final_layer")
+    assert pattern_in("blocks.3.mlp.fc2", "blocks.*.mlp.fc2")
+    assert not pattern_in("blocks.3.mlp.fc2", "blocks.*.mlp.fc1")
+    assert pattern_in("x_embedder.proj", "x_embedder")
+
+
+def test_resolve_layer_spec_fp_list():
+    default = LayerQuantSpec(weight=W8, act=A8_DYN)
+    fp = ("x_embedder", "t_block", "t_embedder", "y_embedder", "final_layer")
+    spec = resolve_layer_spec("final_layer.linear", default, fp)
+    assert not spec.weight_quant and not spec.act_quant
+    spec = resolve_layer_spec("blocks.0.attn.q", default, fp)
+    assert spec.weight_quant and spec.act_quant
+
+
+def test_quant_params_dict_roundtrip():
+    lspec = LayerQuantSpec(weight=W8, act=A8_DYN)
+    layer, variables, x = make_layer(lspec)
+    resolve = lambda name: lspec
+    qv = calibrate_weight_tables(variables["params"], variables["quant"],
+                                 resolve)
+    packed = quant_params_dict(qv)
+    blank = jax.tree.map(jnp.zeros_like, qv)
+    restored = load_quant_params_dict(blank, packed)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored)[0]),
+        np.asarray(jax.tree.leaves(qv)[0]))

@@ -1,0 +1,292 @@
+"""Quantization-aware Dense layer (flax linen).
+
+TPU-native replacement for the reference's module-swapping `QuantLayer`
+machinery (`qdiff/models/quant_layer.py`, `qdiff/models/stdit_quant_layer.py`,
+`qdiff/models/quant_model.py:63-103`): instead of walking a built torch model
+and swapping `nn.Linear`s, our models are *constructed* with a
+`LayerQuantSpec` per linear (resolved by dotted name,
+`viditq_tpu.quant.naming`), and all quantizer state lives in two flax
+variable collections:
+
+  * 'quant'  — calibrated tables: w_delta/w_zp [n_bw, n_tr, 1, F],
+               a_delta/a_zp [n_bw, n_ts, 1, N_tok, 1], act_scale [n_tr, C_in],
+               w_alpha (AdaRound).
+  * 'qstats' — calibration running state: a_min/a_max/a_init, sq_init.
+
+Dynamic inputs (diffusion timestep, act-table slot) arrive via `QuantCtx`, a
+pytree, so the whole sampling loop jits as one `lax.scan`. Per-layer
+enables/bitwidths are static (baked into the spec), which lets XLA constant-
+fold the quantization structure; timestep-dependent mixed precision is run as
+segmented scans with per-segment static configs (SURVEY §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viditq_tpu.quant import core
+from viditq_tpu.quant.spec import LayerQuantSpec, QuantSpec, SmoothQuantSpec
+
+# Calibration / execution modes (static; selects the traced program):
+#   'fp'      — plain dense, quantization entirely bypassed
+#   'sq_stat' — accumulate smooth-quant act_scale running stats, output FP
+#               (reference ptq.py:219-264 stat pass)
+#   'a_calib' — accumulate static-act running min/max for the ctx slot, then
+#               quantize with the accumulated stats (reference act init
+#               forwards, ptq.py:296-361)
+#   'quant'   — quantized inference using calibrated tables
+MODES = ("fp", "sq_stat", "a_calib", "quant")
+
+
+@flax.struct.dataclass
+class QuantCtx:
+    """Dynamic per-step quantization context, threaded through model calls.
+
+    Replaces the reference's mutable `set_timestep_for_quantizer` /
+    `cur_timestep_id` stamping (`quant_model.py:158-182,337-360`).
+    """
+
+    t_id: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))  # diffusion t in [0,1000]
+    act_slot: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))  # act-table slot
+    mode: str = flax.struct.field(pytree_node=False, default="quant")
+    soft_targets: bool = flax.struct.field(pytree_node=False, default=True)
+    rng: Optional[jnp.ndarray] = None
+
+
+def timerange_lookup(smooth: SmoothQuantSpec) -> np.ndarray:
+    """Static [1001] map: diffusion timestep -> timerange index.
+
+    Replaces the reference's per-forward python `find_interval`
+    (quant_layer.py:15-19) with a constant gather table.
+    """
+    table = np.zeros(1001, np.int32)
+    for i, (lo, hi) in enumerate(smooth.timerange):
+        table[lo:hi + 1] = i
+    return table
+
+
+def _abs_max_per_channel(x: jnp.ndarray) -> jnp.ndarray:
+    """mean over leading dims of (max |x| over the token axis) -> [C].
+
+    Reference smooth-quant act stat: `input.abs().max(dim=-2)[0].mean(dim=0)`
+    (quant_layer.py:117,120).
+    """
+    m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-2)
+    return jnp.mean(m.reshape(-1, m.shape[-1]), axis=0)
+
+
+class QuantLinear(nn.Module):
+    """Dense layer with optional fake/int quantization of weights and acts.
+
+    `token_layout` controls the logical [B, N_token, C] view used for
+    token-wise activation quantization (reference stdit_quant_layer.py):
+      None / 'cross_q' — input already [..., N, C]
+      'spatial'   — input [(B T), S, C] viewed as [B, T*S, C]
+      'temporal'  — input [(B S), T, C] viewed as [B, S*T, C]
+      'cross_kv'  — input [1, B*P, C] viewed as [B, P, C]
+    """
+
+    features: int
+    lspec: Optional[LayerQuantSpec] = None
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    token_layout: Optional[str] = None
+    d_t: int = 1          # temporal tokens (spatial/temporal layouts)
+    d_s: int = 1          # spatial tokens
+    n_prompt: int = 120   # prompt tokens (cross_kv layout)
+    kernel_init: Any = nn.initializers.xavier_uniform()
+    bias_init: Any = nn.initializers.zeros_init()
+
+    def _to_token_view(self, x):
+        if self.token_layout == "spatial":
+            b = x.shape[0] // self.d_t
+            return x.reshape(b, self.d_t * self.d_s, x.shape[-1])
+        if self.token_layout == "temporal":
+            b = x.shape[0] // self.d_s
+            return x.reshape(b, self.d_s * self.d_t, x.shape[-1])
+        if self.token_layout == "cross_kv":
+            b = x.shape[1] // self.n_prompt
+            return x.reshape(b, self.n_prompt, x.shape[-1])
+        return x
+
+    def _from_token_view(self, x, orig_shape):
+        return x.reshape(orig_shape)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, qctx: Optional[QuantCtx] = None
+                 ) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+
+        lspec = self.lspec
+        if lspec is None or (not lspec.weight_quant and not lspec.act_quant
+                             and not lspec.smooth_quant.enable):
+            return self._dense(x, kernel, bias)
+
+        smooth = lspec.smooth_quant
+        wspec, aspec = lspec.weight, lspec.act
+        n_tr = smooth.n_timerange if smooth.enable else 1
+
+        # ---- declare quantizer state (shapes are static) ----
+        w_q = None
+        if wspec is not None and lspec.weight_quant:
+            wshape = (wspec.n_bitwidth, n_tr, 1, self.features)
+            w_delta = self.variable("quant", "w_delta",
+                                    lambda: jnp.full(wshape, -1.0, jnp.float32))
+            w_zp = self.variable("quant", "w_zp",
+                                 lambda: jnp.full(wshape, -1.0, jnp.float32))
+            w_q = (w_delta, w_zp)
+            w_alpha = None
+            if wspec.round_mode == "learned_hard_sigmoid":
+                w_alpha = self.variable(
+                    "quant", "w_alpha",
+                    lambda: jnp.zeros((in_features, self.features), jnp.float32))
+
+        act_scale = None
+        if smooth.enable:
+            act_scale = self.variable(
+                "quant", "act_scale",
+                lambda: jnp.zeros((n_tr, in_features), jnp.float32))
+            sq_init = self.variable(
+                "qstats", "sq_init", lambda: jnp.zeros((n_tr,), jnp.bool_))
+
+        a_static = (aspec is not None and lspec.act_quant
+                    and not aspec.dynamic)
+        if a_static:
+            # group shape from the token view of x
+            xv_shape = self._to_token_view(x).shape
+            gshape = core.group_shape_of(xv_shape, aspec)
+            gshape = (1,) + gshape[1:]  # batch-agnostic
+            ashape = (aspec.n_bitwidth, aspec.n_timestep) + gshape
+            a_delta = self.variable("quant", "a_delta",
+                                    lambda: jnp.full(ashape, -1.0, jnp.float32))
+            a_zp = self.variable("quant", "a_zp",
+                                 lambda: jnp.full(ashape, -1.0, jnp.float32))
+            sshape = (aspec.n_timestep,) + gshape
+            a_min = self.variable("qstats", "a_min",
+                                  lambda: jnp.zeros(sshape, jnp.float32))
+            a_max = self.variable("qstats", "a_max",
+                                  lambda: jnp.zeros(sshape, jnp.float32))
+            a_init = self.variable("qstats", "a_init",
+                                   lambda: jnp.zeros((aspec.n_timestep,), jnp.bool_))
+
+        if qctx is None or qctx.mode == "fp":
+            return self._dense(x, kernel, bias)
+        mode = qctx.mode
+        assert mode in MODES, mode
+
+        # ---- timerange id (dynamic gather over a static table) ----
+        if smooth.enable:
+            tr_map = jnp.asarray(timerange_lookup(smooth))
+            tr_id = tr_map[jnp.clip(qctx.t_id, 0, 1000)]
+        else:
+            tr_id = jnp.zeros((), jnp.int32)
+
+        # ---- smooth-quant stat accumulation pass ----
+        if mode == "sq_stat":
+            if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
+                cur = _abs_max_per_channel(x)
+                old = jax.lax.dynamic_index_in_dim(
+                    act_scale.value, tr_id, 0, keepdims=False)
+                inited = a_initialized = jax.lax.dynamic_index_in_dim(
+                    sq_init.value, tr_id, 0, keepdims=False)
+                blended = jnp.where(
+                    inited, old * smooth.momentum + cur * (1 - smooth.momentum),
+                    cur)
+                act_scale.value = jax.lax.dynamic_update_index_in_dim(
+                    act_scale.value, blended[None], tr_id, 0)
+                sq_init.value = jax.lax.dynamic_update_index_in_dim(
+                    sq_init.value, jnp.ones((1,), jnp.bool_), tr_id, 0)
+            return self._dense(x, kernel, bias)
+
+        # ---- channel-balancing scale (quant_layer.py:108-140) ----
+        cs = None
+        if smooth.enable:
+            alphas = jnp.asarray(
+                [smooth.alpha_for_range(i) for i in range(n_tr)], jnp.float32)
+            alpha = alphas[tr_id]
+            w_absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=-1)
+            if smooth.channel_wise_scale_type == "dynamic":
+                a_absmax = _abs_max_per_channel(x)
+            else:
+                a_absmax = jax.lax.dynamic_index_in_dim(
+                    act_scale.value, tr_id, 0, keepdims=False)
+                a_absmax = jnp.maximum(a_absmax, 1e-5)  # quant_layer.py:130-134
+            cs = (a_absmax ** alpha) / jnp.maximum(w_absmax, 1e-12) ** (1 - alpha)
+            x = (x.astype(jnp.float32) / cs).astype(x.dtype)
+
+        # ---- activation quantization ----
+        if aspec is not None and lspec.act_quant:
+            orig_shape = x.shape
+            xv = self._to_token_view(x)
+            if aspec.dynamic:
+                xv = core.fake_quant_dynamic(xv, aspec)
+            elif mode == "a_calib":
+                slot = qctx.act_slot
+                cmin, cmax = core.minmax(xv, aspec)
+                cmin, cmax = cmin[0], cmax[0]  # drop batch dim -> group shape
+                omin = jax.lax.dynamic_index_in_dim(a_min.value, slot, 0, False)
+                omax = jax.lax.dynamic_index_in_dim(a_max.value, slot, 0, False)
+                inited = jax.lax.dynamic_index_in_dim(a_init.value, slot, 0, False)
+                m = aspec.momentum if aspec.running_stat else 0.0
+                nmin = jnp.where(inited, omin * m + cmin * (1 - m), cmin)
+                nmax = jnp.where(inited, omax * m + cmax * (1 - m), cmax)
+                a_min.value = jax.lax.dynamic_update_index_in_dim(
+                    a_min.value, nmin[None], slot, 0)
+                a_max.value = jax.lax.dynamic_update_index_in_dim(
+                    a_max.value, nmax[None], slot, 0)
+                a_init.value = jax.lax.dynamic_update_index_in_dim(
+                    a_init.value, jnp.ones((1,), jnp.bool_), slot, 0)
+                d, z = core.qparams_minmax(nmin[None], nmax[None], aspec)
+                xv = core.fake_quant(xv, d, z, aspec)
+            else:
+                d = jax.lax.dynamic_index_in_dim(
+                    a_delta.value[aspec.bit_idx], qctx.act_slot, 0, False)
+                z = jax.lax.dynamic_index_in_dim(
+                    a_zp.value[aspec.bit_idx], qctx.act_slot, 0, False)
+                xv = core.fake_quant(xv, d, z, aspec, rng=qctx.rng)
+            x = self._from_token_view(xv, orig_shape)
+
+        # ---- weight quantization ----
+        w_eff = kernel.astype(jnp.float32)
+        if cs is not None:
+            w_eff = w_eff * cs[:, None]  # scale input channels (quant_layer.py:183)
+        if wspec is not None and lspec.weight_quant:
+            if smooth.enable and smooth.channel_wise_scale_type == "dynamic":
+                # dynamic CB: the balanced weight depends on the live acts, so
+                # qparams are computed on the fly (matches the reference's
+                # per-forward lazy weight init under dynamic CB).
+                d, z = core.compute_qparams(w_eff, wspec)
+            else:
+                d = jax.lax.dynamic_index_in_dim(
+                    w_q[0].value[wspec.bit_idx], tr_id, 0, False)
+                z = jax.lax.dynamic_index_in_dim(
+                    w_q[1].value[wspec.bit_idx], tr_id, 0, False)
+            alpha_v = (w_alpha.value
+                       if wspec.round_mode == "learned_hard_sigmoid" else None)
+            w_eff = core.fake_quant(w_eff, d, z, wspec, rng=qctx.rng,
+                                    alpha=alpha_v,
+                                    soft_targets=qctx.soft_targets)
+        # (else: smooth-on + weight-fp keeps the scaled weight, matching the
+        #  reference fp branch, quant_layer.py:188-189)
+
+        return self._dense(x, w_eff.astype(self.param_dtype), bias)
+
+    def _dense(self, x, kernel, bias):
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
