@@ -1,0 +1,494 @@
+"""Shared DiT layer library (flax linen), quantization-aware.
+
+TPU-native counterpart of the reference layer libraries
+(`t2v/opensora/models/layers/blocks.py`, `t2i/diffusion/model/nets/
+PixArt_blocks.py`). Linear layers that the reference quantizes are
+`QuantLinear`s wired with reference-compatible dotted names so ViDiT-Q layer
+lists / bitwidth YAMLs resolve unchanged. Attention uses a fixed-shape
+additive-bias mask instead of xformers' packed BlockDiagonalMask
+(variable-length masked_select is hostile to XLA; the reference itself has a
+static 0-masking path for static quant, `stdit.py:288-301`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viditq_tpu.quant.qlinear import QuantCtx, QuantLinear
+from viditq_tpu.quant.spec import LayerQuantSpec
+
+Resolver = Callable[[str], Optional[LayerQuantSpec]]
+
+
+def no_quant(name: str) -> Optional[LayerQuantSpec]:
+    return None
+
+
+def t2i_modulate(x, shift, scale):
+    """blocks.py:51."""
+    return x * (1 + scale) + shift
+
+
+def modulate(norm_x, shift, scale):
+    return norm_x * (1 + scale[:, None]) + shift[:, None]
+
+
+class LayerNorm(nn.Module):
+    """Non-affine LayerNorm, eps 1e-6 (reference get_layernorm/blocks.py:30)."""
+
+    eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
+
+
+class AffineLayerNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return (y * scale + bias).astype(self.dtype)
+
+
+def approx_gelu(x):
+    return nn.gelu(x, approximate=True)
+
+
+class Mlp(nn.Module):
+    """fc1 -> gelu(tanh) -> fc2 (reference timm Mlp / stdit modules.Mlp)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    resolver: Resolver = no_quant
+    prefix: str = ""
+    dtype: Any = jnp.bfloat16
+    token_layout: Optional[str] = None
+    d_t: int = 1
+    d_s: int = 1
+
+    @nn.compact
+    def __call__(self, x, qctx: Optional[QuantCtx] = None):
+        out_features = self.out_features or x.shape[-1]
+        kw = dict(dtype=self.dtype, token_layout=self.token_layout,
+                  d_t=self.d_t, d_s=self.d_s)
+        x = QuantLinear(self.hidden_features,
+                        lspec=self.resolver(f"{self.prefix}.fc1"),
+                        name="fc1", **kw)(x, qctx)
+        x = approx_gelu(x)
+        x = QuantLinear(out_features,
+                        lspec=self.resolver(f"{self.prefix}.fc2"),
+                        name="fc2", **kw)(x, qctx)
+        return x
+
+
+def sdpa(q, k, v, scale: float, bias: Optional[jnp.ndarray] = None):
+    """Scaled dot-product attention with fp32 softmax.
+
+    q,k,v: [B, H, N, D]. Matches the reference explicit path
+    (blocks.py:180-187: fp16 q@k, fp32 softmax, cast back).
+    """
+    dtype = q.dtype
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    if bias is not None:
+        attn = attn + bias.astype(jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                      preferred_element_type=dtype)
+
+
+class SelfAttention(nn.Module):
+    """Separate-QKV multi-head self-attention (reference Attention,
+    blocks.py:113-195, with separate_qkv=True as the quant flow requires,
+    stdit.py:460-483)."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    resolver: Resolver = no_quant
+    prefix: str = ""
+    dtype: Any = jnp.bfloat16
+    token_layout: Optional[str] = None
+    d_t: int = 1
+    d_s: int = 1
+
+    @nn.compact
+    def __call__(self, x, qctx: Optional[QuantCtx] = None):
+        B, N, C = x.shape
+        H = self.num_heads
+        D = C // H
+        kw = dict(dtype=self.dtype, token_layout=self.token_layout,
+                  d_t=self.d_t, d_s=self.d_s)
+        q = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.q"),
+                        use_bias=self.qkv_bias, name="q", **kw)(x, qctx)
+        k = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.k"),
+                        use_bias=self.qkv_bias, name="k", **kw)(x, qctx)
+        v = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.v"),
+                        use_bias=self.qkv_bias, name="v", **kw)(x, qctx)
+        q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+        if self.qk_norm:
+            q = AffineLayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = AffineLayerNorm(dtype=self.dtype, name="k_norm")(k)
+        out = sdpa(q, k, v, scale=D ** -0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
+                          name="proj", **kw)(out, qctx)
+        return out
+
+
+class KVCompressSelfAttention(nn.Module):
+    """PixArt-Σ self-attention with KV compression
+    (reference AttentionKVCompress, PixArt_blocks.py:63-165).
+
+    Only the 'conv' sampling mode (the released Σ checkpoints' config) plus
+    'uniform'/'ave' are implemented; sr_ratio==1 degrades to SelfAttention
+    semantics (but keeps separate q/k/v quant layers).
+    """
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    sampling: Optional[str] = None
+    sr_ratio: int = 1
+    resolver: Resolver = no_quant
+    prefix: str = ""
+    dtype: Any = jnp.bfloat16
+
+    def _downsample(self, t, H, W, sr_conv=None, sr_norm=None):
+        B, N, C = t.shape
+        r = self.sr_ratio
+        if self.sampling is None or r == 1:
+            return t
+        if self.sampling == "uniform_every":
+            return t[:, ::r]
+        grid = t.reshape(B, H, W, C)
+        if self.sampling == "ave":
+            grid = jax.image.resize(grid, (B, H // r, W // r, C), "nearest")
+        elif self.sampling == "uniform":
+            grid = grid[:, ::r, ::r]
+        elif self.sampling == "conv":
+            # depthwise avg-init conv (PixArt_blocks.py:88-91) + affine LN
+            grid = sr_norm(sr_conv(grid))
+        else:
+            raise ValueError(self.sampling)
+        return grid.reshape(B, -1, C)
+
+    @nn.compact
+    def __call__(self, x, qctx: Optional[QuantCtx] = None, HW=None):
+        B, N, C = x.shape
+        H_heads, D = self.num_heads, C // self.num_heads
+        h = w = int(math.isqrt(N)) if HW is None else None
+        if HW is not None:
+            h, w = HW
+        kw = dict(dtype=self.dtype)
+        q = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.q"),
+                        use_bias=self.qkv_bias, name="q", **kw)(x, qctx)
+        k = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.k"),
+                        use_bias=self.qkv_bias, name="k", **kw)(x, qctx)
+        v = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.v"),
+                        use_bias=self.qkv_bias, name="v", **kw)(x, qctx)
+        if self.qk_norm:
+            q = AffineLayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = AffineLayerNorm(dtype=self.dtype, name="k_norm")(k)
+        if self.sr_ratio > 1:
+            sr_conv = sr_norm = None
+            if self.sampling == "conv":
+                r = self.sr_ratio
+                sr_conv = nn.Conv(
+                    self.dim, kernel_size=(r, r), strides=(r, r),
+                    feature_group_count=self.dim, name="sr",
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.constant(1 / r ** 2))
+                sr_norm = AffineLayerNorm(dtype=self.dtype, name="norm")
+            k = self._downsample(k, h, w, sr_conv, sr_norm)
+            v = self._downsample(v, h, w, sr_conv, sr_norm)
+        M = k.shape[1]
+        q = q.reshape(B, N, H_heads, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, M, H_heads, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, M, H_heads, D).transpose(0, 2, 1, 3)
+        out = sdpa(q, k, v, scale=D ** -0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
+                          name="proj", **kw)(out, qctx)
+        return out
+
+
+class CrossAttention(nn.Module):
+    """Multi-head cross-attention to (padded, 0-masked) prompt tokens.
+
+    Reference MultiHeadCrossAttention (blocks.py:277-310) uses xformers with
+    a block-diagonal varlen mask over packed [1, B*P] tokens; we keep cond
+    dense [B, P, C] and mask padding with an additive -inf bias — numerically
+    identical for softmax, fixed shapes for XLA. kv_linear therefore already
+    sees the [B, P, C] per-token view the reference's static quant path
+    reshapes into (stdit_quant_layer.py:265-281).
+    """
+
+    dim: int
+    num_heads: int
+    resolver: Resolver = no_quant
+    prefix: str = ""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cond, mask=None, qctx: Optional[QuantCtx] = None):
+        B, N, C = x.shape
+        P = cond.shape[-2]
+        H, D = self.num_heads, C // self.num_heads
+        kw = dict(dtype=self.dtype)
+        q = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.q_linear"),
+                        name="q_linear", **kw)(x, qctx)
+        cond = cond.reshape(B, P, cond.shape[-1]) if cond.ndim == 4 else cond
+        kv = QuantLinear(2 * C, lspec=self.resolver(f"{self.prefix}.kv_linear"),
+                         name="kv_linear", **kw)(cond, qctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, P, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, P, H, D).transpose(0, 2, 1, 3)
+        bias = None
+        if mask is not None:
+            # mask: [B, P] (1 = keep); broadcast over heads and queries
+            bias = jnp.where(mask[:, None, None, :] != 0, 0.0, -jnp.inf)
+        out = sdpa(q, k, v, scale=D ** -0.5, bias=bias)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
+                          name="proj", **kw)(out, qctx)
+        return out
+
+
+# ---------------- embedders ----------------
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000
+                       ) -> jnp.ndarray:
+    """Sinusoidal embedding, cos-first (blocks.py:419-437)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class TimestepEmbedder(nn.Module):
+    """blocks.py:405-444 (kept FP — `remain_fp.txt` lists t_embedder)."""
+
+    hidden_size: int
+    freq_size: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, t):
+        emb = timestep_embedding(t, self.freq_size).astype(self.dtype)
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(emb)
+        return emb
+
+
+class TBlock(nn.Module):
+    """SiLU -> Linear(6*hidden) adaLN-single table head (stdit.py:189)."""
+
+    hidden_size: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, t):
+        return nn.Dense(6 * self.hidden_size, dtype=self.dtype,
+                        name="linear")(nn.silu(t))
+
+
+class SizeEmbedder(nn.Module):
+    """blocks.py:477-508 — embeds [B, d] scalars, concatenating per-dim."""
+
+    hidden_size: int
+    freq_size: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, s, bs: int):
+        if s.ndim == 1:
+            s = s[:, None]
+        if s.shape[0] != bs:
+            s = jnp.tile(s, (bs // s.shape[0], 1))
+        b, d = s.shape
+        emb = timestep_embedding(s.reshape(-1), self.freq_size).astype(self.dtype)
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(emb)
+        return emb.reshape(b, d * self.hidden_size)
+
+
+class CaptionEmbedder(nn.Module):
+    """blocks.py:511-542. `y_embedding` is the learned null embedding used
+    for CFG (consumed by the text-embed cache pipeline)."""
+
+    in_channels: int
+    hidden_size: int
+    token_num: int = 120
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, caption):
+        # caption: [B, 1, L, C_cap] or [B, L, C_cap]
+        # The learned null-prompt embedding (reference y_embedding buffer,
+        # blocks.py:521) lives here so checkpoints round-trip; pipelines read
+        # it via params['y_embedder']['y_embedding'] for CFG null embeds.
+        self.param("y_embedding",
+                   nn.initializers.normal(self.in_channels ** -0.5),
+                   (self.token_num, self.in_channels), jnp.float32)
+        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(
+            caption.astype(self.dtype))
+        h = approx_gelu(h)
+        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(h)
+        return h
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with a CFG null slot (blocks.py:447-474)."""
+
+    num_classes: int
+    hidden_size: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, labels):
+        table = self.param(
+            "embedding", nn.initializers.normal(0.02),
+            (self.num_classes + 1, self.hidden_size), jnp.float32)
+        return table[labels].astype(self.dtype)
+
+
+class PatchEmbed(nn.Module):
+    """2D conv patchify (timm PatchEmbed; kept FP per remain_fp.txt)."""
+
+    patch_size: int
+    embed_dim: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, C, H, W] -> [B, N, D]
+        x = x.transpose(0, 2, 3, 1)  # NHWC for flax conv
+        p = self.patch_size
+        x = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
+                    use_bias=self.use_bias, dtype=self.dtype, name="proj")(x)
+        B, h, w, D = x.shape
+        return x.reshape(B, h * w, D)
+
+
+class PatchEmbed3D(nn.Module):
+    """3D conv patchify for video latents (blocks.py:60-110)."""
+
+    patch_size: tuple
+    embed_dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, C, T, H, W] -> [B, N, D]
+        x = x.transpose(0, 2, 3, 4, 1)  # -> [B, T, H, W, C]
+        pt, ph, pw = self.patch_size
+        x = nn.Conv(self.embed_dim, kernel_size=(pt, ph, pw),
+                    strides=(pt, ph, pw), dtype=self.dtype, name="proj")(x)
+        B, t, h, w, D = x.shape
+        return x.reshape(B, t * h * w, D)
+
+
+class T2IFinalLayer(nn.Module):
+    """blocks.py:381-397 (scale_shift_table variant)."""
+
+    num_patch: int
+    out_channels: int
+    resolver: Resolver = no_quant
+    prefix: str = "final_layer"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, t, qctx: Optional[QuantCtx] = None):
+        hidden = x.shape[-1]
+        table = self.param("scale_shift_table",
+                           nn.initializers.normal(hidden ** -0.5),
+                           (2, hidden), jnp.float32)
+        shift, scale = jnp.split(
+            table[None].astype(self.dtype) + t[:, None].astype(self.dtype),
+            2, axis=1)
+        x = t2i_modulate(LayerNorm(dtype=self.dtype, name="norm_final")(x),
+                         shift, scale)
+        x = QuantLinear(self.num_patch * self.out_channels,
+                        lspec=self.resolver(f"{self.prefix}.linear"),
+                        name="linear", dtype=self.dtype)(x, qctx)
+        return x
+
+
+class FinalLayer(nn.Module):
+    """DiT final layer with adaLN_modulation head (blocks.py:363-378)."""
+
+    num_patch: int
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(2 * x.shape[-1], dtype=self.dtype,
+                       name="adaLN_linear")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = modulate(LayerNorm(dtype=self.dtype, name="norm_final")(x),
+                     shift, scale)
+        return nn.Dense(self.num_patch * self.out_channels, dtype=self.dtype,
+                        name="linear")(x)
+
+
+# ---------------- sincos position embeddings (numpy, static) ----------------
+
+def get_1d_sincos_pos_embed(embed_dim, length, scale=1.0):
+    pos = np.arange(0, length)[..., None] / scale
+    return _sincos_from_grid(embed_dim, pos)
+
+
+def _sincos_from_grid(embed_dim, pos):
+    omega = np.arange(embed_dim // 2, dtype=np.float64)
+    omega /= embed_dim / 2.0
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("m,d->md", pos.reshape(-1), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_2d_sincos_pos_embed(embed_dim, grid_size, scale=1.0, base_size=None):
+    """blocks.py:551-583 — note w-first meshgrid."""
+    if not isinstance(grid_size, tuple):
+        grid_size = (grid_size, grid_size)
+    grid_h = np.arange(grid_size[0], dtype=np.float32) / scale
+    grid_w = np.arange(grid_size[1], dtype=np.float32) / scale
+    if base_size is not None:
+        grid_h *= base_size / grid_size[0]
+        grid_w *= base_size / grid_size[1]
+    grid = np.meshgrid(grid_w, grid_h)
+    grid = np.stack(grid, axis=0).reshape([2, 1, grid_size[1], grid_size[0]])
+    emb_h = _sincos_from_grid(embed_dim // 2, grid[0])
+    emb_w = _sincos_from_grid(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1)
