@@ -1,0 +1,13 @@
+"""Diffusion samplers as scan-based jittable loops."""
+
+from viditq_tpu.samplers.gaussian_diffusion import (  # noqa: F401
+    Schedule, make_schedule, ddim_sample_loop, p_sample_loop,
+    training_losses, get_named_beta_schedule, space_timesteps)
+from viditq_tpu.samplers.iddpm import IDDPM, default_qctx_factory  # noqa: F401
+from viditq_tpu.samplers.dpm_solver import (  # noqa: F401
+    DPMSolverSampler, NoiseScheduleVP, dpm_solver_pp_2m)
+
+from viditq_tpu.models.registry import SCHEDULERS, register
+
+register(SCHEDULERS, "iddpm")(IDDPM)
+register(SCHEDULERS, "dpm-solver")(DPMSolverSampler)
