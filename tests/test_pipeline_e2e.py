@@ -1,0 +1,162 @@
+"""End-to-end pipeline tests: config load -> FP sample -> calib capture ->
+PTQ -> quantized sample, on tiny models (the round-1 'minimum end-to-end
+slice', SURVEY §7)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from viditq_tpu.models import PixArt, STDiT
+from viditq_tpu.pipelines import inference as inf
+from viditq_tpu.pipelines.ptq import run_ptq
+from viditq_tpu.samplers import IDDPM, DPMSolverSampler
+from viditq_tpu.utils.config import load_quant_config
+from viditq_tpu.quant import QuantCtx
+
+
+@pytest.fixture(scope="module")
+def pixart_setup():
+    plan = load_quant_config("configs/pixart/w8a8.yaml")
+    model = PixArt(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+                   depth=2, num_heads=4, caption_channels=32,
+                   model_max_length=8, dtype=jnp.float32,
+                   resolver=plan.resolver())
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((2, 4, 8, 8)), jnp.float32)
+    y_cond = jnp.asarray(rng.standard_normal((2, 1, 8, 32)), jnp.float32)
+    y_null = jnp.asarray(rng.standard_normal((2, 1, 8, 32)), jnp.float32)
+    y = jnp.concatenate([y_cond, y_null], axis=0)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0]] * 2)
+    variables = model.init(jax.random.PRNGKey(0), z, jnp.zeros((2,)), y_cond,
+                           mask, qctx=QuantCtx(mode="fp"))
+    return plan, model, variables, z, y, mask
+
+
+def _model_apply_kw(model, variables):
+    def apply_fn(x, t, y, mask, qctx):
+        return model.apply(variables, x, t, y, mask, qctx=qctx)
+    return apply_fn
+
+
+def test_config_parsing():
+    plan = load_quant_config("configs/opensora/w4a8_timestep_aware_cb.yaml")
+    assert plan.default_layer.weight.n_bits == 4
+    assert plan.default_layer.act.dynamic
+    assert plan.default_layer.smooth_quant.enable
+    assert plan.default_layer.smooth_quant.alpha == (0.11, 0.11)
+    assert plan.default_layer.smooth_quant.timerange == ((0, 500), (501, 1000))
+    assert plan.mixed_precision == (4, 6, 8)
+    assert plan.cfg_split
+    assert "final_layer" in plan.fp_patterns
+    resolve = plan.resolver()
+    assert resolve("final_layer.linear").weight_quant is False
+    assert resolve("blocks.0.attn.q").weight_quant is True
+
+
+def test_pixart_full_flow_iddpm(pixart_setup):
+    plan, model, variables, z, y, mask = pixart_setup
+    sampler = IDDPM(num_sampling_steps=6, cfg_scale=4.0, cfg_split=False)
+    model_apply = _model_apply_kw(model, variables)
+
+    # 1. FP sample + calib capture
+    samples, traj = sampler.sample(model_apply, z, y, mask, sampler_type="ddim",
+                                   return_trajectory=True)
+    assert samples.shape == (2, 4, 8, 8)
+    calib = {"xs": traj["xs"], "ts": traj["ts"], "y": y, "mask": mask}
+    assert calib["xs"].shape == (6, 4, 4, 8, 8)
+
+    # 2. PTQ (smooth-quant stats + weight tables; dynamic act)
+    res = run_ptq(model, variables, calib, plan, plan.resolver(),
+                  n_calib_steps=3, batch_size=4)
+    qv = res.variables["quant"]
+    assert np.all(np.asarray(
+        qv["blocks_0"]["attn"]["q"]["w_delta"]) > 0)
+    assert np.all(np.asarray(
+        qv["blocks_0"]["attn"]["q"]["act_scale"]) > 0)
+
+    # 3. quantized sampling, jitted end to end
+    def q_apply(x, t, yy, mm, qctx):
+        return model.apply(res.variables, x, t, yy, mm, qctx=qctx)
+    from viditq_tpu.samplers.iddpm import default_qctx_factory
+    out_q = jax.jit(lambda z, y, m: sampler.sample(
+        q_apply, z, y, m, sampler_type="ddim",
+        qctx_factory=default_qctx_factory("quant")))(z, y, mask)
+    out_fp = jax.jit(lambda z, y, m: sampler.sample(
+        model_apply, z, y, m, sampler_type="ddim"))(z, y, mask)
+    assert np.isfinite(np.asarray(out_q)).all()
+    rel = (np.linalg.norm(np.asarray(out_q - out_fp))
+           / np.linalg.norm(np.asarray(out_fp)))
+    assert 0 < rel < 0.5, rel
+
+
+def test_pixart_dpm_solver_flow(pixart_setup):
+    plan, model, variables, z, y, mask = pixart_setup
+    sampler = DPMSolverSampler(num_sampling_steps=5, cfg_scale=4.0)
+    model_apply = _model_apply_kw(model, variables)
+    calib = inf.get_calib_data(model.bind({}), None, sampler, z, y, mask,
+                               jit=False) if False else None
+    # direct call (avoid bind gymnastics): capture trajectory
+    samples, traj = sampler.sample(model_apply, z, y, mask,
+                                   return_trajectory=True)
+    assert samples.shape == (2, 4, 8, 8)
+    assert traj["xs"].shape[0] == 5
+    # dpm trajectories are single-half; duplicate for PTQ layout
+    calib = {"xs": jnp.concatenate([traj["xs"], traj["xs"]], axis=1),
+             "ts": jnp.concatenate([traj["ts"], traj["ts"]], axis=1),
+             "y": y, "mask": mask}
+    res = run_ptq(model, variables, calib, plan, plan.resolver(),
+                  n_calib_steps=3, batch_size=4)
+
+    def q_apply(x, t, yy, mm, qctx):
+        return model.apply(res.variables, x, t, yy, mm, qctx=qctx)
+    from viditq_tpu.samplers.iddpm import default_qctx_factory
+    out_q = sampler.sample(q_apply, z, y, mask,
+                           qctx_factory=default_qctx_factory("quant"))
+    assert np.isfinite(np.asarray(out_q)).all()
+
+
+def test_stdit_static_act_timestep_wise_flow():
+    plan = load_quant_config("configs/opensora/w8a8_dynamic.yaml",
+                             timestep_wise=True, calib_n_timestep=3)
+    # make acts static for this test (the reference w8a8_naive plan)
+    import dataclasses
+    from viditq_tpu.quant.spec import QuantSpec
+    static_act = QuantSpec(n_bits=8, granularity="token",
+                           round_mode="nearest_ste", running_stat=True,
+                           timestep_wise=True, n_timestep=3)
+    default = dataclasses.replace(plan.default_layer, act=static_act)
+    plan = dataclasses.replace(plan, default_layer=default)
+    resolver = plan.resolver()
+    model = STDiT(input_size=(4, 8, 8), in_channels=4, patch_size=(1, 2, 2),
+                  hidden_size=64, depth=2, num_heads=4, caption_channels=32,
+                  model_max_length=8, dtype=jnp.float32, resolver=resolver)
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.standard_normal((1, 4, 4, 8, 8)), jnp.float32)
+    y_cond = jnp.asarray(rng.standard_normal((1, 1, 8, 32)), jnp.float32)
+    y = jnp.concatenate([y_cond, y_cond * 0], axis=0)
+    mask = jnp.ones((1, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                           y_cond, mask, QuantCtx(mode="fp"))
+    sampler = IDDPM(num_sampling_steps=3, cfg_scale=4.0)
+
+    def model_apply(x, t, yy, mm, qctx):
+        return model.apply(variables, x, t, yy, mm, qctx)
+
+    _, traj = sampler.sample(model_apply, z, y, mask, sampler_type="ddim",
+                             return_trajectory=True)
+    calib = {"xs": traj["xs"], "ts": traj["ts"], "y": y, "mask": mask}
+    res = run_ptq(model, variables, calib, plan, resolver,
+                  n_calib_steps=3, batch_size=2)
+    assert res.act_slot_map is not None
+    qv = res.variables["quant"]
+    a_delta = np.asarray(qv["blocks_0"]["attn"]["q"]["a_delta"])
+    assert a_delta.shape[1] == 3 and np.all(a_delta > 0)
+    # quantized inference with act slots
+    def q_apply(x, t, yy, mm, qctx):
+        return model.apply(res.variables, x, t, yy, mm, qctx)
+    from viditq_tpu.samplers.iddpm import default_qctx_factory
+    out = sampler.sample(
+        q_apply, z, y, mask, sampler_type="ddim",
+        qctx_factory=default_qctx_factory("quant", res.act_slot_map))
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,155 @@
+"""PTQ driver: smooth-quant stats -> weight tables -> act tables.
+
+Reference flow: `t2v/scripts/ptq.py:27-451` / `t2i/scripts/ptq.py:40-517`.
+The reference mutates quantizer modules during "init forwards"; here each
+phase is a jitted apply with explicit mutable collections, and the
+weight/act table computation happens offline (viditq_tpu.quant.calibrate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viditq_tpu.quant import calibrate
+from viditq_tpu.quant.qlinear import QuantCtx
+
+
+def subsample_calib_steps(n_total: int, n_steps: int) -> np.ndarray:
+    """Evenly subsample calib trajectory step indices
+    (reference get_quant_calib_data, qdiff/utils.py:17-63: stride =
+    total // n_steps)."""
+    stride = max(n_total // n_steps, 1)
+    idx = np.arange(0, n_total, stride)[:n_steps]
+    return idx
+
+
+def act_slot_map_from_ts(calib_ts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Map original timesteps [0,1000) to compact act-table slots.
+
+    Returns (slot_map [1000], sorted_calib_ts). Slot i belongs to the i-th
+    smallest calibrated timestep; lookups take the nearest slot — the compact
+    equivalent of `repeat_timestep_wise_quant_params`
+    (quant_model.py:184-197)."""
+    sorted_ts = np.sort(np.unique(np.asarray(calib_ts)))
+    t = np.arange(1000)
+    slot = np.abs(t[:, None] - sorted_ts[None, :]).argmin(axis=1)
+    return slot.astype(np.int32), sorted_ts
+
+
+@dataclasses.dataclass
+class PTQResult:
+    variables: Dict
+    act_slot_map: Optional[np.ndarray]
+    calib_ts: Optional[np.ndarray]
+
+
+def run_ptq(model, variables: Dict, calib_data: Dict, plan,
+            resolver: Callable, n_calib_steps: Optional[int] = None,
+            batch_size: Optional[int] = None) -> PTQResult:
+    """Run the full PTQ calibration.
+
+    calib_data: {'xs': [n_steps, NB, ...], 'ts': [n_steps, NB],
+                 'y': [NB, 1, L, C_cap], 'mask': [B0, L] or None}
+    (the sampler trajectory capture, gaussian_diffusion.py:679-689).
+    """
+    xs = np.asarray(calib_data["xs"])
+    ts = np.asarray(calib_data["ts"])
+    y = jnp.asarray(calib_data["y"])
+    mask = calib_data.get("mask")
+    mask = jnp.asarray(mask) if mask is not None else None
+    n_total = xs.shape[0]
+    nb = xs.shape[1]
+    n_steps = min(n_calib_steps or plan.calib_n_steps, n_total)
+    bs = batch_size or plan.calib_batch_size
+    step_idx = subsample_calib_steps(n_total, n_steps)
+
+    variables = dict(variables)
+    lspec = plan.default_layer
+    smooth = lspec.smooth_quant
+
+    other = {k: v for k, v in variables.items()
+             if k not in ("quant", "qstats")}
+
+    @jax.jit
+    def sq_stat_step(quant, qstats, x, t, yb, mb, t_id):
+        vs = {**other, "quant": quant, "qstats": qstats}
+        _, upd = model.apply(vs, x, t, yb, mb,
+                             qctx=QuantCtx(mode="sq_stat", t_id=t_id),
+                             mutable=["quant", "qstats"])
+        return upd["quant"], upd["qstats"]
+
+    @jax.jit
+    def a_calib_step(quant, qstats, x, t, yb, mb, t_id, slot):
+        vs = {**other, "quant": quant, "qstats": qstats}
+        _, upd = model.apply(vs, x, t, yb, mb,
+                             qctx=QuantCtx(mode="a_calib", t_id=t_id,
+                                           act_slot=slot),
+                             mutable=["qstats"])
+        return upd["qstats"]
+
+    # Phase 1 — smooth-quant act_scale running stats over every calib step
+    # (ptq.py:219-264). Batch over samples like the reference's chunked loop.
+    if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
+        quant, qstats = variables["quant"], variables["qstats"]
+        for s in step_idx:
+            t_id = jnp.asarray(int(ts[s, 0]), jnp.int32)
+            for b0 in range(0, nb, bs):
+                xb = jnp.asarray(xs[s, b0:b0 + bs])
+                tb = jnp.asarray(ts[s, b0:b0 + bs], jnp.float32)
+                yb = y[b0:b0 + bs]
+                quant, qstats = sq_stat_step(
+                    quant, qstats, xb, tb, yb,
+                    _mask_slice(mask, b0, bs, nb), t_id)
+        variables["quant"] = quant
+        variables["qstats"] = qstats
+
+    # Phase 2 — weight tables, offline (replaces ptq.py:266-293 forwards)
+    variables["quant"] = calibrate.calibrate_weight_tables(
+        variables["params"], variables["quant"], resolver)
+
+    # Phase 3 — static act ranges per timestep slot (ptq.py:296-361);
+    # skipped entirely for dynamic act quant (:308-309)
+    aspec = lspec.act
+    slot_map = None
+    calib_ts = np.array([int(ts[s, 0]) for s in step_idx])
+    if aspec is not None and not aspec.dynamic:
+        slot_full, sorted_ts = act_slot_map_from_ts(calib_ts)
+        t_to_slot = {int(t): i for i, t in enumerate(sorted_ts)}
+        quant, qstats = variables["quant"], variables["qstats"]
+        for s in step_idx:
+            t_int = int(ts[s, 0])
+            slot = jnp.asarray(t_to_slot[t_int], jnp.int32)
+            t_id = jnp.asarray(t_int, jnp.int32)
+            for b0 in range(0, nb, bs):
+                xb = jnp.asarray(xs[s, b0:b0 + bs])
+                tb = jnp.asarray(ts[s, b0:b0 + bs], jnp.float32)
+                yb = y[b0:b0 + bs]
+                qstats = a_calib_step(
+                    quant, qstats, xb, tb, yb,
+                    _mask_slice(mask, b0, bs, nb), t_id, slot)
+        variables["qstats"] = qstats
+        variables["quant"] = calibrate.finalize_act_tables(
+            variables["quant"], variables["qstats"], resolver)
+        slot_map = slot_full
+    elif aspec is not None and smooth.enable:
+        # dynamic act + smooth quant still uses t_id -> timerange lookups at
+        # inference; no act tables needed.
+        pass
+
+    return PTQResult(variables=variables, act_slot_map=slot_map,
+                     calib_ts=calib_ts)
+
+
+def _mask_slice(mask, b0, bs, nb):
+    """calib batches are CFG-doubled [cond; null]; the mask is per-prompt
+    [B0, L]. Model tiling handles 2x, so slice modulo the cond half."""
+    if mask is None:
+        return None
+    half = nb // 2
+    lo = b0 % half
+    return mask[lo:lo + bs] if mask.shape[0] >= lo + bs else mask

@@ -1,0 +1,179 @@
+"""Quant-config loading: the reference's OmegaConf YAML schema -> specs.
+
+Parses the exact YAML layout shipped by ViDiT-Q
+(`t2v/configs/quant/opensora/*.yaml`, `t2i/configs/quant/{alpha,sigma}/
+*.yaml`; loaded at `t2v/scripts/ptq.py:60`) so existing config files work
+verbatim, but resolves them into frozen `QuantSpec`/`LayerQuantSpec` objects
+plus a plain `QuantPlanConfig` — no OmegaConf dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+from viditq_tpu.quant.naming import load_fp_list, resolve_layer_spec
+from viditq_tpu.quant.spec import LayerQuantSpec, QuantSpec, SmoothQuantSpec
+
+
+def _granularity(per_group) -> str:
+    if per_group in (False, None, "False", "None"):
+        return "tensor"
+    if per_group in ("channel", "token"):
+        return per_group
+    raise ValueError(f"unknown per_group {per_group!r}")
+
+
+def parse_weight_spec(cfg: Dict[str, Any],
+                      mixed_precision=None) -> QuantSpec:
+    q = cfg["quantizer"]
+    return QuantSpec(
+        n_bits=int(q["n_bits"]),
+        granularity=_granularity(q.get("per_group", "channel")),
+        channel_axis=-1,  # JAX [C_in, C_out] layout == torch channel_dim=0
+        scale_method=q.get("scale_method", "min_max"),
+        round_mode=q.get("round_mode", "nearest"),
+        sym=bool(q.get("sym", False)),
+        mixed_precision=tuple(mixed_precision) if mixed_precision else None,
+    )
+
+
+def parse_act_spec(cfg: Dict[str, Any], mixed_precision=None,
+                   timestep_wise: bool = False,
+                   n_timestep: int = 1) -> QuantSpec:
+    q = cfg["quantizer"]
+    dynamic = bool(q.get("dynamic", False))
+    return QuantSpec(
+        n_bits=int(q["n_bits"]),
+        granularity=_granularity(q.get("per_group", False)),
+        channel_axis=-1,
+        scale_method=q.get("scale_method", "min_max"),
+        round_mode=q.get("round_mode", "nearest_ste"),
+        sym=bool(q.get("sym", False)),
+        dynamic=dynamic,
+        running_stat=bool(q.get("running_stat", False)),
+        mixed_precision=(tuple(mixed_precision)
+                         if (mixed_precision and not dynamic) else None),
+        timestep_wise=bool(timestep_wise) and not dynamic,
+        n_timestep=n_timestep if (timestep_wise and not dynamic) else 1,
+    )
+
+
+def parse_smooth_spec(cfg: Dict[str, Any]) -> SmoothQuantSpec:
+    sq = (cfg.get("quantizer", {}) or {}).get("smooth_quant") or {}
+    if not sq or not sq.get("enable", False):
+        return SmoothQuantSpec()
+    alpha = sq.get("alpha", 0.5)
+    if not isinstance(alpha, (list, tuple)):
+        alpha = (float(alpha),)
+    else:
+        alpha = tuple(float(a) for a in alpha)
+    timerange = sq.get("timerange", [[0, 1000]])
+    timerange = tuple(tuple(int(v) for v in r) for r in timerange)
+    return SmoothQuantSpec(
+        enable=True,
+        channel_wise_scale_type=sq.get("channel_wise_scale_type",
+                                       "momentum_act_max"),
+        momentum=float(sq.get("momentum", 0.95)),
+        alpha=alpha, timerange=timerange)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantPlanConfig:
+    """One parsed quant YAML (the reference 'ptq_config')."""
+
+    default_layer: LayerQuantSpec
+    fp_patterns: Tuple[str, ...] = ()
+    model_id: str = "opensora"
+    model_type: str = "opensora"
+    cfg_split: bool = False
+    mixed_precision: Optional[Tuple[int, ...]] = None
+    timestep_wise: bool = False
+    calib_n_steps: int = 10
+    calib_n_samples: int = 10
+    calib_batch_size: int = 4
+    n_spatial_token: int = 1024
+    n_temporal_token: int = 16
+    n_prompt: int = 120
+
+    def resolver(self, overrides=None):
+        """Layer-name -> LayerQuantSpec resolver for model construction and
+        offline calibration."""
+        default = self.default_layer
+        fp = self.fp_patterns
+
+        def resolve(name: str) -> Optional[LayerQuantSpec]:
+            return resolve_layer_spec(name, default, fp, overrides)
+        return resolve
+
+    def with_bits(self, w_bits: Optional[int] = None,
+                  a_bits: Optional[int] = None) -> "QuantPlanConfig":
+        """Switch active bitwidths (reference set_layer_bit /
+        bitwidth_refactor) — valid when mixed_precision contains them."""
+        d = self.default_layer
+        new = dataclasses.replace(
+            d,
+            weight=d.weight.with_bits(w_bits) if w_bits and d.weight else d.weight,
+            act=d.act.with_bits(a_bits) if a_bits and d.act else d.act)
+        return dataclasses.replace(self, default_layer=new)
+
+
+def load_quant_config(path: str, part_fp: bool = True,
+                      calib_n_timestep: Optional[int] = None,
+                      smooth_quant_alpha: Optional[float] = None,
+                      timestep_wise: bool = False) -> QuantPlanConfig:
+    """Load a reference-format quant YAML (t2v/scripts/ptq.py:60-148)."""
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    mp = cfg.get("mixed_precision")
+    quant = cfg["quant"]
+    n_ts = calib_n_timestep or int(cfg.get("calib_data", {}).get("n_steps", 10))
+    wspec = parse_weight_spec(quant["weight"], mp)
+    aspec = parse_act_spec(quant["activation"], mp,
+                           timestep_wise=timestep_wise, n_timestep=n_ts)
+    smooth = parse_smooth_spec(quant["activation"])
+    if smooth_quant_alpha is not None and smooth.enable:
+        smooth = dataclasses.replace(
+            smooth, alpha=tuple(smooth_quant_alpha
+                                for _ in smooth.alpha))
+    default = LayerQuantSpec(weight=wspec, act=aspec, smooth_quant=smooth)
+
+    fp_patterns: Tuple[str, ...] = ()
+    fp_path = cfg.get("part_fp_list")
+    if part_fp and fp_path and fp_path not in ("", "None"):
+        try:
+            fp_patterns = load_fp_list(fp_path)
+        except FileNotFoundError:
+            # allow paths relative to the YAML's directory
+            import os
+            alt = os.path.join(os.path.dirname(path), os.path.basename(fp_path))
+            fp_patterns = load_fp_list(alt)
+
+    act_q = quant["activation"]["quantizer"]
+    calib = cfg.get("calib_data", {})
+    model = cfg.get("model", {})
+    return QuantPlanConfig(
+        default_layer=default,
+        fp_patterns=fp_patterns,
+        model_id=model.get("model_id", "opensora"),
+        model_type=model.get("model_type", "opensora"),
+        cfg_split=bool(cfg.get("cfg_split", False)),
+        mixed_precision=tuple(mp) if mp else None,
+        timestep_wise=timestep_wise,
+        calib_n_steps=int(calib.get("n_steps", 10)),
+        calib_n_samples=int(calib.get("n_samples", 10)),
+        calib_batch_size=int(calib.get("batch_size", 4)),
+        n_spatial_token=int(act_q.get("n_spatial_token", 1024)),
+        n_temporal_token=int(act_q.get("n_temporal_token", 16)),
+        n_prompt=int(act_q.get("n_prompt", 120)),
+    )
+
+
+def load_bitwidth_config(path: str) -> Dict[str, Dict[str, int]]:
+    """Timestep-wise mixed-precision YAML: {'19-15': {layer: bits, ...},
+    'fp_layers': [...]} (reference t20_*_mp.yaml,
+    gaussian_diffusion.py:740-767)."""
+    with open(path) as f:
+        return yaml.safe_load(f)
