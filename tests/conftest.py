@@ -6,6 +6,9 @@ pyramid replaces the reference's absent test suite).
 
 import os
 
+# NOTE: this image preloads a TPU PJRT plugin via sitecustomize, importing
+# jax before conftest runs — env vars alone are too late. config.update
+# still wins because backends initialize lazily.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -14,4 +17,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

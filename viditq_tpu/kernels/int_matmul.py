@@ -76,9 +76,13 @@ def dynamic_quant_rows(x: jnp.ndarray, sym: bool = False,
     """
     M, K = x.shape
     block_m = min(block_m, _round_up(M, 8))
+    Mp = _round_up(M, block_m)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    M_out, M = M, Mp
     grid = (_cdiv(M, block_m),)
     kernel = functools.partial(_dyn_quant_kernel, sym=sym)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((block_m, K), lambda i: (i, 0),
@@ -100,6 +104,7 @@ def dynamic_quant_rows(x: jnp.ndarray, sym: bool = False,
             jax.ShapeDtypeStruct((M, 1), jnp.float32),
         ],
     )(x)
+    return tuple(o[:M_out] for o in out)
 
 
 # ---------------------------------------------------------------------------
@@ -151,10 +156,31 @@ def int8_matmul(x_q: jnp.ndarray, w_q: jnp.ndarray,
     block_m = min(block_m, _round_up(M, 32))
     block_n = min(block_n, _round_up(N, 128))
     block_k = min(block_k, _round_up(K, 128))
+    # Explicitly zero-pad to block multiples: Pallas out-of-bounds block
+    # regions are undefined, and zero int8 codes are exactly neutral here
+    # (they contribute 0 to acc and are excluded from the K-sized zp
+    # correction, so padding K is exact, not approximate).
+    Mp, Np, Kp = (_round_up(M, block_m), _round_up(N, block_n),
+                  _round_up(K, block_k))
+    if (Mp, Kp) != (M, K):
+        x_q = jnp.pad(x_q, ((0, Mp - M), (0, Kp - K)))
+        x_scale = jnp.pad(x_scale, ((0, Mp - M), (0, 0)))
+        x_zp = jnp.pad(x_zp, ((0, Mp - M), (0, 0)))
+        x_rowsum = jnp.pad(x_rowsum, ((0, Mp - M), (0, 0)))
+    if (Kp, Np) != (K, N):
+        w_q = jnp.pad(w_q, ((0, Kp - K), (0, Np - N)))
+        w_scale = jnp.pad(w_scale, ((0, 0), (0, Np - N)))
+        w_zp = jnp.pad(w_zp, ((0, 0), (0, Np - N)))
+        w_colsum = jnp.pad(w_colsum, ((0, 0), (0, Np - N)))
+    # NOTE: padded K columns have x_q = w_q = 0 but nonzero zp corrections
+    # would double-count them if k_size were Kp; keep k_size = K and the
+    # rowsum/colsum from the *padded* arrays (equal to the unpadded sums).
+    M_out, N_out, K_true = M, N, K
+    M, K, N = Mp, Kp, Np
     k_steps = _cdiv(K, block_k)
     grid = (_cdiv(M, block_m), _cdiv(N, block_n), k_steps)
     kernel = functools.partial(_int8_matmul_kernel, k_steps=k_steps,
-                               k_size=K)
+                               k_size=K_true)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -186,7 +212,8 @@ def int8_matmul(x_q: jnp.ndarray, w_q: jnp.ndarray,
             flops=2 * M * N * K,
             bytes_accessed=M * K + K * N + M * N * np.dtype(out_dtype).itemsize,
             transcendentals=0),
-    )(x_q, w_q, x_scale, x_zp, x_rowsum, w_scale, w_zp, w_colsum)
+    )(x_q, w_q, x_scale, x_zp, x_rowsum, w_scale, w_zp, w_colsum)[
+        :M_out, :N_out]
 
 
 # ---------------------------------------------------------------------------

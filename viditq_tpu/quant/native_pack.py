@@ -1,0 +1,84 @@
+"""Offline packing of calibrated weights into the native int8 layout.
+
+After PTQ fills w_delta/w_zp, this pass quantizes every native-backend
+layer's kernel into int8 slabs (per smooth-quant timerange) plus column
+sums for the zero-point epilogue correction — the deploy-time counterpart of
+the reference's per-forward weight fake-quant (quant_layer.py:168-185).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from viditq_tpu.quant.calibrate import path_to_dotted, _layer_dirs
+from viditq_tpu.quant.spec import LayerQuantSpec
+
+
+def add_native_slots(quant_vars: Dict, params: Dict,
+                     resolve: Callable[[str], Optional[LayerQuantSpec]]
+                     ) -> Dict:
+    """Insert empty w_int/w_colsum slots into a 'quant' collection that was
+    calibrated with the simulate backend, so the same variables can drive a
+    backend='native' model after `pack_native_weights`."""
+    flat_q = traverse_util.flatten_dict(quant_vars)
+    flat_p = traverse_util.flatten_dict(params)
+    for layer_path in _layer_dirs(quant_vars, "w_delta"):
+        name = path_to_dotted(layer_path)
+        lspec = resolve(name)
+        if (lspec is None or lspec.weight is None or lspec.act is None
+                or not lspec.act.dynamic or not lspec.weight_quant
+                or not lspec.act_quant):
+            continue
+        kernel = flat_p[layer_path + ("kernel",)]
+        n_tr = flat_q[layer_path + ("w_delta",)].shape[1]
+        if layer_path + ("w_int",) not in flat_q:
+            flat_q[layer_path + ("w_int",)] = jnp.zeros(
+                (n_tr,) + tuple(kernel.shape), jnp.int8)
+            flat_q[layer_path + ("w_colsum",)] = jnp.zeros(
+                (n_tr, 1, kernel.shape[-1]), jnp.float32)
+    return traverse_util.unflatten_dict(flat_q)
+
+
+def pack_native_weights(params: Dict, quant_vars: Dict,
+                        resolve: Callable[[str], Optional[LayerQuantSpec]]
+                        ) -> Dict:
+    """Fill w_int / w_colsum for every layer that declared them."""
+    flat_q = traverse_util.flatten_dict(quant_vars)
+    flat_p = traverse_util.flatten_dict(params)
+    for layer_path in _layer_dirs(quant_vars, "w_int"):
+        name = path_to_dotted(layer_path)
+        lspec = resolve(name)
+        if lspec is None or lspec.weight is None:
+            continue
+        wspec = lspec.weight
+        smooth = lspec.smooth_quant
+        kernel = jnp.asarray(flat_p[layer_path + ("kernel",)], jnp.float32)
+        w_delta = flat_q[layer_path + ("w_delta",)][wspec.bit_idx]
+        w_zp = flat_q[layer_path + ("w_zp",)][wspec.bit_idx]
+        n_tr = w_delta.shape[0]
+        act_scale = flat_q.get(layer_path + ("act_scale",))
+        shift = float(2 ** (wspec.n_bits - 1))
+        n_levels = float(2 ** wspec.n_bits)
+        slabs, colsums = [], []
+        for tr in range(n_tr):
+            w_eff = kernel
+            if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
+                alpha = smooth.alpha_for_range(tr)
+                w_absmax = jnp.maximum(jnp.max(jnp.abs(kernel), axis=-1),
+                                       1e-12)
+                a_absmax = jnp.maximum(jnp.asarray(act_scale[tr]), 1e-5)
+                cs = (a_absmax ** alpha) / (w_absmax ** (1 - alpha))
+                w_eff = kernel * cs[:, None]
+            d = jnp.asarray(w_delta[tr]).reshape(1, -1)
+            z = jnp.asarray(w_zp[tr]).reshape(1, -1)
+            code = jnp.clip(jnp.round(w_eff / d) + z, 0, n_levels - 1) - shift
+            slabs.append(code.astype(jnp.int8))
+            colsums.append(jnp.sum(code, axis=0, keepdims=True)
+                           .astype(jnp.float32))
+        flat_q[layer_path + ("w_int",)] = jnp.stack(slabs)
+        flat_q[layer_path + ("w_colsum",)] = jnp.stack(colsums)
+    return traverse_util.unflatten_dict(flat_q)

@@ -154,6 +154,19 @@ class QuantLinear(nn.Module):
                     "quant", "w_alpha",
                     lambda: jnp.zeros((in_features, self.features), jnp.float32))
 
+        native = (lspec.backend == "native" and w_q is not None
+                  and aspec is not None and aspec.dynamic and lspec.act_quant)
+        if native:
+            # prepacked int8 weights + column sums, filled offline by
+            # viditq_tpu.quant.native_pack.pack_native_weights
+            w_int = self.variable(
+                "quant", "w_int",
+                lambda: jnp.zeros((n_tr, in_features, self.features),
+                                  jnp.int8))
+            w_colsum = self.variable(
+                "quant", "w_colsum",
+                lambda: jnp.zeros((n_tr, 1, self.features), jnp.float32))
+
         act_scale = None
         if smooth.enable:
             act_scale = self.variable(
@@ -226,6 +239,29 @@ class QuantLinear(nn.Module):
                 a_absmax = jnp.maximum(a_absmax, 1e-5)  # quant_layer.py:130-134
             cs = (a_absmax ** alpha) / jnp.maximum(w_absmax, 1e-12) ** (1 - alpha)
             x = (x.astype(jnp.float32) / cs).astype(x.dtype)
+
+        # ---- native int8 execution path ----
+        if native and mode == "quant":
+            from viditq_tpu.kernels.int_matmul import quantized_linear_native
+
+            def _sel(v):
+                if n_tr == 1:
+                    return v[0]
+                return jax.lax.dynamic_index_in_dim(v, tr_id, 0, False)
+
+            shift = float(2 ** (wspec.n_bits - 1))
+            packed = {
+                "w_q": _sel(w_int.value),
+                "w_colsum": _sel(w_colsum.value).reshape(1, -1),
+                "w_scale": _sel(w_q[0].value[wspec.bit_idx]).reshape(1, -1),
+                "w_zp": (_sel(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
+                         - shift),
+            }
+            xv = self._to_token_view(x)
+            out = quantized_linear_native(xv, packed, bias=bias,
+                                          act_sym=aspec.sym,
+                                          out_dtype=self.dtype)
+            return out.reshape(*x.shape[:-1], self.features)
 
         # ---- activation quantization ----
         if aspec is not None and lspec.act_quant:

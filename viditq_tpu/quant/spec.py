@@ -156,6 +156,11 @@ class LayerQuantSpec:
     smooth_quant: SmoothQuantSpec = SmoothQuantSpec()
     weight_quant: bool = True            # reference set_quant_state(weight_quant, ...)
     act_quant: bool = True
+    # 'simulate' = fake quant (reference-parity semantics);
+    # 'native' = real int8 Pallas kernels (per-row act scales, prepacked
+    # weights) — the deploy path the reference paper describes but never
+    # released.
+    backend: str = "simulate"
     # Logical token layout this layer's activations should be reshaped to
     # before token-wise quantization; one of None, "spatial", "temporal",
     # "cross_q", "cross_kv" (reference stdit_quant_layer.py).

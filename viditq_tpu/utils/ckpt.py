@@ -1,0 +1,180 @@
+"""Checkpoint conversion and (de)serialization.
+
+* torch `.pth` state-dict -> flax params for STDiT / PixArt, including the
+  fused-qkv split the reference performs at load
+  (`t2v/scripts/split_ckpt.py:3-25`, `stdit.py:460-483`).
+* framework-native checkpoints: msgpack via flax.serialization for params,
+  npz for quant-param dicts (the reference's quant ckpt format equivalent,
+  `quant_model.py:220-269`).
+
+torch is used only to deserialize `.pth` files (CPU); everything downstream
+is numpy/JAX.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+from flax import serialization, traverse_util
+
+from viditq_tpu.quant.calibrate import quant_params_dict, load_quant_params_dict
+
+
+def _t(x):
+    return np.asarray(x).T
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    if "ema" in sd and isinstance(sd["ema"], dict):
+        sd = sd["ema"]
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def split_qkv(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Split fused `*.qkv.{weight,bias}` into q/k/v (split_ckpt.py:3-25:
+    weight reshaped [3, D, D] then unbound)."""
+    out = {}
+    for k, v in sd.items():
+        if k.endswith(".qkv.weight"):
+            d = v.shape[-1]
+            for name, w in zip("qkv", v.reshape(3, d, d)):
+                out[k.replace(".qkv.weight", f".{name}.weight")] = w
+        elif k.endswith(".qkv.bias"):
+            d = v.shape[-1] // 3
+            for name, b in zip("qkv", v.reshape(3, d)):
+                out[k.replace(".qkv.bias", f".{name}.bias")] = b
+        else:
+            out[k] = v
+    return out
+
+
+# torch module-path suffix -> flax path suffix rewrites shared by both models
+_COMMON_RENAMES = {
+    "t_embedder.mlp.0": "t_embedder.fc1",
+    "t_embedder.mlp.2": "t_embedder.fc2",
+    "t_block.1": "t_block.linear",
+    "y_embedder.y_proj.fc1": "y_embedder.fc1",
+    "y_embedder.y_proj.fc2": "y_embedder.fc2",
+    "csize_embedder.mlp.0": "csize_embedder.fc1",
+    "csize_embedder.mlp.2": "csize_embedder.fc2",
+    "ar_embedder.mlp.0": "ar_embedder.fc1",
+    "ar_embedder.mlp.2": "ar_embedder.fc2",
+}
+
+_SKIP_KEYS = ("pos_embed", "pos_embed_temporal")  # recomputed constants
+
+
+def _flax_path(torch_key: str) -> Optional[tuple]:
+    """Map a torch parameter key to our flax params path."""
+    for pre, post in _COMMON_RENAMES.items():
+        if torch_key.startswith(pre + "."):
+            torch_key = post + torch_key[len(pre):]
+    parts = torch_key.split(".")
+    if parts[0] in _SKIP_KEYS:
+        return None
+    # blocks.N.x -> blocks_N.x
+    if parts[0] == "blocks" and parts[1].isdigit():
+        parts = [f"blocks_{parts[1]}"] + parts[2:]
+    leaf = parts[-1]
+    if leaf == "weight":
+        parts[-1] = "kernel"
+    return tuple(parts)
+
+
+def convert_dit_checkpoint(sd: Mapping[str, np.ndarray],
+                           conv_paths=("x_embedder.proj", ".sr"),
+                           norm_paths=("q_norm", "k_norm", "norm")
+                           ) -> Dict:
+    """Generic torch->flax conversion for our DiT-family modules.
+
+    - fused qkv split first
+    - Linear weight [out, in] -> kernel [in, out]
+    - ConvNd weight [out, in, *k] -> kernel [*k, in, out]
+    - affine LayerNorm weight/bias -> scale/bias
+    """
+    sd = split_qkv(dict(sd))
+    flat: Dict[tuple, np.ndarray] = {}
+    for key, val in sd.items():
+        path = _flax_path(key)
+        if path is None:
+            continue
+        base = ".".join(key.split(".")[:-1])
+        is_conv = any(base.endswith(c) or c in base for c in conv_paths) \
+            and val.ndim >= 3
+        is_norm = any(p in key.split(".") for p in norm_paths)
+        if path[-1] == "kernel":
+            if is_conv:
+                # [O, I, *k] -> [*k, I, O]
+                axes = tuple(range(2, val.ndim)) + (1, 0)
+                val = val.transpose(axes)
+            elif is_norm:
+                path = path[:-1] + ("scale",)
+            elif val.ndim == 2:
+                val = val.T
+        flat[path] = np.asarray(val, np.float32)
+    return traverse_util.unflatten_dict(flat)
+
+
+def convert_stdit_checkpoint(path_or_sd) -> Dict:
+    sd = (load_torch_state_dict(path_or_sd)
+          if isinstance(path_or_sd, (str, os.PathLike)) else path_or_sd)
+    return convert_dit_checkpoint(sd)
+
+
+def convert_pixart_checkpoint(path_or_sd) -> Dict:
+    sd = (load_torch_state_dict(path_or_sd)
+          if isinstance(path_or_sd, (str, os.PathLike)) else path_or_sd)
+    return convert_dit_checkpoint(sd)
+
+
+# ---------------- framework-native (de)serialization ----------------
+
+def save_params(path: str, params: Dict):
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(path: str, template: Dict) -> Dict:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_quant_ckpt(path: str, quant_vars: Dict, meta: Optional[Dict] = None):
+    """Quant-param checkpoint: {dotted_layer_name: {table: array}} + meta
+    (act_slot_map, calib timesteps, plan name ...) — role of the reference's
+    ckpt.pth (ptq.py:446-448)."""
+    packed = quant_params_dict(quant_vars)
+    flat = {f"{name}::{k}": np.asarray(v)
+            for name, tabs in packed.items() for k, v in tabs.items()}
+    if meta:
+        flat["__meta__"] = np.frombuffer(pickle.dumps(meta), np.uint8)
+    np.savez(path, **flat)
+
+
+def load_quant_ckpt(path: str, quant_vars: Dict) -> tuple:
+    """Load into an existing 'quant' collection skeleton. Returns
+    (quant_vars, meta)."""
+    data = np.load(path, allow_pickle=False)
+    packed: Dict[str, Dict[str, np.ndarray]] = {}
+    meta = None
+    for key in data.files:
+        if key == "__meta__":
+            meta = pickle.loads(data[key].tobytes())
+            continue
+        name, tab = key.split("::")
+        packed.setdefault(name, {})[tab] = data[key]
+    return load_quant_params_dict(quant_vars, packed), meta

@@ -108,6 +108,13 @@ class QuantPlanConfig:
             return resolve_layer_spec(name, default, fp, overrides)
         return resolve
 
+    def with_backend(self, backend: str) -> "QuantPlanConfig":
+        """Switch between 'simulate' (reference-parity fake quant) and
+        'native' (real int8 Pallas kernels)."""
+        return dataclasses.replace(
+            self, default_layer=dataclasses.replace(
+                self.default_layer, backend=backend))
+
     def with_bits(self, w_bits: Optional[int] = None,
                   a_bits: Optional[int] = None) -> "QuantPlanConfig":
         """Switch active bitwidths (reference set_layer_bit /
