@@ -38,10 +38,11 @@ def param_sharding_rules(path_str: str) -> P:
     input dim; everything else replicated. With tp=1 these all collapse to
     replication.
     """
-    col = (".attn.q/", ".attn.k/", ".attn.v/", "/q/", "/k/", "/v/",
-           "/fc1/", "/q_linear/", "/kv_linear/")
+    col = ("/q/", "/k/", "/v/", "/fc1/", "/q_linear/", "/kv_linear/")
     row = ("/proj/", "/fc2/")
     p = "/" + path_str.strip("/") + "/"
+    if "/blocks" not in p and not p.startswith("/blocks"):
+        return P()
     if any(c in p for c in col) and p.endswith("/kernel/"):
         return P(None, "tp")
     if any(r in p for r in row) and p.endswith("/kernel/"):
