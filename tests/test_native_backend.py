@@ -1,0 +1,70 @@
+"""Native int8 backend end-to-end: simulate-calibrated variables drive a
+backend='native' model; outputs match the simulated path closely (native
+per-row act scales are finer than the reference's batch-shared per-token
+scales, so exact equality is not expected at batch>1)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viditq_tpu.models import PixArt
+from viditq_tpu.quant import (
+    LayerQuantSpec, QuantSpec, QuantCtx, calibrate_weight_tables,
+    resolve_layer_spec)
+from viditq_tpu.quant.native_pack import add_native_slots, pack_native_weights
+
+W8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+               round_mode="nearest")
+A8 = QuantSpec(n_bits=8, granularity="token", round_mode="nearest_ste",
+               dynamic=True)
+SIM = LayerQuantSpec(weight=W8, act=A8, backend="simulate")
+NAT = dataclasses.replace(SIM, backend="native")
+FP = ("x_embedder", "t_embedder", "y_embedder", "final_layer")
+
+
+def sim_resolver(name):
+    return resolve_layer_spec(name, SIM, FP)
+
+
+def nat_resolver(name):
+    return resolve_layer_spec(name, NAT, FP)
+
+
+def test_native_pixart_matches_simulate():
+    kw = dict(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+              depth=2, num_heads=4, caption_channels=32, model_max_length=8,
+              dtype=jnp.float32)
+    model_sim = PixArt(resolver=sim_resolver, **kw)
+    model_nat = PixArt(resolver=nat_resolver, **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8)), jnp.float32)
+    t = jnp.asarray([100.0])
+    y = jnp.asarray(rng.standard_normal((1, 1, 8, 32)), jnp.float32)
+    mask = jnp.ones((1, 8), jnp.int32)
+
+    variables = model_sim.init(jax.random.PRNGKey(0), x, t, y, mask,
+                               qctx=QuantCtx(mode="fp"))
+    variables = dict(variables)
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], sim_resolver)
+    out_sim = model_sim.apply(variables, x, t, y, mask,
+                              qctx=QuantCtx(mode="quant"))
+
+    variables["quant"] = add_native_slots(variables["quant"],
+                                          variables["params"], nat_resolver)
+    variables["quant"] = pack_native_weights(
+        variables["params"], variables["quant"], nat_resolver)
+    out_nat = model_nat.apply(variables, x, t, y, mask,
+                              qctx=QuantCtx(mode="quant"))
+    out_fp = model_sim.apply(variables, x, t, y, mask,
+                             qctx=QuantCtx(mode="fp"))
+    # batch=1: per-row == per-token — paths should agree tightly
+    rel_paths = (np.linalg.norm(np.asarray(out_nat - out_sim))
+                 / np.linalg.norm(np.asarray(out_sim)))
+    assert rel_paths < 0.02, rel_paths
+    # and native stays close to FP overall
+    rel_fp = (np.linalg.norm(np.asarray(out_nat - out_fp))
+              / np.linalg.norm(np.asarray(out_fp)))
+    assert rel_fp < 0.15, rel_fp
