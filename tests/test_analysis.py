@@ -1,0 +1,132 @@
+"""Analysis tooling tests: sensitivity, sweep-alpha, CB shortlist, PTQD,
+timestep-wise mixed precision."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from viditq_tpu.models import STDiT
+from viditq_tpu.pipelines import analysis
+from viditq_tpu.pipelines.mixed_precision import mp_quant_sample
+from viditq_tpu.samplers import IDDPM
+from viditq_tpu.quant import (
+    LayerQuantSpec, QuantSpec, QuantCtx, calibrate_weight_tables,
+    resolve_layer_spec)
+from viditq_tpu.utils.config import QuantPlanConfig
+
+W8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+               round_mode="nearest")
+W4 = QuantSpec(n_bits=4, granularity="channel", channel_axis=-1,
+               round_mode="nearest", mixed_precision=(4, 8))
+A8 = QuantSpec(n_bits=8, granularity="token", round_mode="nearest_ste",
+               dynamic=True)
+FP = ("x_embedder", "t_block", "t_embedder", "y_embedder", "final_layer")
+
+
+def tiny_model(resolver=None):
+    return STDiT(input_size=(4, 8, 8), in_channels=4, patch_size=(1, 2, 2),
+                 hidden_size=64, depth=2, num_heads=4, caption_channels=32,
+                 model_max_length=8, dtype=jnp.float32,
+                 resolver=resolver or (lambda n: None))
+
+
+def inputs(B=1):
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((B, 4, 4, 8, 8)), jnp.float32)
+    y_c = jnp.asarray(rng.standard_normal((B, 1, 8, 32)), jnp.float32)
+    y = jnp.concatenate([y_c, y_c * 0], axis=0)
+    mask = jnp.ones((B, 8), jnp.int32)
+    return z, y, mask
+
+
+def test_sensitivity_scan_groups():
+    base = LayerQuantSpec(weight=QuantSpec(n_bits=3, granularity="channel",
+                                           channel_axis=-1,
+                                           round_mode="nearest"), act=A8)
+    z, y, mask = inputs()
+    sampler = IDDPM(num_sampling_steps=2, cfg_scale=4.0)
+    ref_model = tiny_model()
+    variables = ref_model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                               y[:1], mask, QuantCtx(mode="fp"))
+    params = variables["params"]
+
+    def run_with_resolver(resolver):
+        model = tiny_model(resolver)
+        vs = model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)), y[:1],
+                        mask, QuantCtx(mode="fp"))
+        vs = dict(vs)
+        vs["params"] = params  # same weights across configs
+        if "quant" in vs:
+            vs["quant"] = calibrate_weight_tables(params, vs["quant"],
+                                                  resolver)
+        def apply_fn(x, t, yy, mm, qctx):
+            return model.apply(vs, x, t, yy, mm, qctx)
+        from viditq_tpu.samplers.iddpm import default_qctx_factory
+        return sampler.sample(apply_fn, z, y, mask, sampler_type="ddim",
+                              qctx_factory=default_qctx_factory("quant"))
+
+    scores = analysis.sensitivity_scan(
+        run_with_resolver, base, targets=list(analysis.QUANT_GROUPS),
+        fp_patterns=FP)
+    assert set(scores) == set(analysis.QUANT_GROUPS)
+    assert all(np.isfinite(v) and v > 0 for v in scores.values())
+
+
+def test_sweep_alpha_and_candidates():
+    sq = dataclasses.replace(LayerQuantSpec(weight=W8, act=A8).smooth_quant)
+    base = LayerQuantSpec(weight=W8, act=A8)
+    resolver = lambda n: resolve_layer_spec(n, base, FP)
+    model = tiny_model(resolver)
+    z, y, mask = inputs()
+    variables = model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)), y[:1],
+                           mask, QuantCtx(mode="fp"))
+    args = (z, jnp.zeros((1,)), y[:1], mask)
+    best = analysis.sweep_alpha(model, variables, args,
+                                resolver, alphas=np.arange(0.4, 0.8, 0.1))
+    assert len(best) > 0
+    assert all(0.39 < a < 0.81 for a in best.values())
+    assert "blocks.0.attn.q" in best
+    picks = analysis.smooth_quant_candidates(model, variables, args, resolver,
+                                             act_ratio_threshold=1.0)
+    assert isinstance(picks, list) and len(picks) > 0
+
+
+def test_ptqd_k_calibration():
+    rng = np.random.default_rng(0)
+    fp = jnp.asarray(rng.standard_normal((3, 64)), jnp.float32)
+    quant = 1.5 * fp + 0.01 * jnp.asarray(rng.standard_normal((3, 64)))
+    k = analysis.calibrate_ptqd_k(fp, quant)
+    np.testing.assert_allclose(k, 0.5, atol=0.05)
+    corrected = analysis.apply_ptqd_correction(quant[0], k, 0)
+    rel = np.linalg.norm(np.asarray(corrected - fp[0])) / np.linalg.norm(
+        np.asarray(fp[0]))
+    assert rel < 0.05
+
+
+def test_mixed_precision_segmented_sampling():
+    base = LayerQuantSpec(weight=W4, act=A8)
+    plan = QuantPlanConfig(default_layer=base, fp_patterns=FP,
+                           mixed_precision=(4, 8))
+    z, y, mask = inputs()
+    sampler = IDDPM(num_sampling_steps=4, cfg_scale=4.0)
+    ref_model = tiny_model(plan.resolver())
+    variables = ref_model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                               y[:1], mask, QuantCtx(mode="fp"))
+    variables = dict(variables)
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], plan.resolver())
+
+    mp_weight = {"3-2": {"model.blocks.0.attn.q": 4,
+                         "model.blocks.1.mlp.fc1": 4},
+                 "1-0": {"model.blocks.0.attn.q": 8},
+                 "fp_layers": ["model.blocks.1.cross_attn.kv_linear"]}
+
+    def model_ctor(resolver):
+        return tiny_model(resolver)
+
+    out = mp_quant_sample(model_ctor, variables, sampler, z, y, mask, plan,
+                          mp_weight, None)
+    assert out.shape == z.shape
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,232 @@
+"""Offline quantization-analysis tooling.
+
+Covers the reference's analysis scripts as library functions:
+  * sensitivity        — `t2v/scripts/get_sensitivity.py` (772 LoC): quantize
+    one {layer | group | timestep-window x group} at a time, generate, score.
+    The reference only writes videos for an external metric harness; we also
+    compute frame-MSE vs the FP output directly (the metric its
+    analysis_tools/mixed_precision/metric.ipynb cell 2 computes offline).
+  * sweep_alpha        — `t2v/scripts/sweep_alpha.py`: per-layer best
+    smooth-quant alpha over a grid via layer-output MSE on captured inputs.
+  * smooth_quant_list  — `t2v/scripts/get_smooth_quant_list.py`: pick CB
+    layers by activation/weight channel-range ratios.
+  * ptqd               — `t2v/scripts/calibrate_ptqd_k.py`: correlated-noise
+    coefficient k_t from quant-vs-FP trajectories. Unlike the reference
+    (which unconditionally applies its k file at inference,
+    iddpm/__init__.py:168-174 — a known landmine) the correction here is
+    opt-in via `apply_ptqd_correction`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from viditq_tpu.quant import core
+from viditq_tpu.quant.calibrate import path_to_dotted
+from viditq_tpu.quant.naming import pattern_in
+from viditq_tpu.quant.qlinear import QuantCtx
+from viditq_tpu.quant.spec import LayerQuantSpec
+
+# reference group taxonomy (get_sensitivity.py:133-134)
+QUANT_GROUPS = ("attn", "cross_attn", "mlp", "attn_temp")
+KEEP_FP_GROUPS = ("embedder", "final", "t_block")
+
+
+def single_target_resolver(base: LayerQuantSpec, target_pattern: str,
+                           fp_patterns: Sequence[str] = ()):
+    """Resolver that quantizes ONLY layers matching `target_pattern`
+    (reference set_layer_quant / group_set_quant, quant_model.py:433-490)."""
+    def resolve(name: str) -> Optional[LayerQuantSpec]:
+        if pattern_in(name, target_pattern) and not any(
+                pattern_in(name, p) for p in fp_patterns):
+            return base
+        return base.disabled()
+    return resolve
+
+
+def frame_mse(a: jnp.ndarray, b: jnp.ndarray) -> float:
+    """MSE between generations (metric.ipynb cell 2 semantics)."""
+    return float(jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2))
+
+
+def sensitivity_scan(run_with_resolver: Callable, base: LayerQuantSpec,
+                     targets: Sequence[str],
+                     fp_patterns: Sequence[str] = (),
+                     fp_reference: Optional[jnp.ndarray] = None
+                     ) -> Dict[str, float]:
+    """For each target pattern, generate with only that target quantized and
+    score MSE vs the FP generation.
+
+    run_with_resolver(resolver) -> generated sample array. The caller closes
+    over model/sampler/inputs (see tests / scripts).
+    """
+    if fp_reference is None:
+        fp_reference = run_with_resolver(lambda name: None)
+    scores = {}
+    for tgt in targets:
+        res = single_target_resolver(base, tgt, fp_patterns)
+        out = run_with_resolver(res)
+        scores[tgt] = frame_mse(out, fp_reference)
+    return scores
+
+
+# ---------------- sweep alpha ----------------
+
+def capture_layer_inputs(model, variables, example_args,
+                         mode: str = "fp") -> Dict[str, jnp.ndarray]:
+    """One forward with input capture; returns {dotted_layer_name: input}."""
+    _, inter = model.apply(
+        variables, *example_args,
+        qctx=QuantCtx(mode=mode, capture=True),
+        mutable=["intermediates"])
+    flat = traverse_util.flatten_dict(inter["intermediates"])
+    out = {}
+    for path, val in flat.items():
+        if path[-1] == "input":
+            # flax sow stores a tuple of sown values
+            out[path_to_dotted(path[:-1])] = val[0]
+    return out
+
+
+def sweep_alpha_for_layer(x: jnp.ndarray, kernel: jnp.ndarray,
+                          lspec: LayerQuantSpec,
+                          alphas: Optional[np.ndarray] = None
+                          ) -> Tuple[float, Dict[float, float]]:
+    """Best smooth-quant alpha for one layer by quantized-output MSE.
+
+    Reference sweep grid 0.475 -> 0.9 step 0.01 (sweep_alpha.py:259-270).
+    x: captured layer input [..., C_in]; kernel: [C_in, F].
+    """
+    if alphas is None:
+        alphas = np.arange(0.475, 0.9, 0.01)
+    x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    kernel = kernel.astype(jnp.float32)
+    ref = x @ kernel
+    a_absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=0), 1e-5)
+    w_absmax = jnp.maximum(jnp.max(jnp.abs(kernel), axis=-1), 1e-12)
+    wspec, aspec = lspec.weight, lspec.act
+
+    def loss_for(alpha: float) -> float:
+        cs = (a_absmax ** alpha) / (w_absmax ** (1 - alpha))
+        xb = x / cs
+        wb = kernel * cs[:, None]
+        wd, wz = core.compute_qparams(wb, wspec)
+        wq = core.fake_quant(wb, wd, wz, wspec)
+        xq = core.fake_quant_dynamic(xb[None], aspec)[0] if aspec else xb
+        return float(jnp.mean((xq @ wq - ref) ** 2))
+
+    losses = {round(float(a), 4): loss_for(float(a)) for a in alphas}
+    best = min(losses, key=losses.get)
+    return best, losses
+
+
+def sweep_alpha(model, variables, example_args, resolver,
+                alphas: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """Per-layer best alpha dict (reference sweep_alpha.py output)."""
+    inputs = capture_layer_inputs(model, variables, example_args)
+    flat_p = traverse_util.flatten_dict(variables["params"])
+    kernels = {path_to_dotted(p[:-1]): v for p, v in flat_p.items()
+               if p[-1] == "kernel"}
+    best = {}
+    for name, x in inputs.items():
+        lspec = resolver(name)
+        if lspec is None or not lspec.weight_quant:
+            continue
+        if name not in kernels:
+            continue
+        best[name], _ = sweep_alpha_for_layer(x, kernels[name], lspec, alphas)
+    return best
+
+
+# ---------------- smooth-quant layer selection ----------------
+
+def smooth_quant_candidates(model, variables, example_args, resolver,
+                            act_ratio_threshold: float = 10.0
+                            ) -> List[str]:
+    """Layers whose activation channel ranges are badly imbalanced relative
+    to their weights — the CB shortlist (reference
+    get_smooth_quant_list.py:70-110 range-ratio heuristics)."""
+    inputs = capture_layer_inputs(model, variables, example_args)
+    flat_p = traverse_util.flatten_dict(variables["params"])
+    kernels = {path_to_dotted(p[:-1]): v for p, v in flat_p.items()
+               if p[-1] == "kernel"}
+    picks = []
+    for name, x in inputs.items():
+        if name not in kernels or resolver(name) is None:
+            continue
+        xf = jnp.abs(x.reshape(-1, x.shape[-1]).astype(jnp.float32))
+        ch_max = jnp.maximum(jnp.max(xf, axis=0), 1e-9)
+        ratio = float(jnp.max(ch_max) / jnp.maximum(jnp.median(ch_max), 1e-9))
+        if ratio > act_ratio_threshold:
+            picks.append(name)
+    return picks
+
+
+# ---------------- PTQD ----------------
+
+def calibrate_ptqd_k(fp_outs: jnp.ndarray, quant_outs: jnp.ndarray
+                     ) -> np.ndarray:
+    """Per-timestep correlated-noise coefficient k_t.
+
+    fp_outs/quant_outs: [n_steps, ...] model eps outputs from matched FP and
+    quantized trajectories (reference calibrate_ptqd_k.py:220-272: quant
+    noise modeled as (1+k) * fp + uncorrelated part; k from lstsq per step).
+    """
+    n = fp_outs.shape[0]
+    ks = []
+    for i in range(n):
+        f = np.asarray(fp_outs[i], np.float64).ravel()
+        q = np.asarray(quant_outs[i], np.float64).ravel()
+        denom = float(f @ f) + 1e-12
+        ks.append(float(q @ f) / denom - 1.0)
+    return np.asarray(ks, np.float32)
+
+
+def apply_ptqd_correction(model_out: jnp.ndarray, k_t: jnp.ndarray,
+                          step_idx) -> jnp.ndarray:
+    """Opt-in PTQD correction: divide by (1 + k_t[step])."""
+    k = jnp.asarray(k_t)[step_idx]
+    return model_out / (1.0 + k)
+
+
+# ---------------- timestep-wise mixed precision ----------------
+
+def mp_overrides_for_range(mp_weight: Mapping[str, int],
+                           mp_act: Optional[Mapping[str, int]],
+                           base: LayerQuantSpec
+                           ) -> Dict[str, LayerQuantSpec]:
+    """Per-layer LayerQuantSpec overrides from a bitwidth-config range
+    ({'model.blocks.0.attn.q': 4, ...}; reference t20_*_mp.yaml +
+    load_bitwidth_config, quant_model.py:562-586). The 'model.' prefix of
+    the reference naming is stripped."""
+    overrides: Dict[str, LayerQuantSpec] = {}
+    names = set(mp_weight) | set(mp_act or {})
+    for name in names:
+        clean = name[6:] if name.startswith("model.") else name
+        spec = base
+        wb = mp_weight.get(name)
+        ab = (mp_act or {}).get(name)
+        if wb is not None and spec.weight is not None:
+            spec = dataclasses.replace(spec, weight=spec.weight.with_bits(wb))
+        if ab is not None and spec.act is not None and not spec.act.dynamic:
+            spec = dataclasses.replace(spec, act=spec.act.with_bits(ab))
+        overrides[clean] = spec
+    return overrides
+
+
+def parse_mp_ranges(mp_cfg: Mapping) -> List[Tuple[Tuple[int, int], Dict]]:
+    """'19-15' style sampler-step ranges -> [((hi, lo), layer_bits)],
+    sorted descending (sampling order). 'fp_layers' keys pass through."""
+    out = []
+    for key, val in mp_cfg.items():
+        if key == "fp_layers" or not isinstance(val, Mapping):
+            continue
+        hi, lo = (int(v) for v in key.split("-"))
+        out.append(((hi, lo), dict(val)))
+    return sorted(out, key=lambda r: -r[0][0])

@@ -58,6 +58,11 @@ class QuantCtx:
         default_factory=lambda: jnp.zeros((), jnp.int32))  # act-table slot
     mode: str = flax.struct.field(pytree_node=False, default="quant")
     soft_targets: bool = flax.struct.field(pytree_node=False, default=True)
+    # capture per-layer inputs/outputs into the 'intermediates' collection
+    # (the functional analog of the reference's forward hooks,
+    # qdiff/utils.py:72,446 DataSaverHook / GetLayerInOut) — used by
+    # sweep-alpha, smooth-quant-list and AdaRound data collection.
+    capture: bool = flax.struct.field(pytree_node=False, default=False)
     rng: Optional[jnp.ndarray] = None
 
 
@@ -195,6 +200,8 @@ class QuantLinear(nn.Module):
             a_init = self.variable("qstats", "a_init",
                                    lambda: jnp.zeros((aspec.n_timestep,), jnp.bool_))
 
+        if qctx is not None and qctx.capture:
+            self.sow("intermediates", "input", x)
         if qctx is None or qctx.mode == "fp":
             return self._dense(x, kernel, bias)
         mode = qctx.mode

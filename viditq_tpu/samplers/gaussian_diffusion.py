@@ -147,12 +147,19 @@ def _split_eps(model_out: jnp.ndarray, c: int):
 def ddim_sample_loop(model_fn: ModelFn, z: jnp.ndarray, schedule: Schedule,
                      in_channels: int = 4, eta: float = 0.0,
                      capture_trajectory: bool = False,
-                     rng: Optional[jnp.ndarray] = None):
+                     rng: Optional[jnp.ndarray] = None,
+                     step_indices: Optional[Sequence[int]] = None):
     """DDIM loop (gaussian_diffusion.py:591-636) as a lax.scan.
 
     z: [B, C, ...] initial noise (already CFG-doubled by the caller).
     Returns final x, plus (xs, ts) stacked over steps when capturing —
     the reference's calib_data {xs, ts} (:679-689).
+
+    `step_indices` (descending spaced-step ids) runs a sub-range of the
+    trajectory — used by timestep-wise mixed precision, where each range is
+    a separately-jitted scan with its own static per-layer bit config
+    (replaces the reference's mid-loop mutable `load_bitwidth_config`,
+    gaussian_diffusion.py:740-767).
     """
     n = schedule.n_steps
     tmap = jnp.asarray(schedule.timestep_map, jnp.int32)
@@ -182,7 +189,8 @@ def ddim_sample_loop(model_fn: ModelFn, z: jnp.ndarray, schedule: Schedule,
         out = (x, t_orig) if capture_trajectory else None
         return mean.astype(x.dtype), out
 
-    steps = jnp.arange(n - 1, -1, -1)
+    steps = (jnp.arange(n - 1, -1, -1) if step_indices is None
+             else jnp.asarray(step_indices, jnp.int32))
     x_final, traj = jax.lax.scan(step, z, steps)
     if capture_trajectory:
         return x_final, {"xs": traj[0], "ts": traj[1]}

@@ -110,6 +110,20 @@ class IDDPM:
             return jnp.split(samples, 2, axis=0)[0], traj
         return jnp.split(out, 2, axis=0)[0]
 
+    def denoise_range(self, model_apply: ModelApply, x2: jnp.ndarray,
+                      y: jnp.ndarray, mask: Optional[jnp.ndarray],
+                      step_indices: Sequence[int],
+                      qctx_factory: Optional[QctxFactory] = None,
+                      rng: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Run a DDIM sub-range on an already CFG-doubled state — the
+        building block for timestep-wise mixed precision (each range jits
+        with its own static per-layer bit config; reference
+        quant_txt2video_mp.py:188-556)."""
+        model_fn = self.make_cfg_model_fn(model_apply, y, mask, qctx_factory)
+        return gd.ddim_sample_loop(model_fn, x2, self.schedule,
+                                   in_channels=self.in_channels,
+                                   step_indices=step_indices, rng=rng)
+
     def act_slot_map(self, calib_steps: Sequence[int] = None) -> np.ndarray:
         """[1000] original-timestep -> nearest calib slot index.
 
