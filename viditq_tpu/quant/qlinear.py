@@ -203,7 +203,10 @@ class QuantLinear(nn.Module):
         if qctx is not None and qctx.capture:
             self.sow("intermediates", "input", x)
         if qctx is None or qctx.mode == "fp":
-            return self._dense(x, kernel, bias)
+            out = self._dense(x, kernel, bias)
+            if qctx is not None and qctx.capture:
+                self.sow("intermediates", "output", out)
+            return out
         mode = qctx.mode
         assert mode in MODES, mode
 

@@ -1,0 +1,198 @@
+"""AdaRound-style PTQ reconstruction (layer-output optimization).
+
+Reference: `qdiff/optimization/{layer_recon,block_recon,model_recon}.py` +
+`LossFunction`/`LinearTempDecay` (`qdiff/utils.py:94-200`) — live in the t2i
+flow (`t2i/scripts/ptq.py:320-395`). The optimization minimizes
+
+    || act_q(x) @ soft_quant(w) + b  -  y_fp ||^2
+  + lambda * sum(1 - |2*h(alpha) - 1|^b)          (after warmup; b: 10 -> 2)
+
+over the AdaRound logits `alpha` (and optionally the act step size), as a
+jitted optax loop with minibatches drawn from captured layer I/O — no hooks,
+no module mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+
+from viditq_tpu.quant import core
+from viditq_tpu.quant.calibrate import path_to_dotted
+from viditq_tpu.quant.naming import pattern_in
+from viditq_tpu.quant.spec import LayerQuantSpec
+
+
+def temp_decay(t, t_max: int, warmup: float = 0.0, start_b: float = 10.0,
+               end_b: float = 2.0):
+    """LinearTempDecay (qdiff/utils.py:187-200)."""
+    start = warmup * t_max
+    rel = jnp.clip((t - start) / jnp.maximum(t_max - start, 1), 0.0, 1.0)
+    return end_b + (start_b - end_b) * jnp.maximum(0.0, 1.0 - rel)
+
+
+@dataclasses.dataclass
+class ReconConfig:
+    iters: int = 2000
+    batch_size: int = 32
+    lr_alpha: float = 1e-3       # AdaRound logits
+    lr_delta: float = 4e-5       # act step size (when opt_target includes act)
+    lambda_coeff: float = 1.0    # round-loss weight (utils.py:101)
+    b_range: Tuple[float, float] = (10.0, 2.0)
+    warmup: float = 0.0
+    opt_target: str = "weight"   # 'weight' | 'weight_and_activation'
+
+
+def layer_reconstruction(kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
+                         x_fp: jnp.ndarray, y_fp: jnp.ndarray,
+                         lspec: LayerQuantSpec,
+                         cfg: ReconConfig = ReconConfig(),
+                         rng: Optional[jnp.ndarray] = None
+                         ) -> Dict[str, jnp.ndarray]:
+    """Optimize AdaRound alpha (+ optionally act delta) for one layer.
+
+    kernel [C_in, F]; x_fp [..., C_in] captured inputs; y_fp matching FP
+    outputs. Returns {'w_alpha', 'w_delta', 'w_zp', ['a_delta']}.
+    """
+    wspec = lspec.weight
+    aspec = lspec.act
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    kernel = kernel.astype(jnp.float32)
+    x2 = x_fp.reshape(-1, x_fp.shape[-1]).astype(jnp.float32)
+    y2 = y_fp.reshape(-1, y_fp.shape[-1]).astype(jnp.float32)
+    n = x2.shape[0]
+    bs = min(cfg.batch_size, n)
+
+    w_delta, w_zp = core.compute_qparams(kernel, wspec)
+    alpha0 = core.adaround_init_alpha(kernel, w_delta)
+    opt_act = (cfg.opt_target == "weight_and_activation"
+               and aspec is not None and not aspec.dynamic)
+    params = {"alpha": alpha0}
+    lrs = {"alpha": cfg.lr_alpha}
+    a_zp0 = None
+    if opt_act:
+        a_delta0, a_zp0 = core.compute_qparams(x2[None], aspec)
+        params["a_delta"] = a_delta0
+        lrs["a_delta"] = cfg.lr_delta
+
+    tx = optax.multi_transform(
+        {k: optax.adam(lr) for k, lr in lrs.items()},
+        {k: k for k in params})
+    opt_state = tx.init(params)
+    n_levels = wspec.n_levels()
+
+    def quant_w_soft(alpha):
+        floor = jnp.floor(kernel / w_delta)
+        soft = core.adaround_soft_targets(alpha)
+        code = jnp.clip(floor + soft + w_zp, 0, n_levels - 1)
+        return (code - w_zp) * w_delta
+
+    def act_q(x, p):
+        if aspec is None or not lspec.act_quant:
+            return x
+        if aspec.dynamic:
+            return core.fake_quant_dynamic(x[None], aspec)[0]
+        if opt_act:
+            # learnable step size, zero point fixed at its init value
+            return core.fake_quant(x[None], p["a_delta"], a_zp0, aspec)[0]
+        d, z = core.compute_qparams(x[None], aspec)
+        return core.fake_quant(x[None], d, z, aspec)[0]
+
+    def loss_fn(p, xb, yb, t):
+        pred = act_q(xb, p) @ quant_w_soft(p["alpha"])
+        if bias is not None:
+            pred = pred + bias.astype(jnp.float32)
+        rec = jnp.mean((pred - yb) ** 2)
+        b = temp_decay(t, cfg.iters, cfg.warmup, *cfg.b_range)
+        soft = core.adaround_soft_targets(p["alpha"])
+        round_loss = cfg.lambda_coeff * jnp.sum(
+            1.0 - jnp.abs(2.0 * soft - 1.0) ** b)
+        round_loss = jnp.where(t < cfg.warmup * cfg.iters, 0.0, round_loss)
+        return rec + round_loss
+
+    @jax.jit
+    def step(carry, t):
+        p, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (bs,), 0, n)
+        xb, yb = x2[idx], y2[idx]
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb, t)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return (p, opt_state, key), loss
+
+    (params, _, _), losses = jax.lax.scan(
+        step, (params, opt_state, rng), jnp.arange(cfg.iters))
+    out = {"w_alpha": params["alpha"], "w_delta": w_delta, "w_zp": w_zp,
+           "recon_losses": losses}
+    if opt_act:
+        out["a_delta"] = params["a_delta"]
+    return out
+
+
+def model_reconstruction(variables: Dict, layer_io: Dict[str, Tuple],
+                         resolve: Callable[[str], Optional[LayerQuantSpec]],
+                         cfg: ReconConfig = ReconConfig(),
+                         skip_patterns: Tuple[str, ...] = ("kv_linear",),
+                         rng: Optional[jnp.ndarray] = None) -> Dict:
+    """Run reconstruction over every captured layer and write the optimized
+    alpha/tables into the 'quant' collection.
+
+    layer_io: {dotted_name: (x_fp, y_fp)} from capture (mode='fp',
+    capture=True). Layers matching `skip_patterns` are skipped (reference
+    model_recon.py:38-52 skips fp layers and kv_linear).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    flat_q = traverse_util.flatten_dict(variables["quant"])
+    flat_p = traverse_util.flatten_dict(variables["params"])
+    by_name = {}
+    for path in flat_q:
+        by_name[path_to_dotted(path[:-1])] = path[:-1]
+    for i, (name, (x_fp, y_fp)) in enumerate(sorted(layer_io.items())):
+        lspec = resolve(name)
+        if (lspec is None or lspec.weight is None or not lspec.weight_quant
+                or lspec.weight.round_mode != "learned_hard_sigmoid"):
+            continue
+        if any(pattern_in(name, p) for p in skip_patterns):
+            continue
+        layer_path = by_name.get(name)
+        if layer_path is None:
+            continue
+        kernel = flat_p[layer_path + ("kernel",)]
+        bias = flat_p.get(layer_path + ("bias",))
+        res = layer_reconstruction(kernel, bias, x_fp, y_fp, lspec, cfg,
+                                   jax.random.fold_in(rng, i))
+        flat_q[layer_path + ("w_alpha",)] = res["w_alpha"]
+        flat_q[layer_path + ("w_delta",)] = (
+            flat_q[layer_path + ("w_delta",)]
+            .at[lspec.weight.bit_idx, 0].set(res["w_delta"]))
+        flat_q[layer_path + ("w_zp",)] = (
+            flat_q[layer_path + ("w_zp",)]
+            .at[lspec.weight.bit_idx, 0].set(res["w_zp"]))
+    variables = dict(variables)
+    variables["quant"] = traverse_util.unflatten_dict(flat_q)
+    return variables
+
+
+def capture_layer_io(model, variables, example_args,
+                     mode: str = "fp") -> Dict[str, Tuple]:
+    """{name: (x_in, y_out)} via the capture ctx (replaces reference
+    save_in_out_data hooks, qdiff/utils.py:228)."""
+    from viditq_tpu.quant.qlinear import QuantCtx
+    _, inter = model.apply(
+        variables, *example_args, qctx=QuantCtx(mode=mode, capture=True),
+        mutable=["intermediates"])
+    flat = traverse_util.flatten_dict(inter["intermediates"])
+    ins, outs = {}, {}
+    for path, val in flat.items():
+        if path[-1] == "input":
+            ins[path_to_dotted(path[:-1])] = val[0]
+        elif path[-1] == "output":
+            outs[path_to_dotted(path[:-1])] = val[0]
+    return {k: (ins[k], outs[k]) for k in ins if k in outs}
