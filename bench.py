@@ -50,10 +50,19 @@ def main():
         return (jnp.full(s.shape, 0.01, s.dtype)
                 if s.dtype != jnp.int8 else jnp.zeros(s.shape, s.dtype))
     variables = jax.tree.map(materialize, dict(shapes))
-    variables["quant"] = calibrate_weight_tables(
-        variables["params"], variables["quant"], nat_resolver)
-    variables["quant"] = pack_native_weights(
-        variables["params"], variables["quant"], nat_resolver)
+
+    # one jitted program for the whole calibration+packing (eager per-layer
+    # ops through the device relay would take minutes)
+    @jax.jit
+    def calibrate_all(params, quant):
+        quant = calibrate_weight_tables(params, quant, nat_resolver)
+        quant = pack_native_weights(params, quant, nat_resolver)
+        return quant
+
+    variables["quant"] = jax.tree.map(
+        lambda x: x, calibrate_all(variables["params"], variables["quant"]))
+    jax.block_until_ready(variables["quant"])
+    print("calibration done", file=sys.stderr)
     fp_vars = {"params": variables["params"]}
 
     qctx = QuantCtx(mode="quant", t_id=jnp.asarray(500, jnp.int32))
@@ -68,9 +77,11 @@ def main():
         out = model_q.apply(variables, x, t, y, mask, qctx)
         return out[:, :4].astype(jnp.bfloat16)
 
-    def bench(f, x0, n_iter=12):
+    def bench(f, x0, tag, n_iter=12):
+        t0 = time.time()
         xx = f(x0)
         xx.block_until_ready()          # compile
+        print(f"{tag}: compiled in {time.time()-t0:.0f}s", file=sys.stderr)
         float(jnp.sum(f(xx)))           # full sync before timing
         t0 = time.time()
         for _ in range(n_iter):
@@ -78,8 +89,8 @@ def main():
         float(jnp.sum(xx))              # scalar sync
         return (time.time() - t0) / n_iter
 
-    t_fp = bench(fp_step, x)
-    t_q = bench(q_step, x)
+    t_fp = bench(fp_step, x, "bf16")
+    t_q = bench(q_step, x, "w8a8")
     speedup = t_fp / t_q
     result = {
         "metric": "stdit_xl2_16x512x512_w8a8_denoise_speedup_vs_bf16",
