@@ -46,51 +46,53 @@ def main():
                              QuantCtx(mode="fp")))
     key = jax.random.PRNGKey(0)
 
-    def materialize(s):
-        return (jnp.full(s.shape, 0.01, s.dtype)
-                if s.dtype != jnp.int8 else jnp.zeros(s.shape, s.dtype))
-    variables = jax.tree.map(materialize, dict(shapes))
-
-    # one jitted program for the whole calibration+packing (eager per-layer
-    # ops through the device relay would take minutes)
+    # ONE jitted program builds params + calibrated/packed quant tables —
+    # eager per-leaf tensor creation through the device relay would take
+    # minutes (each op is a round trip).
     @jax.jit
-    def calibrate_all(params, quant):
-        quant = calibrate_weight_tables(params, quant, nat_resolver)
-        quant = pack_native_weights(params, quant, nat_resolver)
-        return quant
+    def build_all():
+        def materialize(s):
+            return (jnp.full(s.shape, 0.01, s.dtype)
+                    if s.dtype != jnp.int8 else jnp.zeros(s.shape, s.dtype))
+        variables = jax.tree.map(materialize, dict(shapes))
+        quant = calibrate_weight_tables(variables["params"],
+                                        variables["quant"], nat_resolver)
+        quant = pack_native_weights(variables["params"], quant, nat_resolver)
+        return variables["params"], quant
 
-    variables["quant"] = jax.tree.map(
-        lambda x: x, calibrate_all(variables["params"], variables["quant"]))
-    jax.block_until_ready(variables["quant"])
-    print("calibration done", file=sys.stderr)
-    fp_vars = {"params": variables["params"]}
+    t0 = time.time()
+    params, quant = build_all()
+    jax.block_until_ready(quant)
+    print(f"calibration done in {time.time()-t0:.0f}s", file=sys.stderr)
+    variables = {"params": params, "quant": quant}
+    fp_vars = {"params": params}
 
     qctx = QuantCtx(mode="quant", t_id=jnp.asarray(500, jnp.int32))
 
     @jax.jit
-    def fp_step(x):
-        out = model_fp.apply(fp_vars, x, t, y, mask)
+    def fp_step(vs, x):
+        out = model_fp.apply(vs, x, t, y, mask)
         return out[:, :4].astype(jnp.bfloat16)  # chain latents
 
     @jax.jit
-    def q_step(x):
-        out = model_q.apply(variables, x, t, y, mask, qctx)
+    def q_step(vs, x):
+        out = model_q.apply(vs, x, t, y, mask, qctx)
         return out[:, :4].astype(jnp.bfloat16)
 
-    def bench(f, x0, tag, n_iter=12):
+    def bench(f, vs, x0, tag, n_iter=12):
         t0 = time.time()
-        xx = f(x0)
+        xx = f(vs, x0)
         xx.block_until_ready()          # compile
         print(f"{tag}: compiled in {time.time()-t0:.0f}s", file=sys.stderr)
-        float(jnp.sum(f(xx)))           # full sync before timing
+        float(jnp.sum(f(vs, xx)))       # full sync before timing
         t0 = time.time()
         for _ in range(n_iter):
-            xx = f(xx)
+            xx = f(vs, xx)
         float(jnp.sum(xx))              # scalar sync
         return (time.time() - t0) / n_iter
 
-    t_fp = bench(fp_step, x, "bf16")
-    t_q = bench(q_step, x, "w8a8")
+    t_fp = bench(fp_step, fp_vars, x, "bf16")
+    t_q = bench(q_step, variables, x, "w8a8")
     speedup = t_fp / t_q
     result = {
         "metric": "stdit_xl2_16x512x512_w8a8_denoise_speedup_vs_bf16",

@@ -1,0 +1,69 @@
+"""CLI smoke tests: the full public flow (get-calib-data -> ptq ->
+quant-generate -> analysis) on tiny configs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from viditq_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def outdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+def test_full_t2v_flow(outdir):
+    common = ["--config", "configs/workload/opensora_tiny.py",
+              "--save_dir", outdir, "--num_samples", "1"]
+    cli.main(["get-calib-data"] + common)
+    calib = os.path.join(outdir, "calib_data.npz")
+    assert os.path.exists(calib)
+    data = np.load(calib)
+    assert data["xs"].shape[0] == 3  # 3 sampler steps
+
+    cli.main(["ptq", "--config", "configs/workload/opensora_tiny.py",
+              "--save_dir", outdir,
+              "--ptq_config", "configs/opensora/w8a8_dynamic.yaml",
+              "--calib_data", calib])
+    qckpt = os.path.join(outdir, "quant_ckpt.npz")
+    assert os.path.exists(qckpt)
+
+    cli.main(["quant-generate"] + common +
+             ["--ptq_config", "configs/opensora/w8a8_dynamic.yaml",
+              "--quant_ckpt", qckpt])
+    out = np.load(os.path.join(outdir, "quant_samples.npz"))["samples"]
+    assert out.shape == (1, 4, 4, 8, 8)
+    assert np.isfinite(out).all()
+
+
+def test_quant_generate_native_and_smooth(outdir):
+    cli.main(["quant-generate", "--config",
+              "configs/workload/opensora_tiny.py",
+              "--save_dir", outdir + "/native", "--num_samples", "1",
+              "--ptq_config", "configs/opensora/w8a8_dynamic.yaml",
+              "--backend", "native"])
+    out = np.load(os.path.join(outdir, "native", "quant_samples.npz"))
+    assert np.isfinite(out["samples"]).all()
+
+
+def test_sensitivity_cli(outdir):
+    cli.main(["get-sensitivity", "--config",
+              "configs/workload/opensora_tiny.py",
+              "--save_dir", outdir + "/sens", "--num_samples", "1",
+              "--ptq_config", "configs/opensora/w8a8_dynamic.yaml",
+              "--targets", "attn,mlp"])
+    scores = json.load(open(os.path.join(outdir, "sens",
+                                         "sensitivity.json")))
+    assert set(scores) == {"attn", "mlp"}
+
+
+def test_pixart_dpm_cli(outdir):
+    cli.main(["quant-generate", "--config",
+              "configs/workload/pixart_tiny.py",
+              "--save_dir", outdir + "/pixart", "--num_samples", "1",
+              "--ptq_config", "configs/pixart/w8a8.yaml"])
+    out = np.load(os.path.join(outdir, "pixart", "quant_samples.npz"))
+    assert out["samples"].shape == (1, 4, 8, 8)

@@ -1,0 +1,418 @@
+"""Command-line entry points — the reference's public script surface as one
+CLI (`python -m viditq_tpu.cli <command> ...`).
+
+Command map to the reference scripts (SURVEY §1 L5):
+  split-ckpt        <- t2v/scripts/split_ckpt.py (+ torch->flax conversion)
+  get-text-embeds   <- t2v/scripts/get_text_embeds.py
+  inference         <- t2v/scripts/inference.py, t2i/scripts/inference.py
+  get-calib-data    <- t2v/scripts/get_calib_data.py, t2i analog
+  ptq               <- t2v/scripts/ptq.py, t2i/scripts/ptq.py
+  quant-generate    <- t2v/scripts/quant_txt2video.py, t2i quant_txt2img.py
+  quant-generate-mp <- t2v/scripts/quant_txt2video_mp.py
+  get-sensitivity   <- t2v/scripts/get_sensitivity.py
+  sweep-alpha       <- t2v/scripts/sweep_alpha.py
+  smooth-quant-list <- t2v/scripts/get_smooth_quant_list.py
+  calibrate-ptqd-k  <- t2v/scripts/calibrate_ptqd_k.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _common(parser):
+    parser.add_argument("--config", required=True,
+                        help="python workload config (16x512x512.py style)")
+    parser.add_argument("--ckpt_path", default=None,
+                        help="flax params msgpack (from split-ckpt)")
+    parser.add_argument("--text_embeds_path", default=None,
+                        help="precomputed text embeds npz")
+    parser.add_argument("--save_dir", default="outputs")
+    parser.add_argument("--batch_ids", default=None,
+                        help="comma-separated prompt indices")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--sampler_type", default="ddim",
+                        choices=["ddim", "iddpm"])
+
+
+def _quant_args(parser):
+    parser.add_argument("--ptq_config", required=True,
+                        help="quant plan YAML (reference schema)")
+    parser.add_argument("--quant_ckpt", default=None,
+                        help="quant-params npz (from ptq)")
+    parser.add_argument("--part_fp", action="store_true", default=True)
+    parser.add_argument("--timestep_wise", action="store_true")
+    parser.add_argument("--smooth_quant_alpha", type=float, default=None)
+    parser.add_argument("--backend", default="simulate",
+                        choices=["simulate", "native"])
+
+
+def _setup(args, quant: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.utils import workload
+    from viditq_tpu.utils.config import load_quant_config
+
+    cfg = workload.load_py_config(args.config)
+    plan = resolver = None
+    if quant:
+        plan = load_quant_config(
+            args.ptq_config, part_fp=args.part_fp,
+            timestep_wise=getattr(args, "timestep_wise", False),
+            smooth_quant_alpha=getattr(args, "smooth_quant_alpha", None))
+        if getattr(args, "backend", "simulate") == "native":
+            plan = plan.with_backend("native")
+        resolver = plan.resolver()
+    model = workload.build_model(cfg, resolver=resolver)
+    sampler = workload.build_sampler(
+        cfg, cfg_split=bool(plan.cfg_split) if plan else False)
+    return cfg, plan, resolver, model, sampler
+
+
+def _load_embeds(args, cfg, n_default=2):
+    from viditq_tpu.models.text_encoder import PrecomputedTextEmbeds
+    if args.text_embeds_path and os.path.exists(args.text_embeds_path):
+        emb = PrecomputedTextEmbeds(args.text_embeds_path)
+        ids = ([int(i) for i in args.batch_ids.split(",")]
+               if args.batch_ids else list(range(min(n_default, len(emb.y)))))
+        sel = emb.select(ids)
+        return sel["y"], sel["mask"]
+    # smoke mode: random embeds (lets every flow run without assets)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    print("[viditq] no text embeds provided; using random embeds",
+          file=sys.stderr)
+    mcfg = cfg.get("model", {})
+    cap = mcfg.get("caption_channels", 4096)
+    L = mcfg.get("model_max_length", 120)
+    y = jnp.asarray(rng.standard_normal((2 * n_default, 1, L, cap)),
+                    jnp.float32)
+    mask = jnp.ones((n_default, L), jnp.int32)
+    return y, mask
+
+
+def _init_variables(model, args, z, y, mask, quant_mode="fp"):
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.quant.qlinear import QuantCtx
+    from viditq_tpu.utils import ckpt as ckpt_utils
+
+    n = z.shape[0]
+    t0 = jnp.zeros((n,), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), z, t0, y[:n], mask,
+                           qctx=QuantCtx(mode=quant_mode)))()
+    variables = dict(variables)
+    if args.ckpt_path:
+        variables["params"] = ckpt_utils.load_params(args.ckpt_path,
+                                                     variables["params"])
+    return variables
+
+
+def cmd_split_ckpt(args):
+    """torch .pth -> flax msgpack with fused-qkv split."""
+    from viditq_tpu.utils import ckpt as ckpt_utils
+    if args.model_type == "opensora":
+        params = ckpt_utils.convert_stdit_checkpoint(args.src)
+    else:
+        params = ckpt_utils.convert_pixart_checkpoint(args.src)
+    ckpt_utils.save_params(args.dst, params)
+    print(f"converted {args.src} -> {args.dst}")
+
+
+def cmd_get_text_embeds(args):
+    from viditq_tpu.models.text_encoder import T5Encoder, save_text_embeds
+    with open(args.prompt_path) as f:
+        prompts = [ln.strip() for ln in f if ln.strip()]
+    enc = T5Encoder(args.t5_path, model_max_length=args.model_max_length)
+    null = np.zeros((args.model_max_length, enc.output_dim), np.float32)
+    if args.null_embedding_path:
+        null = np.load(args.null_embedding_path)
+    save_text_embeds(args.dst, enc, prompts, null)
+    print(f"saved embeds for {len(prompts)} prompts -> {args.dst}")
+
+
+def cmd_inference(args):
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.pipelines import inference as inf
+    from viditq_tpu.utils import workload
+    cfg, _, _, model, sampler = _setup(args)
+    ls = workload.latent_size(cfg)
+    n = args.num_samples
+    y, mask = _load_embeds(args, cfg, n)
+    rng = jax.random.PRNGKey(args.seed)
+    z = jax.random.normal(rng, (n, 4, *ls), jnp.float32)
+    variables = _init_variables(model, args, z, y, mask)
+    samples = inf.fp_sample(model, variables, sampler, z, y, mask,
+                            rng=rng, sampler_type=args.sampler_type)
+    out = os.path.join(args.save_dir, "fp_samples.npz")
+    os.makedirs(args.save_dir, exist_ok=True)
+    np.savez(out, samples=np.asarray(samples))
+    print(f"saved {samples.shape} -> {out}")
+
+
+def cmd_get_calib_data(args):
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.pipelines import inference as inf
+    from viditq_tpu.utils import workload
+    cfg, _, _, model, sampler = _setup(args)
+    ls = workload.latent_size(cfg)
+    n = args.num_samples
+    y, mask = _load_embeds(args, cfg, n)
+    rng = jax.random.PRNGKey(args.seed)
+    z = jax.random.normal(rng, (n, 4, *ls), jnp.float32)
+    variables = _init_variables(model, args, z, y, mask)
+    calib = inf.get_calib_data(model, variables, sampler, z, y, mask,
+                               rng=rng, sampler_type=args.sampler_type)
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "calib_data.npz")
+    np.savez(out, xs=np.asarray(calib["xs"]), ts=np.asarray(calib["ts"]),
+             y=np.asarray(calib["y"]),
+             mask=np.asarray(calib["mask"]) if calib["mask"] is not None
+             else np.ones(0))
+    print(f"saved calib trajectories {calib['xs'].shape} -> {out}")
+
+
+def cmd_ptq(args):
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.pipelines.ptq import run_ptq
+    from viditq_tpu.utils import ckpt as ckpt_utils, workload
+    cfg, plan, resolver, model, sampler = _setup(args, quant=True)
+    data = np.load(args.calib_data)
+    calib = {"xs": data["xs"], "ts": data["ts"], "y": data["y"],
+             "mask": data["mask"] if data["mask"].size else None}
+    n = calib["xs"].shape[1] // 2
+    y = jnp.asarray(calib["y"])
+    mask = (jnp.asarray(calib["mask"]) if calib["mask"] is not None else None)
+    z = jnp.asarray(calib["xs"][0, :n])
+    variables = _init_variables(model, args, z, y, mask)
+    res = run_ptq(model, variables, calib, plan, resolver)
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "quant_ckpt.npz")
+    meta = {"act_slot_map": res.act_slot_map, "calib_ts": res.calib_ts,
+            "ptq_config": args.ptq_config}
+    ckpt_utils.save_quant_ckpt(out, res.variables["quant"], meta)
+    print(f"saved quant params -> {out}")
+
+
+def cmd_quant_generate(args, mp: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.pipelines import inference as inf
+    from viditq_tpu.utils import ckpt as ckpt_utils, workload
+    cfg, plan, resolver, model, sampler = _setup(args, quant=True)
+    ls = workload.latent_size(cfg)
+    n = args.num_samples
+    y, mask = _load_embeds(args, cfg, n)
+    rng = jax.random.PRNGKey(args.seed)
+    z = jax.random.normal(rng, (n, 4, *ls), jnp.float32)
+    variables = _init_variables(model, args, z, y, mask, quant_mode="fp")
+    act_slot_map = None
+    if args.quant_ckpt:
+        variables["quant"], meta = ckpt_utils.load_quant_ckpt(
+            args.quant_ckpt, variables["quant"])
+        if meta:
+            act_slot_map = meta.get("act_slot_map")
+    else:
+        from viditq_tpu.quant import calibrate_weight_tables
+        print("[viditq] no quant ckpt; calibrating weights from params",
+              file=sys.stderr)
+        variables["quant"] = jax.jit(functools.partial(
+            calibrate_weight_tables, resolve=resolver))(
+                variables["params"], variables["quant"])
+    if plan.default_layer.backend == "native":
+        from viditq_tpu.quant.native_pack import (add_native_slots,
+                                                  pack_native_weights)
+        variables["quant"] = add_native_slots(variables["quant"],
+                                              variables["params"], resolver)
+        variables["quant"] = jax.jit(functools.partial(
+            pack_native_weights, resolve=resolver))(
+                variables["params"], variables["quant"])
+    if mp:
+        import yaml
+        from viditq_tpu.pipelines.mixed_precision import mp_quant_sample
+        from viditq_tpu.utils import workload as wl
+        with open(args.time_mp_config_weight) as f:
+            mp_w = yaml.safe_load(f)
+        mp_a = None
+        if args.time_mp_config_act:
+            with open(args.time_mp_config_act) as f:
+                mp_a = yaml.safe_load(f)
+        model_ctor = lambda r: wl.build_model(cfg, resolver=r)
+        samples = mp_quant_sample(model_ctor, variables, sampler, z, y, mask,
+                                  plan, mp_w, mp_a,
+                                  act_slot_map=act_slot_map, rng=rng)
+    else:
+        samples = inf.quant_sample(model, variables, sampler, z, y, mask,
+                                   rng=rng, act_slot_map=act_slot_map,
+                                   sampler_type=args.sampler_type)
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "quant_samples.npz")
+    np.savez(out, samples=np.asarray(samples))
+    print(f"saved {samples.shape} -> {out}")
+
+
+def cmd_get_sensitivity(args):
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.pipelines import analysis
+    from viditq_tpu.samplers.iddpm import default_qctx_factory
+    from viditq_tpu.utils import workload
+    cfg, plan, _, _, sampler = _setup(args, quant=True)
+    ls = workload.latent_size(cfg)
+    y, mask = _load_embeds(args, cfg, 1)
+    rng = jax.random.PRNGKey(args.seed)
+    z = jax.random.normal(rng, (1, 4, *ls), jnp.float32)
+    base = plan.default_layer
+    params_holder = {}
+
+    def run_with_resolver(resolver):
+        from viditq_tpu.quant import calibrate_weight_tables
+        model = workload.build_model(cfg, resolver=resolver)
+        vs = _init_variables(model, args, z, y, mask)
+        if params_holder:
+            vs["params"] = params_holder["p"]
+        else:
+            params_holder["p"] = vs["params"]
+        if "quant" in vs:
+            vs["quant"] = jax.jit(functools.partial(
+                calibrate_weight_tables, resolve=resolver))(
+                    vs["params"], vs["quant"])
+        def apply_fn(x, t, yy, mm, qctx):
+            return model.apply(vs, x, t, yy, mm, qctx=qctx)
+        return sampler.sample(apply_fn, z, y, mask,
+                              sampler_type=args.sampler_type,
+                              qctx_factory=default_qctx_factory("quant"))
+
+    targets = (args.targets.split(",") if args.targets
+               else list(analysis.QUANT_GROUPS))
+    scores = analysis.sensitivity_scan(run_with_resolver, base, targets,
+                                       fp_patterns=plan.fp_patterns)
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "sensitivity.json")
+    with open(out, "w") as f:
+        json.dump(scores, f, indent=2)
+    print(json.dumps(scores, indent=2))
+
+
+def cmd_sweep_alpha(args):
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.pipelines import analysis
+    from viditq_tpu.utils import workload
+    cfg, plan, resolver, model, _ = _setup(args, quant=True)
+    ls = workload.latent_size(cfg)
+    y, mask = _load_embeds(args, cfg, 1)
+    rng = jax.random.PRNGKey(args.seed)
+    z = jax.random.normal(rng, (1, 4, *ls), jnp.float32)
+    variables = _init_variables(model, args, z, y, mask)
+    t0 = jnp.full((1,), 500.0)
+    best = analysis.sweep_alpha(model, variables, (z, t0, y[:1], mask),
+                                resolver)
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "best_alpha.json")
+    with open(out, "w") as f:
+        json.dump(best, f, indent=2)
+    print(f"saved per-layer alpha -> {out}")
+
+
+def cmd_smooth_quant_list(args):
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.pipelines import analysis
+    from viditq_tpu.utils import workload
+    cfg, plan, resolver, model, _ = _setup(args, quant=True)
+    ls = workload.latent_size(cfg)
+    y, mask = _load_embeds(args, cfg, 1)
+    rng = jax.random.PRNGKey(args.seed)
+    z = jax.random.normal(rng, (1, 4, *ls), jnp.float32)
+    variables = _init_variables(model, args, z, y, mask)
+    t0 = jnp.full((1,), 500.0)
+    picks = analysis.smooth_quant_candidates(
+        model, variables, (z, t0, y[:1], mask), resolver,
+        act_ratio_threshold=args.threshold)
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "smooth_quant_list.txt")
+    with open(out, "w") as f:
+        f.write("\n".join(picks) + "\n")
+    print(f"{len(picks)} CB candidates -> {out}")
+
+
+def cmd_calibrate_ptqd_k(args):
+    from viditq_tpu.pipelines.analysis import calibrate_ptqd_k
+    fp = np.load(args.fp_trajectory)["outs"]
+    q = np.load(args.quant_trajectory)["outs"]
+    k = calibrate_ptqd_k(fp, q)
+    np.save(os.path.join(args.save_dir, "ptqd_k.npy"), k)
+    print(f"k_t per step: {k}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="viditq_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("split-ckpt")
+    s.add_argument("--src", required=True)
+    s.add_argument("--dst", required=True)
+    s.add_argument("--model_type", default="opensora",
+                   choices=["opensora", "pixart"])
+    s.set_defaults(fn=cmd_split_ckpt)
+
+    s = sub.add_parser("get-text-embeds")
+    s.add_argument("--prompt_path", required=True)
+    s.add_argument("--t5_path", required=True)
+    s.add_argument("--dst", required=True)
+    s.add_argument("--model_max_length", type=int, default=120)
+    s.add_argument("--null_embedding_path", default=None)
+    s.set_defaults(fn=cmd_get_text_embeds)
+
+    for name, fn, quant, extra in [
+        ("inference", cmd_inference, False, ()),
+        ("get-calib-data", cmd_get_calib_data, False, ()),
+        ("quant-generate", cmd_quant_generate, True, ()),
+        ("quant-generate-mp",
+         functools.partial(cmd_quant_generate, mp=True), True,
+         ("--time_mp_config_weight", "--time_mp_config_act")),
+        ("get-sensitivity", cmd_get_sensitivity, True, ("--targets",)),
+        ("sweep-alpha", cmd_sweep_alpha, True, ()),
+        ("smooth-quant-list", cmd_smooth_quant_list, True, ()),
+    ]:
+        s = sub.add_parser(name)
+        _common(s)
+        s.add_argument("--num_samples", type=int, default=2)
+        if quant:
+            _quant_args(s)
+        for e in extra:
+            s.add_argument(e, default=None)
+        if name == "smooth-quant-list":
+            s.add_argument("--threshold", type=float, default=10.0)
+        s.set_defaults(fn=fn)
+
+    s = sub.add_parser("ptq")
+    _common(s)
+    _quant_args(s)
+    s.add_argument("--calib_data", required=True)
+    s.set_defaults(fn=cmd_ptq)
+
+    s = sub.add_parser("calibrate-ptqd-k")
+    s.add_argument("--fp_trajectory", required=True)
+    s.add_argument("--quant_trajectory", required=True)
+    s.add_argument("--save_dir", default="outputs")
+    s.set_defaults(fn=cmd_calibrate_ptqd_k)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
