@@ -1,0 +1,159 @@
+"""Datasets and loading (reference `t2v/opensora/datasets/`).
+
+TPU-native redesign: a numpy/PIL pipeline feeding jnp batches (no
+torchvision). Video files need codecs this image lacks, so video samples are
+consumed from frame directories or .npz archives (the formats `save_sample`
+writes); images load via PIL. Covers:
+  * DatasetFromCSV (datasets.py:38) — csv rows of (path, caption[, class])
+  * transforms (video_transforms.py) — resize-crop / center-crop / UCF crop
+  * QuantCalibDataset (datasets.py:118) — calib trajectory slices
+  * StatefulSampler (utils.py:38 StatefulDistributedSampler) — resumable,
+    dp-shardable index stream
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def center_crop_resize(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Resize preserving aspect then center-crop (reference
+    video_transforms.py resize_crop semantics). img: [H, W, C] uint8."""
+    from PIL import Image
+    h, w = img.shape[:2]
+    th, tw = size
+    scale = max(th / h, tw / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    im = Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
+    arr = np.asarray(im)
+    top, left = (nh - th) // 2, (nw - tw) // 2
+    return arr[top:top + th, left:left + tw]
+
+
+def normalize(x: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1, 1] (reference ToTensor + Normalize)."""
+    return (np.asarray(x, np.float32) / 127.5) - 1.0
+
+
+def load_image(path: str, size: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+    img = np.asarray(Image.open(path).convert("RGB"))
+    return normalize(center_crop_resize(img, size)).transpose(2, 0, 1)
+
+
+def load_video(path: str, num_frames: int, size: Tuple[int, int],
+               frame_interval: int = 1) -> np.ndarray:
+    """-> [C, T, H, W]. Accepts a .npz (key 'video' [T,H,W,C] uint8) or a
+    directory of frame images."""
+    if path.endswith(".npz"):
+        frames = np.load(path)["video"]
+    elif os.path.isdir(path):
+        from PIL import Image
+        names = sorted(os.listdir(path))
+        frames = np.stack([np.asarray(Image.open(os.path.join(path, n))
+                                      .convert("RGB")) for n in names])
+    else:
+        raise ValueError(f"unsupported video source {path} "
+                         "(mp4 decode unavailable; use frames dir or npz)")
+    idx = np.arange(0, len(frames), frame_interval)[:num_frames]
+    if len(idx) < num_frames:  # loop-pad short clips
+        idx = np.resize(idx, num_frames)
+    frames = np.stack([center_crop_resize(frames[i], size) for i in idx])
+    return normalize(frames).transpose(3, 0, 1, 2)
+
+
+class DatasetFromCSV:
+    """CSV of `path,text[,label]` rows (reference datasets.py:38-115)."""
+
+    def __init__(self, csv_path: str, num_frames: Optional[int] = None,
+                 image_size: Tuple[int, int] = (256, 256),
+                 frame_interval: int = 1, root: str = ""):
+        with open(csv_path) as f:
+            self.rows = [r for r in csv.reader(f) if r]
+        self.num_frames = num_frames
+        self.image_size = image_size
+        self.frame_interval = frame_interval
+        self.root = root
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, i):
+        row = self.rows[i]
+        path = os.path.join(self.root, row[0])
+        text = row[1] if len(row) > 1 else ""
+        if self.num_frames is None:
+            x = load_image(path, self.image_size)
+        else:
+            x = load_video(path, self.num_frames, self.image_size,
+                           self.frame_interval)
+        return {"video": x, "text": text}
+
+
+class QuantCalibDataset:
+    """Calib trajectory slices as samples (reference datasets.py:118-139)."""
+
+    def __init__(self, calib_npz: str):
+        data = np.load(calib_npz)
+        self.xs, self.ts, self.y = data["xs"], data["ts"], data["y"]
+
+    def __len__(self):
+        return self.xs.shape[0]
+
+    def __getitem__(self, i):
+        return {"xs": self.xs[i], "ts": self.ts[i], "y": self.y}
+
+
+class StatefulSampler:
+    """Resumable (optionally dp-sharded) index sampler — the reference's
+    StatefulDistributedSampler (datasets/utils.py:38-63) without torch
+    distributed: shard by (rank, world) explicitly."""
+
+    def __init__(self, n: int, shuffle: bool = True, seed: int = 0,
+                 rank: int = 0, world: int = 1):
+        self.n = n
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = rank
+        self.world = world
+        self.epoch = 0
+        self.start_index = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def set_start_index(self, idx: int):
+        self.start_index = idx
+
+    def state_dict(self, consumed: int):
+        return {"epoch": self.epoch, "start_index": consumed}
+
+    def load_state_dict(self, state):
+        self.epoch = state["epoch"]
+        self.start_index = state["start_index"]
+
+    def __iter__(self) -> Iterator[int]:
+        order = np.arange(self.n)
+        if self.shuffle:
+            order = np.random.default_rng(
+                self.seed + self.epoch).permutation(self.n)
+        order = order[self.rank::self.world]
+        yield from order[self.start_index:]
+        self.start_index = 0
+
+
+def batch_iterator(dataset, sampler: StatefulSampler, batch_size: int):
+    """Minimal prepare_dataloader (datasets/utils.py:64) replacement."""
+    batch = []
+    for idx in sampler:
+        batch.append(dataset[int(idx)])
+        if len(batch) == batch_size:
+            out = {k: np.stack([b[k] for b in batch])
+                   if not isinstance(batch[0][k], str)
+                   else [b[k] for b in batch] for k in batch[0]}
+            yield out
+            batch = []
