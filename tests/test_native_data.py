@@ -17,8 +17,12 @@ def test_native_builds_and_runs():
 
 
 def test_native_matches_fallback_closely():
-    frames = np.random.default_rng(1).integers(
-        0, 255, (2, 33, 47, 3), np.uint8).astype(np.uint8)
+    # smooth gradient image (noise is degenerate for comparing antialiased
+    # vs point-sampled resampling)
+    yy, xx = np.mgrid[0:33, 0:47]
+    img = np.stack([(yy * 5) % 256, (xx * 4) % 256, (yy + xx) % 256],
+                   axis=-1).astype(np.uint8)
+    frames = np.stack([img, img[::-1]])
     got = native.preprocess_frames(frames, (16, 16))
     from viditq_tpu.data.datasets import center_crop_resize, normalize
     want = normalize(np.stack(
