@@ -42,7 +42,7 @@ class STDiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, t0, mask=None, tpe=None,
-                 qctx: Optional[QuantCtx] = None):
+                 qctx: Optional[QuantCtx] = None, tpe_gate=None):
         B, N, C = x.shape
         table = self.param("scale_shift_table",
                            nn.initializers.normal(self.hidden_size ** -0.5),
@@ -67,7 +67,12 @@ class STDiTBlock(nn.Module):
         x_t = x.reshape(B, self.d_t, self.d_s, C).transpose(0, 2, 1, 3)
         x_t = x_t.reshape(B * self.d_s, self.d_t, C)
         if tpe is not None:
-            x_t = x_t + tpe.astype(self.dtype)
+            tpe_eff = tpe.astype(self.dtype)
+            if tpe_gate is not None:
+                # scanned form: tpe applies only where the per-block gate is
+                # set (block 0, stdit.py:307-316)
+                tpe_eff = tpe_eff * tpe_gate.astype(self.dtype)
+            x_t = x_t + tpe_eff
         x_t = SelfAttention(
             C, self.num_heads, resolver=self.resolver,
             prefix=f"{self.prefix}.attn_temp", dtype=self.dtype,
@@ -110,6 +115,11 @@ class STDiT(nn.Module):
     no_temporal_pos_emb: bool = False
     resolver: Resolver = no_quant
     grad_checkpoint: bool = False
+    # Run the depth-28 block stack as ONE nn.scan step (params/quant tables
+    # stacked on a leading depth axis). ~depth-x lower compile time; requires
+    # a uniform per-block quant config (per-block overrides need the
+    # unrolled form). Block layer names lose their index ('blocks.attn.q').
+    scan_blocks: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -164,13 +174,35 @@ class STDiT(nn.Module):
 
         tpe = (None if self.no_temporal_pos_emb
                else jnp.asarray(self.temporal_pos_embed(), self.dtype))
-        block_cls = nn.remat(STDiTBlock) if self.grad_checkpoint else STDiTBlock
-        for i in range(self.depth):
-            x = block_cls(
+        if self.scan_blocks:
+            gates = jnp.zeros((self.depth, 1, 1), self.dtype).at[0].set(1.0)
+
+            def step(blk, carry, gate):
+                return blk(carry, y, t0, mask, tpe, qctx, gate), None
+
+            if self.grad_checkpoint:
+                step = nn.remat(step, prevent_cse=False)
+            scan = nn.scan(
+                step,
+                variable_axes={"params": 0, "quant": 0, "qstats": 0,
+                               "intermediates": 0},
+                split_rngs={"params": True},
+                in_axes=0, length=self.depth)
+            block = STDiTBlock(
                 C, self.num_heads, d_s=S, d_t=T, mlp_ratio=self.mlp_ratio,
-                resolver=self.resolver, prefix=f"blocks.{i}",
-                dtype=self.dtype, name=f"blocks_{i}")(
-                    x, y, t0, mask, tpe if i == 0 else None, qctx)
+                resolver=self.resolver, prefix="blocks.0",
+                dtype=self.dtype, name="blocks")
+            x, _ = scan(block, x, gates)
+        else:
+            block_cls = (nn.remat(STDiTBlock) if self.grad_checkpoint
+                         else STDiTBlock)
+            for i in range(self.depth):
+                x = block_cls(
+                    C, self.num_heads, d_s=S, d_t=T,
+                    mlp_ratio=self.mlp_ratio, resolver=self.resolver,
+                    prefix=f"blocks.{i}", dtype=self.dtype,
+                    name=f"blocks_{i}")(
+                        x, y, t0, mask, tpe if i == 0 else None, qctx)
 
         x = T2IFinalLayer(int(np.prod(self.patch_size)), self.out_channels,
                           resolver=self.resolver, dtype=self.dtype,

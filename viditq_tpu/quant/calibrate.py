@@ -119,7 +119,17 @@ def calibrate_weight_tables(params: Dict, quant_vars: Dict,
             continue
         kernel = flat_p[layer_path + ("kernel",)]
         act_scale = flat_q.get(layer_path + ("act_scale",))
-        tables = weight_qparams_for_layer(kernel, lspec, act_scale)
+        if kernel.ndim == 3:
+            # scanned block stack: leading depth axis — vmap per block
+            if act_scale is None:
+                tables = jax.vmap(
+                    lambda k: weight_qparams_for_layer(k, lspec))(kernel)
+            else:
+                tables = jax.vmap(
+                    lambda k, a: weight_qparams_for_layer(k, lspec, a))(
+                        kernel, act_scale)
+        else:
+            tables = weight_qparams_for_layer(kernel, lspec, act_scale)
         for k, v in tables.items():
             flat_q[layer_path + (k,)] = v
     return traverse_util.unflatten_dict(flat_q)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import traverse_util
@@ -57,28 +58,52 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
         wspec = lspec.weight
         smooth = lspec.smooth_quant
         kernel = jnp.asarray(flat_p[layer_path + ("kernel",)], jnp.float32)
-        w_delta = flat_q[layer_path + ("w_delta",)][wspec.bit_idx]
-        w_zp = flat_q[layer_path + ("w_zp",)][wspec.bit_idx]
-        n_tr = w_delta.shape[0]
+        wd_full = flat_q[layer_path + ("w_delta",)]
+        wz_full = flat_q[layer_path + ("w_zp",)]
+        if kernel.ndim == 3:
+            # scanned block stack: vmap the packing over the depth axis
+            acts = flat_q.get(layer_path + ("act_scale",))
+
+            def pack_one(k, wd, wz, a=None):
+                out = _pack_layer(k, wd[wspec.bit_idx], wz[wspec.bit_idx],
+                                  wspec, smooth, a)
+                return out
+
+            if acts is None:
+                packed = jax.vmap(pack_one)(kernel, wd_full, wz_full)
+            else:
+                packed = jax.vmap(pack_one)(kernel, wd_full, wz_full, acts)
+            flat_q[layer_path + ("w_int",)] = packed[0]
+            flat_q[layer_path + ("w_colsum",)] = packed[1]
+            continue
         act_scale = flat_q.get(layer_path + ("act_scale",))
-        shift = float(2 ** (wspec.n_bits - 1))
-        n_levels = float(2 ** wspec.n_bits)
-        slabs, colsums = [], []
-        for tr in range(n_tr):
-            w_eff = kernel
-            if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
-                alpha = smooth.alpha_for_range(tr)
-                w_absmax = jnp.maximum(jnp.max(jnp.abs(kernel), axis=-1),
-                                       1e-12)
-                a_absmax = jnp.maximum(jnp.asarray(act_scale[tr]), 1e-5)
-                cs = (a_absmax ** alpha) / (w_absmax ** (1 - alpha))
-                w_eff = kernel * cs[:, None]
-            d = jnp.asarray(w_delta[tr]).reshape(1, -1)
-            z = jnp.asarray(w_zp[tr]).reshape(1, -1)
-            code = jnp.clip(jnp.round(w_eff / d) + z, 0, n_levels - 1) - shift
-            slabs.append(code.astype(jnp.int8))
-            colsums.append(jnp.sum(code, axis=0, keepdims=True)
-                           .astype(jnp.float32))
-        flat_q[layer_path + ("w_int",)] = jnp.stack(slabs)
-        flat_q[layer_path + ("w_colsum",)] = jnp.stack(colsums)
+        w_int, colsum = _pack_layer(kernel, wd_full[wspec.bit_idx],
+                                    wz_full[wspec.bit_idx], wspec, smooth,
+                                    act_scale)
+        flat_q[layer_path + ("w_int",)] = w_int
+        flat_q[layer_path + ("w_colsum",)] = colsum
     return traverse_util.unflatten_dict(flat_q)
+
+
+def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale):
+    """Quantize one [C_in, F] kernel into per-timerange signed int8 slabs +
+    column sums. w_delta/w_zp: [n_tr, 1, F]."""
+    n_tr = w_delta.shape[0]
+    shift = float(2 ** (wspec.n_bits - 1))
+    n_levels = float(2 ** wspec.n_bits)
+    slabs, colsums = [], []
+    for tr in range(n_tr):
+        w_eff = kernel
+        if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
+            alpha = smooth.alpha_for_range(tr)
+            w_absmax = jnp.maximum(jnp.max(jnp.abs(kernel), axis=-1), 1e-12)
+            a_absmax = jnp.maximum(jnp.asarray(act_scale[tr]), 1e-5)
+            cs = (a_absmax ** alpha) / (w_absmax ** (1 - alpha))
+            w_eff = kernel * cs[:, None]
+        d = jnp.asarray(w_delta[tr]).reshape(1, -1)
+        z = jnp.asarray(w_zp[tr]).reshape(1, -1)
+        code = jnp.clip(jnp.round(w_eff / d) + z, 0, n_levels - 1) - shift
+        slabs.append(code.astype(jnp.int8))
+        colsums.append(jnp.sum(code, axis=0, keepdims=True)
+                       .astype(jnp.float32))
+    return jnp.stack(slabs), jnp.stack(colsums)

@@ -141,6 +141,30 @@ def convert_pixart_checkpoint(path_or_sd) -> Dict:
     return convert_dit_checkpoint(sd)
 
 
+def stack_block_params(tree: Dict, depth: int, key: str = "blocks") -> Dict:
+    """Convert per-block `blocks_i/...` subtrees into the stacked `blocks/...`
+    layout used by scan_blocks models (leading depth axis)."""
+    out = {k: v for k, v in tree.items() if not k.startswith(f"{key}_")}
+    blocks = [tree[f"{key}_{i}"] for i in range(depth)]
+    from jax import tree as jtree
+    out[key] = jtree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                         *blocks)
+    return out
+
+
+def unstack_block_params(tree: Dict, key: str = "blocks") -> Dict:
+    """Inverse of stack_block_params."""
+    out = {k: v for k, v in tree.items() if k != key}
+    stacked = tree[key]
+    from flax import traverse_util as tu
+    flat = tu.flatten_dict(stacked)
+    depth = next(iter(flat.values())).shape[0]
+    for i in range(depth):
+        out[f"{key}_{i}"] = tu.unflatten_dict(
+            {p: np.asarray(v)[i] for p, v in flat.items()})
+    return out
+
+
 # ---------------- framework-native (de)serialization ----------------
 
 def save_params(path: str, params: Dict):
