@@ -6,8 +6,12 @@ from viditq_tpu.samplers.gaussian_diffusion import (  # noqa: F401
 from viditq_tpu.samplers.iddpm import IDDPM, default_qctx_factory  # noqa: F401
 from viditq_tpu.samplers.dpm_solver import (  # noqa: F401
     DPMSolverSampler, NoiseScheduleVP, dpm_solver_pp_2m)
+from viditq_tpu.samplers.extra_solvers import (  # noqa: F401
+    LCMScheduler, SASolverSampler)
 
 from viditq_tpu.models.registry import SCHEDULERS, register
 
 register(SCHEDULERS, "iddpm")(IDDPM)
 register(SCHEDULERS, "dpm-solver")(DPMSolverSampler)
+register(SCHEDULERS, "sa-solver")(SASolverSampler)
+register(SCHEDULERS, "lcm")(LCMScheduler)
