@@ -18,6 +18,8 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from viditq_tpu.models import STDiT_XL_2
@@ -37,8 +39,12 @@ def main():
     sim_resolver = plan.resolver()
     nat_resolver = plan.with_backend("native").resolver()
 
-    model_fp = STDiT_XL_2(input_size=latent)
-    model_q = STDiT_XL_2(input_size=latent, resolver=nat_resolver)
+    # scan_blocks: one compiled block instead of 28 -> ~20x lower compile
+    # time through the remote-compile tunnel; numerically equivalent for the
+    # uniform W8A8 config (tests/test_scan_blocks.py)
+    model_fp = STDiT_XL_2(input_size=latent, scan_blocks=True)
+    model_q = STDiT_XL_2(input_size=latent, resolver=nat_resolver,
+                         scan_blocks=True)
 
     # cheap deterministic params (timing is weight-value independent)
     shapes = jax.eval_shape(

@@ -24,6 +24,7 @@ so the MXU sees int8.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -248,7 +249,18 @@ def pack_weight(kernel: jnp.ndarray, delta: jnp.ndarray, zp: jnp.ndarray,
 # hand-written Pallas matmul and ~17-19 TFLOPS for the XLA bf16 baseline —
 # XLA's int8 MXU lowering + its elementwise fusion already win, so Pallas
 # stays as an opt-in ('pallas') for future fusion work.
-NATIVE_IMPL = "xla"
+NATIVE_IMPL = os.environ.get("VIDITQ_NATIVE_IMPL")  # None = auto
+
+
+def _default_impl() -> str:
+    """Pallas on TPU (fused epilogue, no int32/f32 intermediates in HBM),
+    XLA elsewhere (portable; CPU tests)."""
+    if NATIVE_IMPL:
+        return NATIVE_IMPL
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    except Exception:
+        return "xla"
 
 
 def quantized_linear_native(x: jnp.ndarray, packed: dict,
@@ -261,7 +273,7 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
     x: [..., K]; per-token groups are the flattened leading dims (callers
     reshape to the logical token view first, matching the fake-quant path).
     """
-    impl = impl or NATIVE_IMPL
+    impl = impl or _default_impl()
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)

@@ -145,8 +145,17 @@ def sdpa(q, k, v, scale: float, bias: Optional[jnp.ndarray] = None,
             B, M = kv_mask.shape
             q_seg = jnp.ones((B, q.shape[-2]), jnp.int32)
             seg = fa.SegmentIds(q=q_seg, kv=kv_mask.astype(jnp.int32))
+        # explicit block sizes — the kernel's defaults measured 200x slower
+        # at STDiT shapes (795ms vs 3.9ms, [32,16,1024,72] on v5e)
+        bq = min(512, q.shape[-2])
+        bk = min(1024, k.shape[-2])
+        bs = fa.BlockSizes(
+            block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+            block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
+            block_q_dq=bq)
         return fa.flash_attention(q, k, v, segment_ids=seg, causal=False,
-                                  sm_scale=scale)
+                                  sm_scale=scale, block_sizes=bs)
     if kv_mask is not None and bias is None:
         bias = jnp.where(kv_mask[:, None, None, :] != 0, 0.0, -jnp.inf)
     return sdpa_xla(q, k, v, scale, bias)
