@@ -348,6 +348,29 @@ def cmd_smooth_quant_list(args):
     print(f"{len(picks)} CB candidates -> {out}")
 
 
+def cmd_train(args):
+    """Reference t2v/scripts/train.py (synthetic-data smoke by default;
+    wire DatasetFromCSV + batch_iterator for real data)."""
+    from viditq_tpu.pipelines.train import train_loop
+    from viditq_tpu.parallel.mesh import make_mesh
+    from viditq_tpu.utils import workload
+    cfg = workload.load_py_config(args.config)
+    model = workload.build_model(cfg)
+    ls = workload.latent_size(cfg)
+    mcfg = cfg.get("model", {})
+    cap_shape = (1, mcfg.get("model_max_length", 120),
+                 mcfg.get("caption_channels", 4096))
+    mesh = None
+    if args.dp * args.sp * args.tp > 1:
+        mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp)
+    out = train_loop(model, None, latent_shape=(4, *ls),
+                     caption_shape=cap_shape, num_steps=args.num_steps,
+                     lr=args.lr, ckpt_every=args.ckpt_every,
+                     save_dir=args.save_dir, mesh=mesh)
+    print(f"trained {args.num_steps} steps; final loss "
+          f"{out['losses'][-1] if out['losses'] else float('nan'):.4f}")
+
+
 def cmd_calibrate_ptqd_k(args):
     from viditq_tpu.pipelines.analysis import calibrate_ptqd_k
     fp = np.load(args.fp_trajectory)["outs"]
@@ -403,6 +426,17 @@ def main(argv=None):
     _quant_args(s)
     s.add_argument("--calib_data", required=True)
     s.set_defaults(fn=cmd_ptq)
+
+    s = sub.add_parser("train")
+    s.add_argument("--config", required=True)
+    s.add_argument("--num_steps", type=int, default=100)
+    s.add_argument("--lr", type=float, default=1e-4)
+    s.add_argument("--ckpt_every", type=int, default=0)
+    s.add_argument("--save_dir", default="outputs/train")
+    s.add_argument("--dp", type=int, default=1)
+    s.add_argument("--sp", type=int, default=1)
+    s.add_argument("--tp", type=int, default=1)
+    s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("calibrate-ptqd-k")
     s.add_argument("--fp_trajectory", required=True)

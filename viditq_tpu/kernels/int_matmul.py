@@ -253,14 +253,10 @@ NATIVE_IMPL = os.environ.get("VIDITQ_NATIVE_IMPL")  # None = auto
 
 
 def _default_impl() -> str:
-    """Pallas on TPU (fused epilogue, no int32/f32 intermediates in HBM),
-    XLA elsewhere (portable; CPU tests)."""
-    if NATIVE_IMPL:
-        return NATIVE_IMPL
-    try:
-        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    except Exception:
-        return "xla"
+    """'xla' (int8 dot_general + fused elementwise) measured best in-model
+    on v5e (613ms vs 1085ms full-model fwd for the current Pallas matmul);
+    'mixed' = Pallas fused dynamic-quant pass + XLA int8 dot."""
+    return NATIVE_IMPL or "xla"
 
 
 def quantized_linear_native(x: jnp.ndarray, packed: dict,
@@ -282,6 +278,11 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
         out = int8_matmul(x_q, packed["w_q"], xs, xzp, xrs,
                           packed["w_scale"], packed["w_zp"],
                           packed["w_colsum"], out_dtype=out_dtype)
+    elif impl == "mixed":
+        x_q, xs, xzp, xrs = dynamic_quant_rows(x2, sym=act_sym)
+        out = int8_matmul_ref(x_q, packed["w_q"], xs, xzp, xrs,
+                              packed["w_scale"], packed["w_zp"],
+                              packed["w_colsum"], out_dtype=out_dtype)
     else:
         x_q, xs, xzp, xrs = dynamic_quant_rows_ref(x2, sym=act_sym)
         out = int8_matmul_ref(x_q, packed["w_q"], xs, xzp, xrs,
