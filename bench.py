@@ -73,36 +73,34 @@ def main():
     q_vars = {"params": params, "quant": quant}
     fp_vars = {"params": params}
 
-    def fp_apply(x, t, yy, mm, qctx):
-        return model_fp.apply(fp_vars, x, t, yy, mm)
-
-    def q_apply(x, t, yy, mm, qctx):
-        return model_q.apply(q_vars, x, t, yy, mm, qctx)
-
     qf = default_qctx_factory("quant")
 
     @jax.jit
-    def fp_denoise(z):
+    def fp_denoise(vs, z):
+        def fp_apply(x, t, yy, mm, qctx):
+            return model_fp.apply(vs, x, t, yy, mm)
         return sampler.sample(fp_apply, z, y, mask, sampler_type="ddim")
 
     @jax.jit
-    def q_denoise(z):
+    def q_denoise(vs, z):
+        def q_apply(x, t, yy, mm, qctx):
+            return model_q.apply(vs, x, t, yy, mm, qctx)
         return sampler.sample(q_apply, z, y, mask, sampler_type="ddim",
                               qctx_factory=qf)
 
-    def bench(f, tag, reps=3):
+    def bench(f, vs, tag, reps=3):
         t0 = time.time()
-        f(z).block_until_ready()
+        f(vs, z).block_until_ready()
         print(f"{tag}: compiled in {time.time()-t0:.0f}s", file=sys.stderr)
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            f(z).block_until_ready()
+            f(vs, z).block_until_ready()
             ts.append(time.time() - t0)
         return min(ts) / n_steps
 
-    t_fp = bench(fp_denoise, "bf16")
-    t_q = bench(q_denoise, "w8a8")
+    t_fp = bench(fp_denoise, fp_vars, "bf16")
+    t_q = bench(q_denoise, q_vars, "w8a8")
     speedup = t_fp / t_q
     result = {
         "metric": "stdit_xl2_16x512x512_w8a8_denoise_speedup_vs_bf16",

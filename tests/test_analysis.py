@@ -130,3 +130,32 @@ def test_mixed_precision_segmented_sampling():
                           mp_weight, None)
     assert out.shape == z.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_timestep_window_sensitivity():
+    base = LayerQuantSpec(weight=QuantSpec(n_bits=3, granularity="channel",
+                                           channel_axis=-1,
+                                           round_mode="nearest"), act=A8)
+    resolver = lambda n: resolve_layer_spec(n, base, FP)
+    from viditq_tpu.quant import resolve_layer_spec as _r  # noqa
+    model = tiny_model(resolver)
+    z, y, mask = inputs()
+    sampler = IDDPM(num_sampling_steps=4, cfg_scale=4.0)
+    variables = dict(model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                                y[:1], mask, QuantCtx(mode="fp")))
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], resolver)
+
+    def fp_apply(x, t, yy, mm, qctx=None):
+        return model.apply(variables, x, t, yy, mm, QuantCtx(mode="fp"))
+
+    def q_apply(x, t, yy, mm, qctx=None):
+        return model.apply(variables, x, t, yy, mm, qctx)
+
+    from viditq_tpu.samplers.iddpm import default_qctx_factory
+    scores = analysis.timestep_window_sensitivity(
+        sampler, fp_apply, q_apply, z, y, mask,
+        windows=[(3, 2), (1, 0)],
+        qctx_factory=default_qctx_factory("quant"))
+    assert set(scores) == {"3-2", "1-0"}
+    assert all(v > 0 and np.isfinite(v) for v in scores.values())

@@ -69,6 +69,38 @@ def save_text_embeds(path: str, encoder: T5Encoder, prompts: List[str],
     np.savez(path, y=pairs, mask=np.asarray(enc["mask"]))
 
 
+class ClipEncoder:
+    """CLIP text encoder (reference text_encoder/clip.py FrozenCLIPEmbedder /
+    ClipEncoder:82, used by Latte) over transformers' flax CLIP."""
+
+    def __init__(self, from_pretrained: str, model_max_length: int = 77,
+                 dtype=jnp.float32):
+        from transformers import AutoTokenizer, FlaxCLIPTextModel
+        self.tokenizer = AutoTokenizer.from_pretrained(from_pretrained)
+        self.model = FlaxCLIPTextModel.from_pretrained(from_pretrained,
+                                                       dtype=str(dtype))
+        self.model_max_length = model_max_length
+        self.output_dim = self.model.config.hidden_size
+
+    def encode(self, prompts: List[str]) -> Dict[str, jnp.ndarray]:
+        tok = self.tokenizer(prompts, max_length=self.model_max_length,
+                             padding="max_length", truncation=True,
+                             return_tensors="np")
+        out = self.model(input_ids=tok["input_ids"],
+                         attention_mask=tok["attention_mask"])
+        # pooled last_hidden_state as [B, 1, L, C] (clip.py:97-101 keeps the
+        # token sequence; Latte pools downstream)
+        return {"y": jnp.asarray(out.last_hidden_state)[:, None],
+                "mask": jnp.asarray(tok["attention_mask"])}
+
+    def null(self, n: int) -> jnp.ndarray:
+        tok = self.tokenizer([""] * n, max_length=self.model_max_length,
+                             padding="max_length", return_tensors="np")
+        out = self.model(input_ids=tok["input_ids"],
+                         attention_mask=tok["attention_mask"])
+        return jnp.asarray(out.last_hidden_state)[:, None]
+
+
 class ClassEncoder:
     """Label-conditioning encoder for DiT (reference
     text_encoder/classes.py:7-20)."""

@@ -76,6 +76,38 @@ def sensitivity_scan(run_with_resolver: Callable, base: LayerQuantSpec,
     return scores
 
 
+def timestep_window_sensitivity(sampler, fp_apply, q_apply, z, y, mask,
+                                windows, qctx_factory,
+                                fp_reference=None) -> Dict[str, float]:
+    """Per-timestep-window sensitivity: quantized inside the window, FP
+    outside (reference timestep_wise_quant windows,
+    gaussian_diffusion.py:691-738) — via segmented denoise ranges.
+
+    windows: [(hi_step, lo_step)] over sampler steps, descending.
+    """
+    import jax.numpy as jnp
+    n = sampler.schedule.n_steps
+    if fp_reference is None:
+        fp_reference = sampler.sample(fp_apply, z, y, mask,
+                                      sampler_type="ddim")
+    scores = {}
+    for hi, lo in windows:
+        x2 = jnp.concatenate([z, z], axis=0)
+        # FP segment above the window
+        if hi < n - 1:
+            x2 = sampler.denoise_range(fp_apply, x2, y, mask,
+                                       list(range(n - 1, hi, -1)))
+        x2 = sampler.denoise_range(q_apply, x2, y, mask,
+                                   list(range(hi, lo - 1, -1)),
+                                   qctx_factory=qctx_factory)
+        if lo > 0:
+            x2 = sampler.denoise_range(fp_apply, x2, y, mask,
+                                       list(range(lo - 1, -1, -1)))
+        out = jnp.split(x2, 2, axis=0)[0]
+        scores[f"{hi}-{lo}"] = frame_mse(out, fp_reference)
+    return scores
+
+
 # ---------------- sweep alpha ----------------
 
 def capture_layer_inputs(model, variables, example_args,
