@@ -184,12 +184,22 @@ class SelfAttention(nn.Module):
         D = C // H
         kw = dict(dtype=self.dtype, token_layout=self.token_layout,
                   d_t=self.d_t, d_s=self.d_s)
-        q = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.q"),
-                        use_bias=self.qkv_bias, name="q", **kw)(x, qctx)
-        k = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.k"),
-                        use_bias=self.qkv_bias, name="k", **kw)(x, qctx)
-        v = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.v"),
-                        use_bias=self.qkv_bias, name="v", **kw)(x, qctx)
+        specs = [self.resolver(f"{self.prefix}.{n}") for n in ("q", "k", "v")]
+        pre = None
+        if (qctx is not None and qctx.mode == "quant"
+                and len({id(s) for s in specs}) <= 3
+                and all(s == specs[0] for s in specs)):
+            from viditq_tpu.quant.qlinear import shared_prequant
+            pre = shared_prequant(x, specs[0])
+        q = QuantLinear(C, lspec=specs[0],
+                        use_bias=self.qkv_bias, name="q", **kw)(
+                            x, qctx, prequant=pre)
+        k = QuantLinear(C, lspec=specs[1],
+                        use_bias=self.qkv_bias, name="k", **kw)(
+                            x, qctx, prequant=pre)
+        v = QuantLinear(C, lspec=specs[2],
+                        use_bias=self.qkv_bias, name="v", **kw)(
+                            x, qctx, prequant=pre)
         q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, H, D).transpose(0, 2, 1, 3)

@@ -66,6 +66,20 @@ class QuantCtx:
     rng: Optional[jnp.ndarray] = None
 
 
+def shared_prequant(x: jnp.ndarray, lspec: Optional[LayerQuantSpec]):
+    """Quantize an input ONCE for reuse across sibling native linears
+    (q/k/v share their input; per-token scales are identical regardless of
+    which sibling computes them). Returns None when the spec isn't the
+    plain native-dynamic path (smooth-quant rescales per layer)."""
+    if (lspec is None or lspec.backend != "native" or lspec.act is None
+            or not lspec.act.dynamic or not lspec.act_quant
+            or not lspec.weight_quant or lspec.smooth_quant.enable):
+        return None
+    from viditq_tpu.kernels.int_matmul import dynamic_quant_rows_ref
+    return dynamic_quant_rows_ref(x.reshape(-1, x.shape[-1]),
+                                  sym=lspec.act.sym)
+
+
 def timerange_lookup(smooth: SmoothQuantSpec) -> np.ndarray:
     """Static [1001] map: diffusion timestep -> timerange index.
 
@@ -127,8 +141,12 @@ class QuantLinear(nn.Module):
         return x.reshape(orig_shape)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, qctx: Optional[QuantCtx] = None
-                 ) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, qctx: Optional[QuantCtx] = None,
+                 prequant=None) -> jnp.ndarray:
+        """`prequant`: optional (x_q int8 [M,K], scale, zp, rowsum) computed
+        once by the parent for an input shared across sibling linears
+        (q/k/v) — saves the redundant per-linear dynamic-quant passes in the
+        native path."""
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (in_features, self.features), self.param_dtype)
@@ -252,7 +270,8 @@ class QuantLinear(nn.Module):
 
         # ---- native int8 execution path ----
         if native and mode == "quant":
-            from viditq_tpu.kernels.int_matmul import quantized_linear_native
+            from viditq_tpu.kernels.int_matmul import (
+                int8_matmul_ref, quantized_linear_native)
 
             def _sel(v):
                 if n_tr == 1:
@@ -267,6 +286,15 @@ class QuantLinear(nn.Module):
                 "w_zp": (_sel(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
                          - shift),
             }
+            if prequant is not None:
+                x_qv, xs, xzp, xrs = prequant
+                out = int8_matmul_ref(
+                    x_qv, packed["w_q"], xs, xzp, xrs, packed["w_scale"],
+                    packed["w_zp"], packed["w_colsum"],
+                    out_dtype=self.dtype)
+                if bias is not None:
+                    out = out + bias.astype(self.dtype)
+                return out.reshape(*x.shape[:-1], self.features)
             xv = self._to_token_view(x)
             out = quantized_linear_native(xv, packed, bias=bias,
                                           act_sym=aspec.sym,
