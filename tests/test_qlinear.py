@@ -174,3 +174,36 @@ def test_quant_params_dict_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(restored)[0]),
         np.asarray(jax.tree.leaves(qv)[0]))
+
+
+def test_attention_internal_quantizers():
+    """QKV-act + softmax quantizers (reference QuantTransformerBlock)."""
+    import dataclasses
+    from viditq_tpu.models.layers import SelfAttention
+    a8 = QuantSpec(n_bits=8, granularity="token", round_mode="nearest",
+                   dynamic=True)
+    sm4 = QuantSpec(n_bits=4, granularity="tensor", round_mode="nearest",
+                    always_zero=True, dynamic=True)
+    base = LayerQuantSpec(weight=W8, act=A8_DYN, attn_act=a8, softmax=sm4)
+    resolver = lambda n: base
+    attn = SelfAttention(32, num_heads=4, resolver=resolver, prefix="attn",
+                         dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 32)),
+                    jnp.float32)
+    vs = attn.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp"))
+    from viditq_tpu.quant import calibrate_weight_tables
+    vs = dict(vs)
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], resolver)
+    out_fp = attn.apply(vs, x, QuantCtx(mode="fp"))
+    out_q = attn.apply(vs, x, QuantCtx(mode="quant"))
+    assert np.isfinite(np.asarray(out_q)).all()
+    # 4-bit softmax quant must measurably change the output vs fp
+    rel = (np.linalg.norm(np.asarray(out_q - out_fp))
+           / np.linalg.norm(np.asarray(out_fp)))
+    assert 1e-4 < rel < 0.5, rel
+    # and differ from the no-attn-quant variant
+    base2 = LayerQuantSpec(weight=W8, act=A8_DYN)
+    attn2 = SelfAttention(32, num_heads=4, resolver=lambda n: base2,
+                          prefix="attn", dtype=jnp.float32)
+    out_q2 = attn2.apply(vs, x, QuantCtx(mode="quant"))
+    assert np.abs(np.asarray(out_q2 - out_q)).max() > 1e-6

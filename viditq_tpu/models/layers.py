@@ -164,7 +164,13 @@ def sdpa(q, k, v, scale: float, bias: Optional[jnp.ndarray] = None,
 class SelfAttention(nn.Module):
     """Separate-QKV multi-head self-attention (reference Attention,
     blocks.py:113-195, with separate_qkv=True as the quant flow requires,
-    stdit.py:460-483)."""
+    stdit.py:460-483).
+
+    `attn_act_spec`/`softmax_spec`: optional quantizers on the post-
+    projection q/k/v activations and the softmax output — the reference's
+    QuantTransformerBlock act_quantizer_{q,k,v} + softmax quantizer
+    (quant_block.py:181-236; softmax uses always_zero). Resolved from the
+    resolver under '<prefix>.attn_act' / '<prefix>.softmax'."""
 
     dim: int
     num_heads: int = 8
@@ -206,7 +212,28 @@ class SelfAttention(nn.Module):
         if self.qk_norm:
             q = AffineLayerNorm(dtype=self.dtype, name="q_norm")(q)
             k = AffineLayerNorm(dtype=self.dtype, name="k_norm")(k)
-        out = sdpa(q, k, v, scale=D ** -0.5)
+        attn_spec = specs[0].attn_act if specs[0] is not None else None
+        if (attn_spec is not None and qctx is not None
+                and qctx.mode == "quant"):
+            from viditq_tpu.quant import core as qcore
+            q = qcore.fake_quant_dynamic(q, attn_spec)
+            k = qcore.fake_quant_dynamic(k, attn_spec)
+            v = qcore.fake_quant_dynamic(v, attn_spec)
+        sm_spec = specs[0].softmax if specs[0] is not None else None
+        if (sm_spec is not None and qctx is not None
+                and qctx.mode == "quant"):
+            # explicit softmax so its output can be fake-quantized
+            # (quant_block.py:227-236; always_zero semantics come from the
+            # spec's always_zero flag)
+            from viditq_tpu.quant import core as qcore
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * (D ** -0.5), k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+            attn = qcore.fake_quant_dynamic(attn, sm_spec)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                             preferred_element_type=q.dtype)
+        else:
+            out = sdpa(q, k, v, scale=D ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
                           name="proj", **kw)(out, qctx)

@@ -161,6 +161,12 @@ class LayerQuantSpec:
     # weights) — the deploy path the reference paper describes but never
     # released.
     backend: str = "simulate"
+    # Optional attention-internal quantizers (reference
+    # QuantTransformerBlock act_quantizer_{q,k,v} + softmax quantizer,
+    # quant_block.py:181-236): applied to post-projection q/k/v and the
+    # softmax output inside SelfAttention when set.
+    attn_act: Optional[QuantSpec] = None
+    softmax: Optional[QuantSpec] = None
     # Logical token layout this layer's activations should be reshaped to
     # before token-wise quantization; one of None, "spatial", "temporal",
     # "cross_q", "cross_kv" (reference stdit_quant_layer.py).

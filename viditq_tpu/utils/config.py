@@ -145,7 +145,27 @@ def load_quant_config(path: str, part_fp: bool = True,
         smooth = dataclasses.replace(
             smooth, alpha=tuple(smooth_quant_alpha
                                 for _ in smooth.alpha))
-    default = LayerQuantSpec(weight=wspec, act=aspec, smooth_quant=smooth)
+    # optional attention-internal quantizers (reference YAML 'softmax:' key
+    # under the act quantizer; empty in the shipped configs)
+    act_q_cfg = quant["activation"]["quantizer"]
+    softmax_spec = attn_act_spec = None
+    sm_cfg = act_q_cfg.get("softmax")
+    if isinstance(sm_cfg, dict) and sm_cfg.get("n_bits"):
+        softmax_spec = QuantSpec(
+            n_bits=int(sm_cfg["n_bits"]),
+            granularity=_granularity(sm_cfg.get("per_group", False)),
+            round_mode=sm_cfg.get("round_mode", "nearest_ste"),
+            always_zero=bool(sm_cfg.get("always_zero", True)),
+            dynamic=True)
+    aa_cfg = act_q_cfg.get("attn_act")
+    if isinstance(aa_cfg, dict) and aa_cfg.get("n_bits"):
+        attn_act_spec = QuantSpec(
+            n_bits=int(aa_cfg["n_bits"]),
+            granularity=_granularity(aa_cfg.get("per_group", "token")),
+            round_mode=aa_cfg.get("round_mode", "nearest_ste"),
+            dynamic=True)
+    default = LayerQuantSpec(weight=wspec, act=aspec, smooth_quant=smooth,
+                             softmax=softmax_spec, attn_act=attn_act_spec)
 
     fp_patterns: Tuple[str, ...] = ()
     fp_path = cfg.get("part_fp_list")
