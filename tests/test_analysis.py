@@ -159,3 +159,18 @@ def test_timestep_window_sensitivity():
         qctx_factory=default_qctx_factory("quant"))
     assert set(scores) == {"3-2", "1-0"}
     assert all(v > 0 and np.isfinite(v) for v in scores.values())
+
+
+def test_generate_mp_config():
+    sens = {"3-2": {"blocks.0.attn.q": 5.0, "blocks.0.mlp.fc1": 1.0,
+                    "blocks.1.attn.q": 0.5, "blocks.1.mlp.fc1": 0.2},
+            "1-0": {"blocks.0.attn.q": 0.1, "blocks.0.mlp.fc1": 2.0,
+                    "blocks.1.attn.q": 0.3, "blocks.1.mlp.fc1": 0.2}}
+    cfg = analysis.generate_mp_config(sens, high_fraction=0.25)
+    assert cfg["3-2"]["blocks.0.attn.q"] == 8       # most sensitive -> high
+    assert cfg["3-2"]["blocks.1.mlp.fc1"] == 4
+    assert cfg["1-0"]["blocks.0.mlp.fc1"] == 8
+    assert cfg["fp_layers"] == []
+    # pipes straight into the MP inference parser
+    ranges = analysis.parse_mp_ranges(cfg)
+    assert [r[0] for r in ranges] == [(3, 2), (1, 0)]

@@ -200,6 +200,42 @@ def smooth_quant_candidates(model, variables, example_args, resolver,
     return picks
 
 
+# ---------------- mixed-precision config generation ----------------
+
+def generate_mp_config(sensitivity: Mapping[str, Mapping[str, float]],
+                       bits_low: int = 4, bits_high: int = 8,
+                       high_fraction: float = 0.25,
+                       fp_fraction: float = 0.0) -> Dict:
+    """Generate a timestep-wise bitwidth-config YAML dict from per-range
+    per-layer sensitivity scores.
+
+    sensitivity: {'19-15': {layer_name: score}, ...} (higher = more
+    sensitive). Per range, the most sensitive `high_fraction` of layers get
+    `bits_high`, the extreme tail `fp_fraction` goes to fp_layers, the rest
+    get `bits_low` — the role of the reference's offline
+    analysis_tools/mixed_precision/metric.ipynb cell 3 that emits
+    t20_*_mp.yaml.
+    """
+    out: Dict = {"fp_layers": []}
+    fp_set = set()
+    for rng_key, scores in sensitivity.items():
+        ranked = sorted(scores, key=scores.get, reverse=True)
+        n = len(ranked)
+        n_fp = int(n * fp_fraction)
+        n_high = int(n * high_fraction)
+        alloc = {}
+        for i, name in enumerate(ranked):
+            if i < n_fp:
+                fp_set.add(name)
+            elif i < n_fp + n_high:
+                alloc[name] = bits_high
+            else:
+                alloc[name] = bits_low
+        out[rng_key] = alloc
+    out["fp_layers"] = sorted(fp_set)
+    return out
+
+
 # ---------------- PTQD ----------------
 
 def calibrate_ptqd_k(fp_outs: jnp.ndarray, quant_outs: jnp.ndarray
