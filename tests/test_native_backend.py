@@ -68,3 +68,25 @@ def test_native_pixart_matches_simulate():
     rel_fp = (np.linalg.norm(np.asarray(out_nat - out_fp))
               / np.linalg.norm(np.asarray(out_fp)))
     assert rel_fp < 0.15, rel_fp
+
+
+def test_weight_only_native_matches_fake_quant():
+    """int8-stored weights + bf16 matmul (W8 weight-only) == simulated
+    weight-only fake quant."""
+    wo = dataclasses.replace(SIM, backend="native", act=None, act_quant=False)
+    resolver = lambda n: wo
+    from viditq_tpu.quant import QuantLinear
+    layer_n = QuantLinear(features=32, lspec=wo, dtype=jnp.float32)
+    layer_s = QuantLinear(
+        features=32, lspec=dataclasses.replace(wo, backend="simulate"),
+        dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 24)),
+                    jnp.float32)
+    vs = dict(layer_n.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], resolver)
+    vs["quant"] = add_native_slots(vs["quant"], vs["params"], resolver)
+    vs["quant"] = pack_native_weights(vs["params"], vs["quant"], resolver)
+    out_n = layer_n.apply(vs, x, QuantCtx(mode="quant"))
+    out_s = layer_s.apply(vs, x, QuantCtx(mode="quant"))
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-5)

@@ -30,9 +30,12 @@ def add_native_slots(quant_vars: Dict, params: Dict,
     for layer_path in _layer_dirs(quant_vars, "w_delta"):
         name = path_to_dotted(layer_path)
         lspec = resolve(name)
-        if (lspec is None or lspec.weight is None or lspec.act is None
-                or not lspec.act.dynamic or not lspec.weight_quant
-                or not lspec.act_quant):
+        if lspec is None or lspec.weight is None or not lspec.weight_quant:
+            continue
+        full_native = (lspec.act is not None and lspec.act.dynamic
+                       and lspec.act_quant)
+        weight_only = lspec.act is None or not lspec.act_quant
+        if not (full_native or weight_only):
             continue
         kernel = flat_p[layer_path + ("kernel",)]
         n_tr = flat_q[layer_path + ("w_delta",)].shape[1]

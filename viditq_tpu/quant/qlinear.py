@@ -177,9 +177,18 @@ class QuantLinear(nn.Module):
                     "quant", "w_alpha",
                     lambda: jnp.zeros((in_features, self.features), jnp.float32))
 
+        # full native: int8 act x int8 weight on the MXU
         native = (lspec.backend == "native" and w_q is not None
                   and aspec is not None and aspec.dynamic and lspec.act_quant)
-        if native:
+        # weight-only native: int8-stored weights dequantized into a bf16
+        # matmul — all of the 4x weight-memory win with none of the
+        # dynamic-quant/epilogue overhead (see BENCH_NOTES.md: int8 compute
+        # carries no rate advantage on v5e, so this is often the fastest
+        # quantized mode)
+        native_wo = (lspec.backend == "native" and w_q is not None
+                     and lspec.weight_quant
+                     and (aspec is None or not lspec.act_quant))
+        if native or native_wo:
             # prepacked int8 weights + column sums, filled offline by
             # viditq_tpu.quant.native_pack.pack_native_weights
             w_int = self.variable(
@@ -300,6 +309,22 @@ class QuantLinear(nn.Module):
                                           act_sym=aspec.sym,
                                           out_dtype=self.dtype)
             return out.reshape(*x.shape[:-1], self.features)
+
+        if native_wo and mode == "quant":
+            shift = float(2 ** (wspec.n_bits - 1))
+
+            def _sel(v):
+                if n_tr == 1:
+                    return v[0]
+                return jax.lax.dynamic_index_in_dim(v, tr_id, 0, False)
+
+            wq_codes = _sel(w_int.value).astype(self.dtype)
+            d = _sel(w_q[0].value[wspec.bit_idx]).reshape(1, -1)
+            zshift = (_sel(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
+                      - shift)
+            w_deq = (wq_codes - zshift.astype(self.dtype)) * d.astype(
+                self.dtype)
+            return self._dense(x, w_deq, bias)
 
         # ---- activation quantization ----
         if aspec is not None and lspec.act_quant:
