@@ -86,6 +86,11 @@ class QuantPlanConfig:
 
     default_layer: LayerQuantSpec
     fp_patterns: Tuple[str, ...] = ()
+    # per-layer execution-mode overrides: (pattern, mode) with mode in
+    # {'native', 'simulate', 'weight_only'} — lets a plan run e.g. full
+    # W8A8 int8 on the memory-bound MLPs and int8-stored/bf16-compute
+    # weights elsewhere (see BENCH_NOTES.md)
+    backend_overrides: Tuple[Tuple[str, str], ...] = ()
     model_id: str = "opensora"
     model_type: str = "opensora"
     cfg_split: bool = False
@@ -101,11 +106,24 @@ class QuantPlanConfig:
     def resolver(self, overrides=None):
         """Layer-name -> LayerQuantSpec resolver for model construction and
         offline calibration."""
+        from viditq_tpu.quant.naming import pattern_in
         default = self.default_layer
         fp = self.fp_patterns
+        backend_ov = self.backend_overrides
 
         def resolve(name: str) -> Optional[LayerQuantSpec]:
-            return resolve_layer_spec(name, default, fp, overrides)
+            spec = resolve_layer_spec(name, default, fp, overrides)
+            if spec is None:
+                return None
+            for pat, mode in backend_ov:
+                if pattern_in(name, pat):
+                    if mode == "weight_only":
+                        spec = dataclasses.replace(spec, backend="native",
+                                                   act_quant=False)
+                    else:
+                        spec = dataclasses.replace(spec, backend=mode)
+                    break
+            return spec
         return resolve
 
     def with_backend(self, backend: str) -> "QuantPlanConfig":
@@ -181,9 +199,13 @@ def load_quant_config(path: str, part_fp: bool = True,
     act_q = quant["activation"]["quantizer"]
     calib = cfg.get("calib_data", {})
     model = cfg.get("model", {})
+    backend_ov = tuple(
+        (str(k), str(v))
+        for k, v in (cfg.get("backend_overrides") or {}).items())
     return QuantPlanConfig(
         default_layer=default,
         fp_patterns=fp_patterns,
+        backend_overrides=backend_ov,
         model_id=model.get("model_id", "opensora"),
         model_type=model.get("model_type", "opensora"),
         cfg_split=bool(cfg.get("cfg_split", False)),
