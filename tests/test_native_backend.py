@@ -90,3 +90,28 @@ def test_weight_only_native_matches_fake_quant():
     out_s = layer_s.apply(vs, x, QuantCtx(mode="quant"))
     np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_weight_only_int4_bitpacked():
+    """int4 weight-only: two codes per byte (8x memory), matches simulated
+    W4 weight-only fake quant."""
+    from viditq_tpu.quant import QuantLinear
+    w4 = QuantSpec(n_bits=4, granularity="channel", channel_axis=-1,
+                   round_mode="nearest")
+    wo = LayerQuantSpec(weight=w4, act=None, act_quant=False,
+                        backend="native")
+    resolver = lambda n: wo
+    layer_n = QuantLinear(features=32, lspec=wo, dtype=jnp.float32)
+    layer_s = QuantLinear(
+        features=32, lspec=dataclasses.replace(wo, backend="simulate"),
+        dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 16, 24)),
+                    jnp.float32)
+    vs = dict(layer_n.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    assert vs["quant"]["w_int"].shape == (1, 12, 32)  # 24 rows -> 12 bytes
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], resolver)
+    vs["quant"] = pack_native_weights(vs["params"], vs["quant"], resolver)
+    out_n = layer_n.apply(vs, x, QuantCtx(mode="quant"))
+    out_s = layer_s.apply(vs, x, QuantCtx(mode="quant"))
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-5)

@@ -39,9 +39,12 @@ def add_native_slots(quant_vars: Dict, params: Dict,
             continue
         kernel = flat_p[layer_path + ("kernel",)]
         n_tr = flat_q[layer_path + ("w_delta",)].shape[1]
+        pack4 = weight_only and lspec.weight.n_bits == 4
+        rows = ((kernel.shape[-2] + 1) // 2 if pack4 else kernel.shape[-2])
+        shape = tuple(kernel.shape[:-2]) + (rows, kernel.shape[-1])
         if layer_path + ("w_int",) not in flat_q:
             flat_q[layer_path + ("w_int",)] = jnp.zeros(
-                (n_tr,) + tuple(kernel.shape), jnp.int8)
+                (n_tr,) + shape, jnp.int8)
             flat_q[layer_path + ("w_colsum",)] = jnp.zeros(
                 (n_tr, 1, kernel.shape[-1]), jnp.float32)
     return traverse_util.unflatten_dict(flat_q)
@@ -60,6 +63,8 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
             continue
         wspec = lspec.weight
         smooth = lspec.smooth_quant
+        pack4 = ((lspec.act is None or not lspec.act_quant)
+                 and wspec.n_bits == 4)
         kernel = jnp.asarray(flat_p[layer_path + ("kernel",)], jnp.float32)
         wd_full = flat_q[layer_path + ("w_delta",)]
         wz_full = flat_q[layer_path + ("w_zp",)]
@@ -68,9 +73,8 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
             acts = flat_q.get(layer_path + ("act_scale",))
 
             def pack_one(k, wd, wz, a=None):
-                out = _pack_layer(k, wd[wspec.bit_idx], wz[wspec.bit_idx],
-                                  wspec, smooth, a)
-                return out
+                return _pack_layer(k, wd[wspec.bit_idx], wz[wspec.bit_idx],
+                                   wspec, smooth, a, pack4=pack4)
 
             if acts is None:
                 packed = jax.vmap(pack_one)(kernel, wd_full, wz_full)
@@ -82,15 +86,18 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
         act_scale = flat_q.get(layer_path + ("act_scale",))
         w_int, colsum = _pack_layer(kernel, wd_full[wspec.bit_idx],
                                     wz_full[wspec.bit_idx], wspec, smooth,
-                                    act_scale)
+                                    act_scale, pack4=pack4)
         flat_q[layer_path + ("w_int",)] = w_int
         flat_q[layer_path + ("w_colsum",)] = colsum
     return traverse_util.unflatten_dict(flat_q)
 
 
-def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale):
-    """Quantize one [C_in, F] kernel into per-timerange signed int8 slabs +
-    column sums. w_delta/w_zp: [n_tr, 1, F]."""
+def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
+                pack4: bool = False):
+    """Quantize one [C_in, F] kernel into per-timerange int slabs + column
+    sums. w_delta/w_zp: [n_tr, 1, F]. Full-native slabs are signed int8
+    (shifted codes); pack4 slabs hold two unsigned 4-bit codes per byte
+    (weight-only int4 — 8x memory vs fp32)."""
     n_tr = w_delta.shape[0]
     shift = float(2 ** (wspec.n_bits - 1))
     n_levels = float(2 ** wspec.n_bits)
@@ -105,8 +112,19 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale):
             w_eff = kernel * cs[:, None]
         d = jnp.asarray(w_delta[tr]).reshape(1, -1)
         z = jnp.asarray(w_zp[tr]).reshape(1, -1)
-        code = jnp.clip(jnp.round(w_eff / d) + z, 0, n_levels - 1) - shift
-        slabs.append(code.astype(jnp.int8))
-        colsums.append(jnp.sum(code, axis=0, keepdims=True)
-                       .astype(jnp.float32))
+        code_u = jnp.clip(jnp.round(w_eff / d) + z, 0, n_levels - 1)
+        if pack4:
+            cin = code_u.shape[0]
+            if cin % 2:
+                code_u = jnp.pad(code_u, ((0, 1), (0, 0)))
+            pairs = code_u.reshape(-1, 2, code_u.shape[-1]).astype(jnp.int32)
+            packed = (pairs[:, 0] | (pairs[:, 1] << 4)).astype(jnp.uint8)
+            slabs.append(packed.astype(jnp.int8))
+            colsums.append(jnp.sum(code_u, axis=0, keepdims=True)
+                           .astype(jnp.float32))
+        else:
+            code = code_u - shift
+            slabs.append(code.astype(jnp.int8))
+            colsums.append(jnp.sum(code, axis=0, keepdims=True)
+                           .astype(jnp.float32))
     return jnp.stack(slabs), jnp.stack(colsums)

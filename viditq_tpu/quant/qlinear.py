@@ -188,13 +188,17 @@ class QuantLinear(nn.Module):
         native_wo = (lspec.backend == "native" and w_q is not None
                      and lspec.weight_quant
                      and (aspec is None or not lspec.act_quant))
+        # int4 weight-only weights bit-pack two codes per byte (8x memory
+        # reduction vs fp32); full-native stays one code per int8 byte
+        # (the MXU consumes int8)
+        pack4 = native_wo and wspec is not None and wspec.n_bits == 4
         if native or native_wo:
-            # prepacked int8 weights + column sums, filled offline by
+            # prepacked int weights + column sums, filled offline by
             # viditq_tpu.quant.native_pack.pack_native_weights
+            rows = (in_features + 1) // 2 if pack4 else in_features
             w_int = self.variable(
                 "quant", "w_int",
-                lambda: jnp.zeros((n_tr, in_features, self.features),
-                                  jnp.int8))
+                lambda: jnp.zeros((n_tr, rows, self.features), jnp.int8))
             w_colsum = self.variable(
                 "quant", "w_colsum",
                 lambda: jnp.zeros((n_tr, 1, self.features), jnp.float32))
@@ -311,19 +315,27 @@ class QuantLinear(nn.Module):
             return out.reshape(*x.shape[:-1], self.features)
 
         if native_wo and mode == "quant":
-            shift = float(2 ** (wspec.n_bits - 1))
-
             def _sel(v):
                 if n_tr == 1:
                     return v[0]
                 return jax.lax.dynamic_index_in_dim(v, tr_id, 0, False)
 
-            wq_codes = _sel(w_int.value).astype(self.dtype)
             d = _sel(w_q[0].value[wspec.bit_idx]).reshape(1, -1)
-            zshift = (_sel(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
-                      - shift)
-            w_deq = (wq_codes - zshift.astype(self.dtype)) * d.astype(
-                self.dtype)
+            z = _sel(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
+            stored = _sel(w_int.value)
+            if pack4:
+                # two unsigned 4-bit codes per byte, row-interleaved
+                b = stored.astype(jnp.int32) & 0xFF
+                lo = (b & 0x0F).astype(self.dtype)
+                hi = ((b >> 4) & 0x0F).astype(self.dtype)
+                codes = jnp.stack([lo, hi], axis=1).reshape(
+                    -1, self.features)[:in_features]
+                w_deq = (codes - z.astype(self.dtype)) * d.astype(self.dtype)
+            else:
+                shift = float(2 ** (wspec.n_bits - 1))
+                codes = stored.astype(self.dtype)
+                w_deq = ((codes - (z.astype(self.dtype) - shift))
+                         * d.astype(self.dtype))
             return self._dense(x, w_deq, bias)
 
         # ---- activation quantization ----
