@@ -381,6 +381,13 @@ def cmd_calibrate_ptqd_k(args):
 
 
 def main(argv=None):
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/viditq_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     p = argparse.ArgumentParser(prog="viditq_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
