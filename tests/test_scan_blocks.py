@@ -78,3 +78,24 @@ def test_scan_quantized_matches_unrolled():
     rel = (np.linalg.norm(np.asarray(out_sc - out_un))
            / np.linalg.norm(np.asarray(out_un)))
     assert rel < 5e-3, rel
+
+
+def test_pixart_scan_matches_unrolled():
+    from viditq_tpu.models import PixArt
+    kw = dict(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+              depth=3, num_heads=4, caption_channels=32, model_max_length=8,
+              dtype=jnp.float32)
+    un = PixArt(scan_blocks=False, **kw)
+    sc = PixArt(scan_blocks=True, **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8)), jnp.float32)
+    t = jnp.asarray([500.0, 100.0])
+    y = jnp.asarray(rng.standard_normal((2, 1, 8, 32)), jnp.float32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    v_un = un.init(jax.random.PRNGKey(0), x, t, y, mask)
+    v_sc = {"params": stack_block_params(
+        jax.tree.map(np.asarray, v_un["params"]), 3)}
+    out_un = un.apply(v_un, x, t, y, mask)
+    out_sc = sc.apply(v_sc, x, t, y, mask)
+    np.testing.assert_allclose(np.asarray(out_sc), np.asarray(out_un),
+                               rtol=2e-4, atol=2e-4)

@@ -101,6 +101,9 @@ class PixArt(nn.Module):
     kv_compress_layers: Tuple[int, ...] = ()
     resolver: Resolver = no_quant
     grad_checkpoint: bool = False
+    # run all blocks as one nn.scan (stacked params; ~depth-x lower compile
+    # time) — requires a uniform per-block config, i.e. no kv compression
+    scan_blocks: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -151,18 +154,39 @@ class PixArt(nn.Module):
                 mask = jnp.tile(mask, (B // mask.shape[0], 1))
             y = y * mask[..., None].astype(y.dtype)
 
-        block_cls = (nn.remat(PixArtBlock) if self.grad_checkpoint
-                     else PixArtBlock)
-        for i in range(self.depth):
-            sr = (self.kv_compress_scale
-                  if i in self.kv_compress_layers else 1)
-            x = block_cls(
+        if self.scan_blocks:
+            assert not self.kv_compress_layers, \
+                "scan_blocks requires uniform blocks (no kv compression)"
+
+            def step(blk, carry, _):
+                return blk(carry, y, t0, mask, (h, w), qctx), None
+
+            if self.grad_checkpoint:
+                step = nn.remat(step, prevent_cse=False)
+            scan = nn.scan(
+                step,
+                variable_axes={"params": 0, "quant": 0, "qstats": 0,
+                               "intermediates": 0},
+                split_rngs={"params": True},
+                in_axes=0, length=self.depth)
+            block = PixArtBlock(
                 C, self.num_heads, mlp_ratio=self.mlp_ratio,
-                qk_norm=self.qk_norm,
-                sampling=self.kv_compress_sampling if sr > 1 else None,
-                sr_ratio=sr, resolver=self.resolver, prefix=f"blocks.{i}",
-                dtype=self.dtype, name=f"blocks_{i}")(
-                    x, y, t0, mask, (h, w), qctx)
+                qk_norm=self.qk_norm, resolver=self.resolver,
+                prefix="blocks.0", dtype=self.dtype, name="blocks")
+            x, _ = scan(block, x, jnp.zeros((self.depth, 1), self.dtype))
+        else:
+            block_cls = (nn.remat(PixArtBlock) if self.grad_checkpoint
+                         else PixArtBlock)
+            for i in range(self.depth):
+                sr = (self.kv_compress_scale
+                      if i in self.kv_compress_layers else 1)
+                x = block_cls(
+                    C, self.num_heads, mlp_ratio=self.mlp_ratio,
+                    qk_norm=self.qk_norm,
+                    sampling=self.kv_compress_sampling if sr > 1 else None,
+                    sr_ratio=sr, resolver=self.resolver,
+                    prefix=f"blocks.{i}", dtype=self.dtype,
+                    name=f"blocks_{i}")(x, y, t0, mask, (h, w), qctx)
 
         x = T2IFinalLayer(self.patch_size ** 2, self.out_channels,
                           resolver=self.resolver, dtype=self.dtype,
