@@ -187,6 +187,9 @@ def cmd_ptq(args):
     import jax.numpy as jnp
     from viditq_tpu.pipelines.ptq import run_ptq
     from viditq_tpu.utils import ckpt as ckpt_utils, workload
+    from viditq_tpu.utils.logging import log_invocation, setup_logger
+    logger = setup_logger(args.save_dir, "ptq_run")
+    log_invocation(logger, args)
     cfg, plan, resolver, model, sampler = _setup(args, quant=True)
     data = np.load(args.calib_data)
     calib = {"xs": data["xs"], "ts": data["ts"], "y": data["y"],
@@ -210,6 +213,9 @@ def cmd_quant_generate(args, mp: bool = False):
     import jax.numpy as jnp
     from viditq_tpu.pipelines import inference as inf
     from viditq_tpu.utils import ckpt as ckpt_utils, workload
+    from viditq_tpu.utils.logging import log_invocation, setup_logger
+    logger = setup_logger(args.save_dir, "quant_inference_run")
+    log_invocation(logger, args)
     cfg, plan, resolver, model, sampler = _setup(args, quant=True)
     ls = workload.latent_size(cfg)
     n = args.num_samples
