@@ -47,3 +47,26 @@ def test_dryrun_multichip(n):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(n)
+
+
+def test_stdit_model_level_ulysses_sp():
+    """STDiT with sp_mesh: self-attention via all-to-all matches the
+    non-parallel model (reference SeqParallelAttention parity)."""
+    import jax.numpy as jnp
+    from viditq_tpu.models import STDiT
+    mesh = make_mesh(dp=1, sp=4, tp=1, devices=jax.devices()[:4])
+    kw = dict(input_size=(4, 16, 16), in_channels=4, patch_size=(1, 2, 2),
+              hidden_size=64, depth=2, num_heads=4, caption_channels=32,
+              model_max_length=8, dtype=jnp.float32)
+    base = STDiT(**kw)
+    spm = STDiT(sp_mesh=mesh, **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 16, 16)), jnp.float32)
+    t = jnp.asarray([500.0, 100.0])
+    y = jnp.asarray(rng.standard_normal((2, 1, 8, 32)), jnp.float32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    variables = base.init(jax.random.PRNGKey(0), x, t, y, mask)
+    out_base = base.apply(variables, x, t, y, mask)
+    out_sp = spm.apply(variables, x, t, y, mask)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_base),
+                               rtol=5e-4, atol=5e-4)

@@ -207,3 +207,19 @@ def test_attention_internal_quantizers():
                           prefix="attn", dtype=jnp.float32)
     out_q2 = attn2.apply(vs, x, QuantCtx(mode="quant"))
     assert np.abs(np.asarray(out_q2 - out_q)).max() > 1e-6
+
+
+def test_quant_conv():
+    from viditq_tpu.quant.qlinear import QuantConv
+    lspec = LayerQuantSpec(weight=W8, act=A8_DYN)
+    conv = QuantConv(features=16, kernel_size=(3, 3), lspec=lspec,
+                     dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 4)),
+                    jnp.float32)
+    vs = conv.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp"))
+    out_fp = conv.apply(vs, x, QuantCtx(mode="fp"))
+    out_q = conv.apply(vs, x, QuantCtx(mode="quant"))
+    assert out_fp.shape == (2, 8, 8, 16)
+    rel = (np.linalg.norm(np.asarray(out_q - out_fp))
+           / np.linalg.norm(np.asarray(out_fp)))
+    assert 0 < rel < 0.05, rel

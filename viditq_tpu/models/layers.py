@@ -182,6 +182,10 @@ class SelfAttention(nn.Module):
     token_layout: Optional[str] = None
     d_t: int = 1
     d_s: int = 1
+    # Ulysses sequence parallelism: when a Mesh with an 'sp' axis is given,
+    # attention runs via all-to-all head-scatter/seq-gather (the reference's
+    # SeqParallelAttention, blocks.py:198-274)
+    sp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, qctx: Optional[QuantCtx] = None):
@@ -206,6 +210,17 @@ class SelfAttention(nn.Module):
         v = QuantLinear(C, lspec=specs[2],
                         use_bias=self.qkv_bias, name="v", **kw)(
                             x, qctx, prequant=pre)
+        if self.sp_mesh is not None:
+            sp = self.sp_mesh.shape.get("sp", 1)
+            if sp > 1 and N % sp == 0 and H % sp == 0:
+                from viditq_tpu.parallel.ulysses import ulysses_attention
+                out = ulysses_attention(
+                    q.reshape(B, N, H, D), k.reshape(B, N, H, D),
+                    v.reshape(B, N, H, D), self.sp_mesh, scale=D ** -0.5)
+                out = out.reshape(B, N, C)
+                return QuantLinear(
+                    C, lspec=self.resolver(f"{self.prefix}.proj"),
+                    name="proj", **kw)(out, qctx)
         q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, H, D).transpose(0, 2, 1, 3)

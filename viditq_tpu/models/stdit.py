@@ -39,6 +39,7 @@ class STDiTBlock(nn.Module):
     resolver: Resolver = no_quant
     prefix: str = ""
     dtype: Any = jnp.bfloat16
+    sp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, y, t0, mask=None, tpe=None,
@@ -60,7 +61,7 @@ class STDiTBlock(nn.Module):
             C, self.num_heads, resolver=self.resolver,
             prefix=f"{self.prefix}.attn", dtype=self.dtype,
             token_layout="spatial", d_t=self.d_t, d_s=self.d_s,
-            name="attn")(x_s, qctx)
+            sp_mesh=self.sp_mesh, name="attn")(x_s, qctx)
         x = x + gate_msa * x_s.reshape(B, N, C)
 
         # temporal branch: [B, (T S), C] -> [(B S), T, C]
@@ -77,7 +78,7 @@ class STDiTBlock(nn.Module):
             C, self.num_heads, resolver=self.resolver,
             prefix=f"{self.prefix}.attn_temp", dtype=self.dtype,
             token_layout="temporal", d_t=self.d_t, d_s=self.d_s,
-            name="attn_temp")(x_t, qctx)
+            sp_mesh=self.sp_mesh, name="attn_temp")(x_t, qctx)
         x_t = x_t.reshape(B, self.d_s, self.d_t, C).transpose(0, 2, 1, 3)
         x = x + gate_msa * x_t.reshape(B, N, C)
 
@@ -115,6 +116,9 @@ class STDiT(nn.Module):
     no_temporal_pos_emb: bool = False
     resolver: Resolver = no_quant
     grad_checkpoint: bool = False
+    # Ulysses sequence parallelism for the self-attentions (reference
+    # SeqParallelAttention): set to a Mesh with an 'sp' axis
+    sp_mesh: Any = None
     # Run the depth-28 block stack as ONE nn.scan step (params/quant tables
     # stacked on a leading depth axis). ~depth-x lower compile time; requires
     # a uniform per-block quant config (per-block overrides need the
@@ -191,7 +195,7 @@ class STDiT(nn.Module):
             block = STDiTBlock(
                 C, self.num_heads, d_s=S, d_t=T, mlp_ratio=self.mlp_ratio,
                 resolver=self.resolver, prefix="blocks.0",
-                dtype=self.dtype, name="blocks")
+                dtype=self.dtype, sp_mesh=self.sp_mesh, name="blocks")
             x, _ = scan(block, x, gates)
         else:
             block_cls = (nn.remat(STDiTBlock) if self.grad_checkpoint
@@ -201,7 +205,7 @@ class STDiT(nn.Module):
                     C, self.num_heads, d_s=S, d_t=T,
                     mlp_ratio=self.mlp_ratio, resolver=self.resolver,
                     prefix=f"blocks.{i}", dtype=self.dtype,
-                    name=f"blocks_{i}")(
+                    sp_mesh=self.sp_mesh, name=f"blocks_{i}")(
                         x, y, t0, mask, tpe if i == 0 else None, qctx)
 
         x = T2IFinalLayer(int(np.prod(self.patch_size)), self.out_channels,

@@ -401,3 +401,59 @@ class QuantLinear(nn.Module):
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+
+class QuantConv(nn.Module):
+    """Quantization-aware NCHW-style convolution.
+
+    The reference `QuantLayer` wraps Conv1d/Conv2d the same way it wraps
+    Linear (quant_layer.py:34-45); here the conv is expressed channels-last
+    internally (flax) with per-out-channel weight quant and tensor/token act
+    quant. Used when quant plans target conv layers (e.g. patch embedders
+    taken off the fp list).
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = "SAME"
+    lspec: Optional[LayerQuantSpec] = None
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, qctx: Optional[QuantCtx] = None):
+        """x: [B, ..., C_in] channels-last."""
+        from viditq_tpu.quant import core
+        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            kshape, jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        lspec = self.lspec
+        w_eff = kernel
+        if (lspec is not None and qctx is not None and qctx.mode == "quant"):
+            if lspec.act is not None and lspec.act_quant:
+                aspec = lspec.act
+                if aspec.granularity == "token":
+                    # tokens = spatial positions: flatten to [B, P, C]
+                    xv = x.reshape(x.shape[0], -1, x.shape[-1])
+                    x = core.fake_quant_dynamic(xv, aspec).reshape(x.shape)
+                else:
+                    x = core.fake_quant_dynamic(x, aspec)
+            if lspec.weight is not None and lspec.weight_quant:
+                wspec = lspec.weight
+                d, z = core.compute_qparams(
+                    kernel.reshape(-1, self.features), wspec)
+                w_eff = core.fake_quant(
+                    kernel.reshape(-1, self.features), d, z,
+                    wspec).reshape(kshape)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w_eff.astype(self.dtype),
+            window_strides=self.strides, padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")
+            if len(self.kernel_size) == 2 else ("NWC", "WIO", "NWC"))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
