@@ -73,3 +73,38 @@ def test_model_reconstruction_via_capture():
     res = model.apply(out, x, t, y, None,
                       qctx=QuantCtx(mode="quant", soft_targets=False))
     assert np.isfinite(np.asarray(res)).all()
+
+
+def test_mlp_block_reconstruction_beats_layerwise_nearest():
+    from viditq_tpu.quant.reconstruction import mlp_block_reconstruction
+    rng = np.random.default_rng(0)
+    fc1 = jnp.asarray(rng.standard_normal((24, 48)) * 0.2, jnp.float32)
+    fc2 = jnp.asarray(rng.standard_normal((48, 24)) * 0.2, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((256, 24)), jnp.float32)
+    h = jax.nn.gelu(x @ fc1, approximate=True)
+    y = h @ fc2
+    wspec = QuantSpec(n_bits=3, granularity="channel", channel_axis=-1,
+                      round_mode="learned_hard_sigmoid")
+    lspec = LayerQuantSpec(weight=wspec, act=None, act_quant=False)
+    res = mlp_block_reconstruction(fc1, None, fc2, None, x, y, lspec,
+                                   ReconConfig(iters=400, batch_size=64,
+                                               lambda_coeff=0.01))
+
+    def hard(name_res, k):
+        d, z = name_res["w_delta"], name_res["w_zp"]
+        code = jnp.floor(k / d) + (name_res["w_alpha"] >= 0)
+        return (jnp.clip(code + z, 0, 7) - z) * d
+
+    w1, w2 = hard(res["fc1"], fc1), hard(res["fc2"], fc2)
+    y_opt = jax.nn.gelu(x @ w1, approximate=True) @ w2
+    # nearest baseline
+    near = []
+    for k in (fc1, fc2):
+        d, z = core.compute_qparams(k, wspec)
+        near.append(core.fake_quant(
+            k, d, z, QuantSpec(n_bits=3, granularity="channel",
+                               channel_axis=-1, round_mode="nearest")))
+    y_near = jax.nn.gelu(x @ near[0], approximate=True) @ near[1]
+    mse_opt = float(jnp.mean((y_opt - y) ** 2))
+    mse_near = float(jnp.mean((y_near - y) ** 2))
+    assert mse_opt < mse_near, (mse_opt, mse_near)

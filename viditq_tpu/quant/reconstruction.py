@@ -180,6 +180,93 @@ def model_reconstruction(variables: Dict, layer_io: Dict[str, Tuple],
     return variables
 
 
+def mlp_block_reconstruction(fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+                             x_fp: jnp.ndarray, y_fp: jnp.ndarray,
+                             lspec: LayerQuantSpec,
+                             cfg: ReconConfig = ReconConfig(),
+                             rng: Optional[jnp.ndarray] = None) -> Dict:
+    """Block-granularity AdaRound: jointly optimize both MLP linears'
+    rounding against the block output through the gelu nonlinearity
+    (reference block_reconstruction, qdiff/optimization/block_recon.py:31 —
+    the block round-loss sums over every QuantLayer in the block,
+    qdiff/utils.py:169-176).
+
+    x_fp: captured fc1 inputs; y_fp: captured fc2 FP outputs.
+    Returns {'fc1': {...tables...}, 'fc2': {...}}.
+    """
+    import flax.linen as nn_  # noqa: F401  (gelu via jax.nn below)
+    wspec = lspec.weight
+    aspec = lspec.act
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    x2 = x_fp.reshape(-1, x_fp.shape[-1]).astype(jnp.float32)
+    y2 = y_fp.reshape(-1, y_fp.shape[-1]).astype(jnp.float32)
+    n = x2.shape[0]
+    bs = min(cfg.batch_size, n)
+
+    layers = {}
+    for name, k in (("fc1", fc1_kernel), ("fc2", fc2_kernel)):
+        k = k.astype(jnp.float32)
+        d, z = core.compute_qparams(k, wspec)
+        layers[name] = {"kernel": k, "delta": d, "zp": z,
+                        "alpha0": core.adaround_init_alpha(k, d)}
+    params = {name: layers[name]["alpha0"] for name in layers}
+    tx = optax.adam(cfg.lr_alpha)
+    opt_state = tx.init(params)
+    n_levels = wspec.n_levels()
+
+    def qw(name, alpha):
+        L = layers[name]
+        floor = jnp.floor(L["kernel"] / L["delta"])
+        soft = core.adaround_soft_targets(alpha)
+        code = jnp.clip(floor + soft + L["zp"], 0, n_levels - 1)
+        return (code - L["zp"]) * L["delta"]
+
+    def act_q(x):
+        if aspec is not None and lspec.act_quant and aspec.dynamic:
+            return core.fake_quant_dynamic(x[None], aspec)[0]
+        return x
+
+    def fwd(p, xb):
+        h = act_q(xb) @ qw("fc1", p["fc1"])
+        if fc1_bias is not None:
+            h = h + fc1_bias.astype(jnp.float32)
+        h = jax.nn.gelu(h, approximate=True)
+        out = act_q(h) @ qw("fc2", p["fc2"])
+        if fc2_bias is not None:
+            out = out + fc2_bias.astype(jnp.float32)
+        return out
+
+    def loss_fn(p, xb, yb, t):
+        rec = jnp.mean((fwd(p, xb) - yb) ** 2)
+        b = temp_decay(t, cfg.iters, cfg.warmup, *cfg.b_range)
+        rl = sum(jnp.sum(1.0 - jnp.abs(
+            2.0 * core.adaround_soft_targets(p[nm]) - 1.0) ** b)
+            for nm in p)
+        rl = jnp.where(t < cfg.warmup * cfg.iters, 0.0,
+                       cfg.lambda_coeff * rl)
+        return rec + rl
+
+    @jax.jit
+    def step(carry, t):
+        p, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (bs,), 0, n)
+        loss, grads = jax.value_and_grad(loss_fn)(p, x2[idx], y2[idx], t)
+        updates, opt_state = tx.update(grads, opt_state)
+        p = optax.apply_updates(p, updates)
+        return (p, opt_state, key), loss
+
+    (params, _, _), losses = jax.lax.scan(
+        step, (params, opt_state, rng), jnp.arange(cfg.iters))
+    out = {}
+    for name in layers:
+        L = layers[name]
+        out[name] = {"w_alpha": params[name], "w_delta": L["delta"],
+                     "w_zp": L["zp"]}
+    out["recon_losses"] = losses
+    return out
+
+
 def capture_layer_io(model, variables, example_args,
                      mode: str = "fp") -> Dict[str, Tuple]:
     """{name: (x_in, y_out)} via the capture ctx (replaces reference
