@@ -174,3 +174,16 @@ def test_generate_mp_config():
     # pipes straight into the MP inference parser
     ranges = analysis.parse_mp_ranges(cfg)
     assert [r[0] for r in ranges] == [(3, 2), (1, 0)]
+
+
+def test_partial_and_until_resolvers():
+    base = LayerQuantSpec(weight=W8, act=A8)
+    names = [f"blocks.{i}.attn.q" for i in range(10)] + ["final_layer.linear"]
+    r = analysis.partial_quant_resolver(base, names, quant_ratio=0.5,
+                                        fp_patterns=("final_layer",))
+    on = [n for n in names if r(n).weight_quant]
+    assert len(on) == 5
+    assert "final_layer.linear" not in on
+    r2 = analysis.quantize_until_resolver(base, names, k=3)
+    on2 = [n for n in names if r2(n).weight_quant]
+    assert on2 == names[:3]

@@ -50,6 +50,39 @@ def single_target_resolver(base: LayerQuantSpec, target_pattern: str,
     return resolve
 
 
+def partial_quant_resolver(base: LayerQuantSpec, layer_names: Sequence[str],
+                           quant_ratio: float, seed: int = 0,
+                           fp_patterns: Sequence[str] = ()):
+    """Quantize a random fraction of layers (reference `--part_quant /
+    --quant_ratio` flags, config_utils.py:11-178)."""
+    rng = np.random.default_rng(seed)
+    eligible = [n for n in layer_names
+                if not any(pattern_in(n, p) for p in fp_patterns)]
+    k = int(round(len(eligible) * quant_ratio))
+    chosen = set(rng.choice(eligible, size=k, replace=False)) if k else set()
+
+    def resolve(name: str) -> Optional[LayerQuantSpec]:
+        if name in chosen:
+            return base
+        return base.disabled()
+    return resolve
+
+
+def quantize_until_resolver(base: LayerQuantSpec,
+                            ordered_names: Sequence[str], k: int,
+                            fp_patterns: Sequence[str] = ()):
+    """Quantize only the first k layers in forward order (reference
+    `quantize_model_till`, qdiff/utils.py:588 — error-bisection debugging)."""
+    chosen = set(ordered_names[:k])
+
+    def resolve(name: str) -> Optional[LayerQuantSpec]:
+        if name in chosen and not any(pattern_in(name, p)
+                                      for p in fp_patterns):
+            return base
+        return base.disabled()
+    return resolve
+
+
 def frame_mse(a: jnp.ndarray, b: jnp.ndarray) -> float:
     """MSE between generations (metric.ipynb cell 2 semantics)."""
     return float(jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2))
