@@ -67,3 +67,20 @@ def test_pixart_dpm_cli(outdir):
               "--ptq_config", "configs/pixart/w8a8.yaml"])
     out = np.load(os.path.join(outdir, "pixart", "quant_samples.npz"))
     assert out["samples"].shape == (1, 4, 8, 8)
+
+
+def test_quant_generate_hybrid_plan(outdir):
+    """backend_overrides plan: int8 MLPs + weight-only elsewhere."""
+    import yaml, shutil
+    # tiny-model copy of the hybrid plan (reuses the schema + overrides)
+    with open("configs/opensora/w8a8_tpu_hybrid.yaml") as f:
+        cfg = yaml.safe_load(f)
+    path = os.path.join(outdir, "hybrid_tiny.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    cli.main(["quant-generate", "--config",
+              "configs/workload/opensora_tiny.py",
+              "--save_dir", outdir + "/hybrid", "--num_samples", "1",
+              "--ptq_config", path, "--backend", "native"])
+    out = np.load(os.path.join(outdir, "hybrid", "quant_samples.npz"))
+    assert np.isfinite(out["samples"]).all()
