@@ -70,3 +70,50 @@ def test_stdit_model_level_ulysses_sp():
     out_sp = spm.apply(variables, x, t, y, mask)
     np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_base),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_qat_step_reduces_loss_through_ste():
+    """QAT: gradients flow through fake quantizers via STE; loss decreases."""
+    import jax.numpy as jnp
+    from viditq_tpu.models import STDiT
+    from viditq_tpu.parallel.training import make_optimizer, make_qat_step
+    from viditq_tpu.samplers import make_schedule
+    from viditq_tpu.quant import (LayerQuantSpec, QuantSpec, QuantCtx,
+                                  calibrate_weight_tables, resolve_layer_spec)
+    w8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+                   round_mode="nearest_ste")
+    a8 = QuantSpec(n_bits=8, granularity="token", round_mode="nearest_ste",
+                   dynamic=True)
+    fp = ("x_embedder", "t_block", "t_embedder", "y_embedder", "final_layer")
+    resolver = lambda n: resolve_layer_spec(
+        n, LayerQuantSpec(weight=w8, act=a8), fp)
+    model = STDiT(input_size=(2, 8, 8), in_channels=4, patch_size=(1, 2, 2),
+                  hidden_size=32, depth=1, num_heads=4, caption_channels=16,
+                  model_max_length=4, dtype=jnp.float32, resolver=resolver)
+    rng = np.random.default_rng(0)
+    batch = {"x0": jnp.asarray(rng.standard_normal((2, 4, 2, 8, 8)),
+                               jnp.float32),
+             "t": jnp.asarray([1, 5]),
+             "y": jnp.asarray(rng.standard_normal((2, 1, 4, 16)),
+                              jnp.float32),
+             "mask": jnp.ones((2, 4), jnp.int32)}
+    variables = dict(model.init(jax.random.PRNGKey(0), batch["x0"],
+                                jnp.zeros((2,)), batch["y"], batch["mask"],
+                                QuantCtx(mode="fp")))
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], resolver)
+    schedule = make_schedule(num_sampling_steps=10)
+    opt = make_optimizer(lr=2e-3)
+    qctx = QuantCtx(mode="quant", t_id=jnp.asarray(500))
+    step = jax.jit(make_qat_step(model, schedule, opt, qctx))
+    params = variables["params"]
+    ema = jax.tree.map(lambda v: v, params)
+    opt_state = opt.init(params)
+    losses = []
+    for i in range(8):
+        params, ema, opt_state, loss = step(
+            params, variables["quant"], ema, opt_state, batch,
+            jax.random.PRNGKey(42))  # fixed noise -> loss must shrink
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()

@@ -64,6 +64,38 @@ def make_train_step(model, schedule: Schedule,
     return train_step
 
 
+def make_qat_step(model, schedule: Schedule,
+                  optimizer: optax.GradientTransformation,
+                  qctx, in_channels: int = 4, ema_decay: float = 0.9999):
+    """Quantization-aware training step (reference CLI `qat` mode,
+    config_utils.py:11-178): the forward runs through the fake quantizers,
+    gradients flow via the straight-through estimator (round_ste), weights
+    update in full precision. `qctx` should use round_mode 'nearest_ste'
+    specs (the default act spec) so STE applies.
+
+    Variables beyond 'params' (the calibrated 'quant' tables) are treated as
+    frozen constants during QAT.
+    """
+
+    def qat_step(params, quant, ema, opt_state, batch, rng):
+        noise = jax.random.normal(rng, batch["x0"].shape, jnp.float32)
+
+        def loss_fn(p):
+            def model_fn(x_t, t):
+                return model.apply({"params": p, "quant": quant}, x_t, t,
+                                   batch["y"], batch.get("mask"), qctx)
+            return training_losses(model_fn, batch["x0"], batch["t"], noise,
+                                   schedule, in_channels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = update_ema(ema, params, ema_decay)
+        return params, ema, opt_state, loss
+
+    return qat_step
+
+
 def shardings_for_state(mesh: Mesh, params, opt_state, zero: bool = True):
     """NamedShardings: params/ema by TP rules; adam moments additionally
     sharded over dp on their first divisible axis (ZeRO-2-style optimizer
