@@ -115,3 +115,63 @@ def test_weight_only_int4_bitpacked():
     out_s = layer_s.apply(vs, x, QuantCtx(mode="quant"))
     np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_static_act_native_matches_simulate():
+    """Static per-token acts + symmetric weights: the fastest native path;
+    must match the simulated static path."""
+    from viditq_tpu.quant import (QuantLinear, finalize_act_tables)
+    w8s = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+                    round_mode="nearest", sym=True)
+    a8s = QuantSpec(n_bits=8, granularity="token", round_mode="nearest",
+                    running_stat=True, timestep_wise=True, n_timestep=2)
+    spec_nat = LayerQuantSpec(weight=w8s, act=a8s, backend="native")
+    spec_sim = dataclasses.replace(spec_nat, backend="simulate")
+    res_nat = lambda n: spec_nat
+    res_sim = lambda n: spec_sim
+    layer_n = QuantLinear(features=32, lspec=spec_nat, dtype=jnp.float32)
+    layer_s = QuantLinear(features=32, lspec=spec_sim, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 24)),
+                    jnp.float32)
+    vs = dict(layer_n.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], res_nat)
+    # act range calib for both slots
+    for slot in (0, 1):
+        for xb in (x, x * 1.1):
+            _, upd = layer_n.apply(
+                vs, xb, QuantCtx(mode="a_calib", act_slot=jnp.asarray(slot)),
+                mutable=["qstats"])
+            vs["qstats"] = upd["qstats"]
+    vs["quant"] = finalize_act_tables(vs["quant"], vs["qstats"], res_nat)
+    vs["quant"] = pack_native_weights(vs["params"], vs["quant"], res_nat)
+    qctx = QuantCtx(mode="quant", act_slot=jnp.asarray(1))
+    out_n = layer_n.apply(vs, x, qctx)
+    out_s = layer_s.apply(vs, x, qctx)
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_static_act_native_asym_weights():
+    from viditq_tpu.quant import QuantLinear, finalize_act_tables
+    w8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+                   round_mode="nearest")
+    a8s = QuantSpec(n_bits=8, granularity="token", round_mode="nearest",
+                    running_stat=True, timestep_wise=True, n_timestep=1)
+    spec_nat = LayerQuantSpec(weight=w8, act=a8s, backend="native")
+    spec_sim = dataclasses.replace(spec_nat, backend="simulate")
+    res = lambda n: spec_nat
+    layer_n = QuantLinear(features=16, lspec=spec_nat, dtype=jnp.float32)
+    layer_s = QuantLinear(features=16, lspec=spec_sim, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 8, 12)),
+                    jnp.float32)
+    vs = dict(layer_n.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], res)
+    _, upd = layer_n.apply(vs, x, QuantCtx(mode="a_calib"),
+                           mutable=["qstats"])
+    vs["qstats"] = upd["qstats"]
+    vs["quant"] = finalize_act_tables(vs["quant"], vs["qstats"], res)
+    vs["quant"] = pack_native_weights(vs["params"], vs["quant"], res)
+    out_n = layer_n.apply(vs, x, QuantCtx(mode="quant"))
+    out_s = layer_s.apply(vs, x, QuantCtx(mode="quant"))
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-4)

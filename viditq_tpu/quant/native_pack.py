@@ -34,8 +34,10 @@ def add_native_slots(quant_vars: Dict, params: Dict,
             continue
         full_native = (lspec.act is not None and lspec.act.dynamic
                        and lspec.act_quant)
+        static_native = (lspec.act is not None and not lspec.act.dynamic
+                         and lspec.act_quant)
         weight_only = lspec.act is None or not lspec.act_quant
-        if not (full_native or weight_only):
+        if not (full_native or static_native or weight_only):
             continue
         kernel = flat_p[layer_path + ("kernel",)]
         n_tr = flat_q[layer_path + ("w_delta",)].shape[1]
@@ -112,6 +114,16 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
             w_eff = kernel * cs[:, None]
         d = jnp.asarray(w_delta[tr]).reshape(1, -1)
         z = jnp.asarray(w_zp[tr]).reshape(1, -1)
+        if wspec.sym:
+            # symmetric weights: signed codes, no zero point, no shift
+            # (n_levels = 2^(b-1)-1; clamp [-2^(b-1), 2^(b-1)-1] as in
+            # base_quantizer.py:137-138)
+            half = float(2 ** (wspec.n_bits - 1))
+            code = jnp.clip(jnp.round(w_eff / d), -half, half - 1)
+            slabs.append(code.astype(jnp.int8))
+            colsums.append(jnp.sum(code, axis=0, keepdims=True)
+                           .astype(jnp.float32))
+            continue
         code_u = jnp.clip(jnp.round(w_eff / d) + z, 0, n_levels - 1)
         if pack4:
             cin = code_u.shape[0]

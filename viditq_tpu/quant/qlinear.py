@@ -180,6 +180,15 @@ class QuantLinear(nn.Module):
         # full native: int8 act x int8 weight on the MXU
         native = (lspec.backend == "native" and w_q is not None
                   and aspec is not None and aspec.dynamic and lspec.act_quant)
+        # static-act native: per-token scales come from calibrated tables, so
+        # quantization is pure elementwise (XLA fuses it into the producer —
+        # no extra activation pass). With symmetric weights the rowsum
+        # correction also vanishes: this is the fastest int8 path on v5e
+        # (BENCH_NOTES.md; the reference's w8a8_naive/static plans).
+        native_static = (lspec.backend == "native" and w_q is not None
+                         and aspec is not None and not aspec.dynamic
+                         and lspec.act_quant and lspec.weight_quant
+                         and aspec.n_bits <= 8)
         # weight-only native: int8-stored weights dequantized into a bf16
         # matmul — all of the 4x weight-memory win with none of the
         # dynamic-quant/epilogue overhead (see BENCH_NOTES.md: int8 compute
@@ -192,7 +201,7 @@ class QuantLinear(nn.Module):
         # reduction vs fp32); full-native stays one code per int8 byte
         # (the MXU consumes int8)
         pack4 = native_wo and wspec is not None and wspec.n_bits == 4
-        if native or native_wo:
+        if native or native_wo or native_static:
             # prepacked int weights + column sums, filled offline by
             # viditq_tpu.quant.native_pack.pack_native_weights
             rows = (in_features + 1) // 2 if pack4 else in_features
@@ -291,7 +300,9 @@ class QuantLinear(nn.Module):
                     return v[0]
                 return jax.lax.dynamic_index_in_dim(v, tr_id, 0, False)
 
-            shift = float(2 ** (wspec.n_bits - 1))
+            # asym weight codes are stored shifted into signed int8; sym
+            # codes are natively signed with zero point 0
+            shift = 0.0 if wspec.sym else float(2 ** (wspec.n_bits - 1))
             packed = {
                 "w_q": _sel(w_int.value),
                 "w_colsum": _sel(w_colsum.value).reshape(1, -1),
@@ -312,6 +323,54 @@ class QuantLinear(nn.Module):
             out = quantized_linear_native(xv, packed, bias=bias,
                                           act_sym=aspec.sym,
                                           out_dtype=self.dtype)
+            return out.reshape(*x.shape[:-1], self.features)
+
+        if native_static and mode == "quant":
+            from viditq_tpu.kernels.int_matmul import int8_matmul_ref
+
+            def _sel(v):
+                if n_tr == 1:
+                    return v[0]
+                return jax.lax.dynamic_index_in_dim(v, tr_id, 0, False)
+
+            shift_w = 0.0 if wspec.sym else float(2 ** (wspec.n_bits - 1))
+            packed = {
+                "w_q": _sel(w_int.value),
+                "w_colsum": _sel(w_colsum.value).reshape(1, -1),
+                "w_scale": _sel(w_q[0].value[wspec.bit_idx]).reshape(1, -1),
+                "w_zp": (_sel(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
+                         - shift_w),
+            }
+            # per-token act params from the calibrated table slot
+            d_a = jax.lax.dynamic_index_in_dim(
+                a_delta.value[aspec.bit_idx], qctx.act_slot, 0, False)
+            z_a = jax.lax.dynamic_index_in_dim(
+                a_zp.value[aspec.bit_idx], qctx.act_slot, 0, False)
+            xv = self._to_token_view(x).astype(jnp.float32)
+            n_levels_a = aspec.n_levels()
+            shift_a = float(2 ** (aspec.n_bits - 1))
+            if aspec.sym:
+                codes = jnp.clip(jnp.round(xv / d_a), -n_levels_a - 1,
+                                 n_levels_a)
+                zp_rows = jnp.zeros_like(d_a)
+            else:
+                codes = jnp.clip(jnp.round(xv / d_a) + z_a, 0,
+                                 n_levels_a - 1) - shift_a
+                zp_rows = z_a - shift_a
+            Bv, Nv, Cv = xv.shape
+            x_q = codes.astype(jnp.int8).reshape(-1, Cv)
+            xs = jnp.broadcast_to(d_a, (Bv, Nv, 1)).reshape(-1, 1)
+            xzp = jnp.broadcast_to(zp_rows, (Bv, Nv, 1)).reshape(-1, 1)
+            if wspec.sym:
+                xrs = jnp.zeros_like(xs)  # w_zp == 0: rowsum term vanishes
+            else:
+                xrs = jnp.sum(codes, axis=-1, keepdims=True
+                              ).reshape(-1, 1).astype(jnp.float32)
+            out = int8_matmul_ref(x_q, packed["w_q"], xs, xzp, xrs,
+                                  packed["w_scale"], packed["w_zp"],
+                                  packed["w_colsum"], out_dtype=self.dtype)
+            if bias is not None:
+                out = out + bias.astype(self.dtype)
             return out.reshape(*x.shape[:-1], self.features)
 
         if native_wo and mode == "quant":
