@@ -68,3 +68,23 @@ def test_lcm_runs_and_timestep_schedule():
     out = sched.sample(model_apply, z, y, rng=jax.random.PRNGKey(0))
     assert out.shape == z.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_edm_recovers_constant_denoiser():
+    """With a denoiser that always returns x0, Heun-EDM converges to x0."""
+    from viditq_tpu.samplers import EDMSampler
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    sampler = EDMSampler(num_sampling_steps=10, cfg_scale=1.0)
+    z = x0 + sampler.sigma_max * jnp.asarray(
+        rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+
+    def denoiser(x, sigma, y, mask, qctx):
+        d = jnp.broadcast_to(x0, x.shape)
+        return jnp.concatenate([d, jnp.zeros_like(d)], axis=1)
+
+    y = jnp.zeros((2, 1, 4, 8))
+    out = sampler.sample(denoiser, z, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+    sig = sampler.sigmas()
+    assert sig[0] == sampler.sigma_max and sig[-1] == 0.0

@@ -7,7 +7,7 @@ from viditq_tpu.samplers.iddpm import IDDPM, default_qctx_factory  # noqa: F401
 from viditq_tpu.samplers.dpm_solver import (  # noqa: F401
     DPMSolverSampler, NoiseScheduleVP, dpm_solver_pp_2m)
 from viditq_tpu.samplers.extra_solvers import (  # noqa: F401
-    LCMScheduler, SASolverSampler)
+    EDMSampler, LCMScheduler, SASolverSampler)
 
 from viditq_tpu.models.registry import SCHEDULERS, register
 
@@ -15,3 +15,4 @@ register(SCHEDULERS, "iddpm")(IDDPM)
 register(SCHEDULERS, "dpm-solver")(DPMSolverSampler)
 register(SCHEDULERS, "sa-solver")(SASolverSampler)
 register(SCHEDULERS, "lcm")(LCMScheduler)
+register(SCHEDULERS, "edm")(EDMSampler)

@@ -95,6 +95,74 @@ class LCMScheduler:
         return x_final
 
 
+class EDMSampler:
+    """Karras-EDM stochastic Heun sampler (reference t2i/diffusion/
+    edm_sample.py, 171 LoC): sigma schedule
+    (sigma_max^(1/rho) + i/(N-1) * (sigma_min^(1/rho) - sigma_max^(1/rho)))^rho
+    with 2nd-order Heun correction; churn disabled by default (deterministic).
+
+    The model is consumed as a denoiser D(x, sigma) built from the eps
+    prediction under the VP-style wrapping the t2i scripts use.
+    """
+
+    def __init__(self, num_sampling_steps: int = 18, cfg_scale: float = 4.0,
+                 sigma_min: float = 0.002, sigma_max: float = 80.0,
+                 rho: float = 7.0, in_channels: int = 4):
+        self.steps = num_sampling_steps
+        self.cfg_scale = cfg_scale
+        self.sigma_min = sigma_min
+        self.sigma_max = sigma_max
+        self.rho = rho
+        self.in_channels = in_channels
+
+    def sigmas(self) -> np.ndarray:
+        i = np.arange(self.steps)
+        lo, hi, rho = self.sigma_min, self.sigma_max, self.rho
+        s = (hi ** (1 / rho)
+             + i / max(self.steps - 1, 1) * (lo ** (1 / rho)
+                                             - hi ** (1 / rho))) ** rho
+        return np.append(s, 0.0)
+
+    def sample(self, denoiser, z, y, mask=None, rng=None,
+               qctx_factory=None, return_trajectory: bool = False):
+        """denoiser(x, sigma [B], y, mask, qctx) -> denoised x0 estimate.
+        z: [B, C, ...] ~ N(0, sigma_max^2). y: [2B,...] = [cond; null]."""
+        sig = jnp.asarray(self.sigmas(), jnp.float32)
+        B = z.shape[0]
+        nd = z.ndim
+        s_cfg = self.cfg_scale
+
+        def D(x, sigma, step_idx):
+            t_id = jnp.clip((jnp.log(jnp.maximum(sigma, 1e-6)) * 41.0
+                             + 500.0).astype(jnp.int32), 0, 999)
+            qctx = (qctx_factory(t_id, step_idx)
+                    if qctx_factory is not None else None)
+            xx = jnp.concatenate([x, x], axis=0)
+            ss = jnp.full((2 * B,), sigma, jnp.float32)
+            out = denoiser(xx, ss, y, mask, qctx)
+            d_c, d_u = jnp.split(out[:, :self.in_channels], 2, axis=0)
+            return d_u + s_cfg * (d_c - d_u)
+
+        def step(x, i):
+            s0, s1 = sig[i], sig[i + 1]
+            denoised = D(x, s0, i)
+            d = (x - denoised) / jnp.maximum(s0, 1e-8).reshape((1,) * nd)
+            x_euler = x + (s1 - s0).reshape((1,) * nd) * d
+            # Heun 2nd-order correction except on the final (sigma=0) step
+            denoised2 = D(x_euler, jnp.maximum(s1, self.sigma_min), i)
+            d2 = (x_euler - denoised2) / jnp.maximum(s1, 1e-8).reshape(
+                (1,) * nd)
+            x_heun = x + (s1 - s0).reshape((1,) * nd) * 0.5 * (d + d2)
+            x_new = jnp.where(s1 > 0, x_heun, x_euler)
+            out = ((x, jnp.full((B,), s0)) if return_trajectory else None)
+            return x_new.astype(x.dtype), out
+
+        x_final, traj = jax.lax.scan(step, z, jnp.arange(self.steps))
+        if return_trajectory:
+            return x_final, {"xs": traj[0], "ts": traj[1]}
+        return x_final
+
+
 class SASolverSampler:
     """SA-Solver (data prediction, predictor order 2 + trapezoid corrector,
     tau=0 deterministic default). CFG layout identical to DPMSolverSampler."""
