@@ -87,7 +87,16 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
     if block_n is None:
         block_n = _round_up(N, 128) if N <= 2048 else 512
     if block_m is None:
-        block_m = 1024 if K * (block_n + 1024) <= 4 * 1024 * 1024 else 512
+        # VMEM budget: x bf16 (pipelined x2) + int8/scales scratch + w int8
+        # (x2) + out f32 acc; keep under ~12MB of the 16MB VMEM
+        def vmem(bm):
+            return (bm * K * 2 * 2 + bm * K + 2 * K * block_n
+                    + 2 * bm * block_n * 4 + 4 * bm * 4)
+        block_m = 1024
+        # Mosaic stacks more buffering than the naive estimate (observed
+        # ~1.8x); budget conservatively
+        while block_m > 128 and vmem(block_m) > 8 * 1024 * 1024:
+            block_m //= 2
     block_m = min(block_m, _round_up(M, 8))
     block_n = min(block_n, _round_up(N, 128))
     Mp, Np = _round_up(M, block_m), _round_up(N, block_n)

@@ -273,7 +273,12 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if impl == "pallas":
+    if impl == "fused":
+        from viditq_tpu.kernels.fused_matmul import fused_dynq_int8_matmul
+        out = fused_dynq_int8_matmul(x2, packed["w_q"], packed["w_scale"],
+                                     packed["w_zp"], packed["w_colsum"],
+                                     sym=act_sym, out_dtype=out_dtype)
+    elif impl == "pallas":
         x_q, xs, xzp, xrs = dynamic_quant_rows(x2, sym=act_sym)
         out = int8_matmul(x_q, packed["w_q"], xs, xzp, xrs,
                           packed["w_scale"], packed["w_zp"],
