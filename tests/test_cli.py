@@ -84,3 +84,22 @@ def test_quant_generate_hybrid_plan(outdir):
               "--ptq_config", path, "--backend", "native"])
     out = np.load(os.path.join(outdir, "hybrid", "quant_samples.npz"))
     assert np.isfinite(out["samples"]).all()
+
+
+def test_extract_features(outdir, tmp_path_factory):
+    tp = tmp_path_factory.mktemp("feat")
+    frames = np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3),
+                                               np.uint8)
+    vids = []
+    for i in range(2):
+        p = tp / f"v{i}.npz"
+        np.savez(p, video=frames)
+        vids.append(p)
+    csv = tp / "d.csv"
+    csv.write_text("\n".join(f"{v},clip {i}" for i, v in enumerate(vids)))
+    cli.main(["extract-features", "--csv", str(csv), "--image_size", "16",
+              "--num_frames", "2", "--batch_size", "2",
+              "--save_dir", outdir + "/feat"])
+    data = np.load(os.path.join(outdir, "feat", "features.npz"),
+                   allow_pickle=True)
+    assert data["latents"].shape == (2, 4, 2, 2, 2)  # [B, 4, T, H/8, W/8]

@@ -223,3 +223,26 @@ def test_quant_conv():
     rel = (np.linalg.norm(np.asarray(out_q - out_fp))
            / np.linalg.norm(np.asarray(out_fp)))
     assert 0 < rel < 0.05, rel
+
+
+def test_channel_split_quant():
+    """q-diffusion legacy split: separate quantizer groups per channel half."""
+    import dataclasses
+    lspec = dataclasses.replace(LayerQuantSpec(weight=W8, act=A8_DYN),
+                                split=12)
+    layer, variables, x = make_layer(lspec)
+    y_fp = layer.apply(variables, x, QuantCtx(mode="fp"))
+    y_q = layer.apply(variables, x, QuantCtx(mode="quant"))
+    rel = np.linalg.norm(np.asarray(y_q - y_fp)) / np.linalg.norm(
+        np.asarray(y_fp))
+    assert 0 < rel < 0.02
+    # split changes the result vs unsplit (different quant groups)
+    layer2, v2, _ = make_layer(LayerQuantSpec(weight=W8, act=A8_DYN))
+    v2 = dict(v2)
+    v2["params"] = variables["params"]
+    from viditq_tpu.quant import calibrate_weight_tables
+    v2["quant"] = calibrate_weight_tables(
+        v2["params"], v2["quant"], lambda n: LayerQuantSpec(weight=W8,
+                                                            act=A8_DYN))
+    y_q2 = layer2.apply(v2, x, QuantCtx(mode="quant"))
+    assert np.abs(np.asarray(y_q2 - y_q)).max() > 1e-7

@@ -354,6 +354,42 @@ def cmd_smooth_quant_list(args):
     print(f"{len(picks)} CB candidates -> {out}")
 
 
+def cmd_extract_features(args):
+    """Pre-extract VAE latents for a dataset CSV (reference
+    t2i/tools/extract_features.py: T5/VAE feature pre-extraction; text
+    embeds are the separate get-text-embeds command)."""
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.data.datasets import DatasetFromCSV, StatefulSampler, batch_iterator
+    from viditq_tpu.models.vae import AutoencoderKL, VideoAutoencoderKL
+    from viditq_tpu.utils import ckpt as ckpt_utils
+    video = args.num_frames > 0
+    ds = DatasetFromCSV(args.csv, num_frames=args.num_frames or None,
+                        image_size=(args.image_size, args.image_size),
+                        root=args.data_root)
+    vae = (VideoAutoencoderKL() if video else AutoencoderKL())
+    probe = jnp.asarray(ds[0]["video"])[None]
+    variables = jax.jit(lambda: vae.init(jax.random.PRNGKey(0), probe))()
+    if args.vae_ckpt:
+        variables = {"params": ckpt_utils.load_params(args.vae_ckpt,
+                                                      variables["params"])}
+    else:
+        print("[viditq] no VAE ckpt; using random-init VAE (structural run)",
+              file=sys.stderr)
+    encode = jax.jit(lambda x: vae.apply(variables, x, method=vae.encode))
+    latents, texts = [], []
+    sampler = StatefulSampler(len(ds), shuffle=False)
+    for batch in batch_iterator(ds, sampler, args.batch_size):
+        latents.append(np.asarray(encode(jnp.asarray(batch["video"]))))
+        texts.extend(batch["text"])
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "features.npz")
+    np.savez(out, latents=np.concatenate(latents),
+             texts=np.asarray(texts, dtype=object) if texts else
+             np.zeros(0))
+    print(f"saved {sum(l.shape[0] for l in latents)} latents -> {out}")
+
+
 def cmd_train(args):
     """Reference t2v/scripts/train.py (synthetic-data smoke by default;
     wire DatasetFromCSV + batch_iterator for real data)."""
@@ -439,6 +475,17 @@ def main(argv=None):
     _quant_args(s)
     s.add_argument("--calib_data", required=True)
     s.set_defaults(fn=cmd_ptq)
+
+    s = sub.add_parser("extract-features")
+    s.add_argument("--csv", required=True)
+    s.add_argument("--data_root", default="")
+    s.add_argument("--image_size", type=int, default=256)
+    s.add_argument("--num_frames", type=int, default=0,
+                   help="0 = image dataset")
+    s.add_argument("--batch_size", type=int, default=4)
+    s.add_argument("--vae_ckpt", default=None)
+    s.add_argument("--save_dir", default="outputs/features")
+    s.set_defaults(fn=cmd_extract_features)
 
     s = sub.add_parser("train")
     s.add_argument("--config", required=True)

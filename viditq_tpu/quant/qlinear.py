@@ -397,6 +397,25 @@ class QuantLinear(nn.Module):
                          * d.astype(self.dtype))
             return self._dense(x, w_deq, bias)
 
+        # ---- q-diffusion legacy channel split (quant_layer.py:159-172):
+        # separate quantizer groups for input channels [:split] / [split:],
+        # on-the-fly qparams, simulate backend only ----
+        if lspec.split > 0 and mode == "quant":
+            s = lspec.split
+            xa, xb = x[..., :s], x[..., s:]
+            if aspec is not None and lspec.act_quant:
+                xa = core.fake_quant_dynamic(xa, aspec)
+                xb = core.fake_quant_dynamic(xb, aspec)
+            x = jnp.concatenate([xa, xb], axis=-1)
+            w_eff = kernel.astype(jnp.float32)
+            if wspec is not None and lspec.weight_quant:
+                parts = []
+                for wpart in (w_eff[:s], w_eff[s:]):
+                    d, z = core.compute_qparams(wpart, wspec)
+                    parts.append(core.fake_quant(wpart, d, z, wspec))
+                w_eff = jnp.concatenate(parts, axis=0)
+            return self._dense(x, w_eff.astype(self.param_dtype), bias)
+
         # ---- activation quantization ----
         if aspec is not None and lspec.act_quant:
             orig_shape = x.shape

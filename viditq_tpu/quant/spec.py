@@ -171,6 +171,10 @@ class LayerQuantSpec:
     # before token-wise quantization; one of None, "spatial", "temporal",
     # "cross_q", "cross_kv" (reference stdit_quant_layer.py).
     token_layout: Optional[str] = None
+    # q-diffusion legacy channel split (reference quant_layer.py:72,159-172,
+    # 234-237): quantize input channels [:split] and [split:] with separate
+    # act/weight quantizer groups. 0 = disabled. Simulate backend only.
+    split: int = 0
 
     def disabled(self) -> "LayerQuantSpec":
         return dataclasses.replace(self, weight_quant=False, act_quant=False)
