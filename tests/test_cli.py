@@ -103,3 +103,41 @@ def test_extract_features(outdir, tmp_path_factory):
     data = np.load(os.path.join(outdir, "feat", "features.npz"),
                    allow_pickle=True)
     assert data["latents"].shape == (2, 4, 2, 2, 2)  # [B, 4, T, H/8, W/8]
+
+
+def test_hybrid_plan_packs_native_weights(outdir):
+    """A plan whose native/weight_only backends come only from
+    backend_overrides (default backend simulate) must still pack int weight
+    slabs — regression: unpacked all-zero slabs passed the finite check
+    while destroying the output (round-2 verification finding)."""
+    d = outdir + "/hybrid"
+    common = ["--config", "configs/workload/opensora_tiny.py",
+              "--num_samples", "1"]
+    cli.main(["inference"] + common + ["--save_dir", d])
+    cli.main(["quant-generate"] + common +
+             ["--save_dir", d,
+              "--ptq_config", "configs/opensora/w8a8_tpu_hybrid.yaml"])
+    fp = np.load(os.path.join(d, "fp_samples.npz"))["samples"]
+    q = np.load(os.path.join(d, "quant_samples.npz"))["samples"]
+    rel = np.linalg.norm(q - fp) / np.linalg.norm(fp)
+    assert rel < 0.1, f"hybrid plan output diverged from fp: rel={rel}"
+
+
+def test_ptq_standalone_registers_schedulers():
+    """build_sampler must register samplers itself: `cli ptq` in a fresh
+    process hit an empty SCHEDULERS registry (round-2 verification
+    finding; masked in-suite by earlier imports)."""
+    import importlib
+    import sys as _sys
+
+    from viditq_tpu.models import registry
+    from viditq_tpu.utils import workload
+    saved = dict(registry.SCHEDULERS)
+    try:
+        registry.SCHEDULERS.clear()
+        _sys.modules.pop("viditq_tpu.samplers", None)
+        sampler = workload.build_sampler({"scheduler": {
+            "type": "iddpm", "num_sampling_steps": 3}})
+        assert sampler is not None
+    finally:
+        registry.SCHEDULERS.update(saved)

@@ -175,3 +175,64 @@ def test_static_act_native_asym_weights():
     out_s = layer_s.apply(vs, x, QuantCtx(mode="quant"))
     np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_weight_only_native_sym_int8():
+    """Symmetric weight-only: slabs store unshifted signed codes (zp=0);
+    dequant must not apply the asym shift (round-1 advisor finding)."""
+    from viditq_tpu.quant import QuantLinear
+    w8s = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+                    round_mode="nearest", sym=True)
+    wo = LayerQuantSpec(weight=w8s, act=None, act_quant=False,
+                        backend="native")
+    resolver = lambda n: wo
+    layer_n = QuantLinear(features=32, lspec=wo, dtype=jnp.float32)
+    layer_s = QuantLinear(
+        features=32, lspec=dataclasses.replace(wo, backend="simulate"),
+        dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 16, 24)),
+                    jnp.float32)
+    vs = dict(layer_n.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], resolver)
+    vs["quant"] = pack_native_weights(vs["params"], vs["quant"], resolver)
+    out_n = layer_n.apply(vs, x, QuantCtx(mode="quant"))
+    out_s = layer_s.apply(vs, x, QuantCtx(mode="quant"))
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_weight_only_native_sym_int4_not_packed():
+    """Symmetric int4 weight-only must NOT bit-pack (nibbles are unsigned):
+    slab shape stays full-row and outputs match the simulated path."""
+    from viditq_tpu.quant import QuantLinear
+    w4s = QuantSpec(n_bits=4, granularity="channel", channel_axis=-1,
+                    round_mode="nearest", sym=True)
+    wo = LayerQuantSpec(weight=w4s, act=None, act_quant=False,
+                        backend="native")
+    resolver = lambda n: wo
+    layer_n = QuantLinear(features=32, lspec=wo, dtype=jnp.float32)
+    layer_s = QuantLinear(
+        features=32, lspec=dataclasses.replace(wo, backend="simulate"),
+        dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 16, 24)),
+                    jnp.float32)
+    vs = dict(layer_n.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    assert vs["quant"]["w_int"].shape == (1, 24, 32)  # full rows, no packing
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], resolver)
+    vs["quant"] = pack_native_weights(vs["params"], vs["quant"], resolver)
+    out_n = layer_n.apply(vs, x, QuantCtx(mode="quant"))
+    out_s = layer_s.apply(vs, x, QuantCtx(mode="quant"))
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_native_rejects_sub8bit_dynamic_acts():
+    import pytest
+    from viditq_tpu.quant import QuantLinear
+    a6 = dataclasses.replace(A8, n_bits=6)
+    spec = LayerQuantSpec(weight=W8, act=a6, backend="native")
+    layer = QuantLinear(features=16, lspec=spec, dtype=jnp.float32)
+    x = jnp.zeros((1, 4, 8), jnp.float32)
+    vs = layer.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp"))
+    with pytest.raises(ValueError, match="8-bit"):
+        layer.apply(vs, x, QuantCtx(mode="quant"))

@@ -160,3 +160,21 @@ def test_stdit_static_act_timestep_wise_flow():
         q_apply, z, y, mask, sampler_type="ddim",
         qctx_factory=default_qctx_factory("quant", res.act_slot_map))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mask_slice_nondividing_batch():
+    """_mask_slice pairs each CFG-doubled calib row with its own prompt's
+    mask even when bs doesn't divide nb//2 or the window crosses the
+    cond/null boundary (round-1 advisor finding)."""
+    import numpy as np
+    from viditq_tpu.pipelines.ptq import _mask_slice
+
+    nb, half = 12, 6  # 6 prompts, CFG-doubled
+    mask = np.arange(half)[:, None] * np.ones((1, 4), np.int32)
+    # bs=4 does not divide half=6: windows [0:4],[4:8],[8:12]
+    got = [np.asarray(_mask_slice(mask, b0, 4, nb))[:, 0]
+           for b0 in (0, 4, 8)]
+    np.testing.assert_array_equal(got[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(got[1], [4, 5, 0, 1])  # crosses boundary
+    np.testing.assert_array_equal(got[2], [2, 3, 4, 5])
+    assert _mask_slice(None, 0, 4, nb) is None

@@ -198,3 +198,31 @@ def test_token_granularity_group_shape():
     assert core.group_shape_of((2, 100, 64), spec) == (1, 100, 1)
     spec = QuantSpec(granularity="channel", channel_axis=-1)
     assert core.group_shape_of((128, 64), spec) == (1, 64)
+
+
+def test_with_bits_rejects_uncalibrated_bitwidth():
+    """Switching a static quantizer to a bitwidth outside its calibrated
+    bits_tuple must fail loudly (round-1 VERDICT: silent-wrong-scale trap)."""
+    import pytest
+    from viditq_tpu.quant.spec import QuantSpec
+
+    s8 = QuantSpec(n_bits=8, granularity="channel", round_mode="nearest")
+    with pytest.raises(ValueError, match="calibrated"):
+        s8.with_bits(4)
+    # member of the mixed-precision tuple: fine
+    mp = QuantSpec(n_bits=8, granularity="channel", round_mode="nearest",
+                   mixed_precision=(4, 8))
+    assert mp.with_bits(4).bit_idx == 0
+    # dynamic quantizers compute qparams online: any bits allowed
+    dyn = QuantSpec(n_bits=8, granularity="token", dynamic=True)
+    assert dyn.with_bits(6).n_bits == 6
+
+
+def test_split_rejects_smooth_quant():
+    import dataclasses
+    import pytest
+    from viditq_tpu.quant.spec import LayerQuantSpec, SmoothQuantSpec
+
+    with pytest.raises(ValueError, match="split"):
+        LayerQuantSpec(split=96,
+                       smooth_quant=SmoothQuantSpec(enable=True))

@@ -160,3 +160,19 @@ def test_iddpm_act_slot_map():
     # slot of a calib timestep maps to itself
     for i, t in enumerate(sorted(iddpm.schedule.timestep_map)):
         assert m[t] == i
+
+
+def test_lcm_boundary_scalings_match_reference():
+    """c_skip/c_out vs the reference formula (lcm_scheduler.py:313-319:
+    divide t by 0.1, sigma_data=0.5)."""
+    import jax.numpy as jnp
+    from viditq_tpu.samplers.extra_solvers import LCMScheduler
+
+    sched = LCMScheduler(num_sampling_steps=4)
+    for t in (19.0, 199.0, 399.0, 999.0):
+        ts = t / 0.1
+        ref_skip = 0.5 ** 2 / (ts ** 2 + 0.5 ** 2)
+        ref_out = ts / (ts ** 2 + 0.5 ** 2) ** 0.5
+        c_skip, c_out = sched._scalings(jnp.asarray(t, jnp.float32))
+        assert abs(float(c_skip) - ref_skip) < 1e-6, (t, float(c_skip), ref_skip)
+        assert abs(float(c_out) - ref_out) < 1e-6, (t, float(c_out), ref_out)

@@ -236,7 +236,7 @@ def cmd_quant_generate(args, mp: bool = False):
         variables["quant"] = jax.jit(functools.partial(
             calibrate_weight_tables, resolve=resolver))(
                 variables["params"], variables["quant"])
-    if plan.default_layer.backend == "native":
+    if plan.uses_native():
         from viditq_tpu.quant.native_pack import (add_native_slots,
                                                   pack_native_weights)
         variables["quant"] = add_native_slots(variables["quant"],

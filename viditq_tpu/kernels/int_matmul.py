@@ -222,22 +222,30 @@ def int8_matmul(x_q: jnp.ndarray, w_q: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def pack_weight(kernel: jnp.ndarray, delta: jnp.ndarray, zp: jnp.ndarray,
-                n_bits: int = 8) -> dict:
+                n_bits: int = 8, sym: bool = False) -> dict:
     """Quantize a [K, N] kernel offline into the int8 layout.
 
-    delta/zp: broadcastable [1, N] (per-out-channel, asymmetric codes in
-    [0, 2^b - 1]); codes are shifted by -2^(b-1) into signed int8. For
+    delta/zp: broadcastable [1, N] (per-out-channel). Asymmetric codes in
+    [0, 2^b - 1] are shifted by -2^(b-1) into signed int8; symmetric codes
+    are natively signed in [-2^(b-1), 2^(b-1) - 1] with zero point 0 (pass
+    sym=True — the asym path would clip negative codes to 0). For
     n_bits < 8 the codes simply occupy a sub-range (int4 bit-packing is a
     separate memory-side optimization).
     """
     kernel = kernel.astype(jnp.float32)
     delta = delta.reshape(1, -1).astype(jnp.float32)
     zp = zp.reshape(1, -1).astype(jnp.float32)
-    shift = float(2 ** (n_bits - 1))
-    n_levels = float(2 ** n_bits)
-    code = jnp.clip(jnp.round(kernel / delta) + zp, 0, n_levels - 1) - shift
-    w_q = code.astype(jnp.int8)
-    w_zp = (zp - shift).astype(jnp.float32)
+    if sym:
+        half = float(2 ** (n_bits - 1))
+        code = jnp.clip(jnp.round(kernel / delta), -half, half - 1)
+        w_q = code.astype(jnp.int8)
+        w_zp = jnp.zeros_like(delta)
+    else:
+        shift = float(2 ** (n_bits - 1))
+        n_levels = float(2 ** n_bits)
+        code = jnp.clip(jnp.round(kernel / delta) + zp, 0, n_levels - 1) - shift
+        w_q = code.astype(jnp.int8)
+        w_zp = (zp - shift).astype(jnp.float32)
     colsum = jnp.sum(code, axis=0, keepdims=True).astype(jnp.float32)
     return {"w_q": w_q, "w_scale": delta.astype(jnp.float32).reshape(1, -1),
             "w_zp": w_zp, "w_colsum": colsum}

@@ -197,7 +197,6 @@ class SelfAttention(nn.Module):
         specs = [self.resolver(f"{self.prefix}.{n}") for n in ("q", "k", "v")]
         pre = None
         if (qctx is not None and qctx.mode == "quant"
-                and len({id(s) for s in specs}) <= 3
                 and all(s == specs[0] for s in specs)):
             from viditq_tpu.quant.qlinear import shared_prequant
             pre = shared_prequant(x, specs[0])

@@ -147,9 +147,12 @@ def run_ptq(model, variables: Dict, calib_data: Dict, plan,
 
 def _mask_slice(mask, b0, bs, nb):
     """calib batches are CFG-doubled [cond; null]; the mask is per-prompt
-    [B0, L]. Model tiling handles 2x, so slice modulo the cond half."""
+    [B0, L]. Index per row modulo the cond half so batches that cross the
+    cond/null boundary (or bs not dividing nb//2) still pair each x row with
+    its own prompt's mask."""
     if mask is None:
         return None
-    half = nb // 2
-    lo = b0 % half
-    return mask[lo:lo + bs] if mask.shape[0] >= lo + bs else mask
+    half = max(nb // 2, 1)
+    rows = np.arange(b0, min(b0 + bs, nb)) % half
+    rows = rows % mask.shape[0]  # tolerate B0 < half (repeated prompts)
+    return mask[jnp.asarray(rows)]

@@ -41,7 +41,8 @@ def add_native_slots(quant_vars: Dict, params: Dict,
             continue
         kernel = flat_p[layer_path + ("kernel",)]
         n_tr = flat_q[layer_path + ("w_delta",)].shape[1]
-        pack4 = weight_only and lspec.weight.n_bits == 4
+        pack4 = (weight_only and lspec.weight.n_bits == 4
+                 and not lspec.weight.sym)
         rows = ((kernel.shape[-2] + 1) // 2 if pack4 else kernel.shape[-2])
         shape = tuple(kernel.shape[:-2]) + (rows, kernel.shape[-1])
         if layer_path + ("w_int",) not in flat_q:
@@ -66,7 +67,7 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
         wspec = lspec.weight
         smooth = lspec.smooth_quant
         pack4 = ((lspec.act is None or not lspec.act_quant)
-                 and wspec.n_bits == 4)
+                 and wspec.n_bits == 4 and not wspec.sym)
         kernel = jnp.asarray(flat_p[layer_path + ("kernel",)], jnp.float32)
         wd_full = flat_q[layer_path + ("w_delta",)]
         wz_full = flat_q[layer_path + ("w_zp",)]

@@ -199,8 +199,10 @@ class QuantLinear(nn.Module):
                      and (aspec is None or not lspec.act_quant))
         # int4 weight-only weights bit-pack two codes per byte (8x memory
         # reduction vs fp32); full-native stays one code per int8 byte
-        # (the MXU consumes int8)
-        pack4 = native_wo and wspec is not None and wspec.n_bits == 4
+        # (the MXU consumes int8). Symmetric int4 weights stay unpacked:
+        # their codes are signed and the nibble packing is unsigned.
+        pack4 = (native_wo and wspec is not None and wspec.n_bits == 4
+                 and not wspec.sym)
         if native or native_wo or native_static:
             # prepacked int weights + column sums, filled offline by
             # viditq_tpu.quant.native_pack.pack_native_weights
@@ -292,6 +294,13 @@ class QuantLinear(nn.Module):
 
         # ---- native int8 execution path ----
         if native and mode == "quant":
+            if aspec.n_bits != 8:
+                # the dynamic-quant kernels hard-code int8 code ranges
+                # (int_matmul.dynamic_quant_rows); sub-8-bit native acts
+                # would silently run as A8
+                raise ValueError(
+                    f"native dynamic-act backend requires 8-bit acts, got "
+                    f"{aspec.n_bits}; use backend='simulate' for A<8")
             from viditq_tpu.kernels.int_matmul import (
                 int8_matmul_ref, quantized_linear_native)
 
@@ -391,7 +400,10 @@ class QuantLinear(nn.Module):
                     -1, self.features)[:in_features]
                 w_deq = (codes - z.astype(self.dtype)) * d.astype(self.dtype)
             else:
-                shift = float(2 ** (wspec.n_bits - 1))
+                # sym slabs store UNSHIFTED signed codes with zp=0
+                # (native_pack._pack_layer sym branch); only asym codes are
+                # shifted into signed int8.
+                shift = 0.0 if wspec.sym else float(2 ** (wspec.n_bits - 1))
                 codes = stored.astype(self.dtype)
                 w_deq = ((codes - (z.astype(self.dtype) - shift))
                          * d.astype(self.dtype))

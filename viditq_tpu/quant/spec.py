@@ -96,7 +96,18 @@ class QuantSpec:
         return 2 ** b if not self.sym else 2 ** (b - 1) - 1
 
     def with_bits(self, n_bits: int) -> "QuantSpec":
-        """Reference `bitwidth_refactor` (base_quantizer.py:319-325)."""
+        """Reference `bitwidth_refactor` (base_quantizer.py:319-325).
+
+        For non-dynamic quantizers the calibrated tables only carry entries
+        for `bits_tuple`; switching to an uncalibrated bitwidth would
+        silently index the wrong table (bit_idx 0), so it is rejected.
+        Dynamic quantizers compute qparams online and may switch freely.
+        """
+        if not self.dynamic and n_bits not in self.bits_tuple:
+            raise ValueError(
+                f"with_bits({n_bits}): not among calibrated bitwidths "
+                f"{self.bits_tuple}; set mixed_precision to calibrate "
+                f"multi-bit tables first")
         return dataclasses.replace(self, n_bits=n_bits)
 
 
@@ -173,8 +184,18 @@ class LayerQuantSpec:
     token_layout: Optional[str] = None
     # q-diffusion legacy channel split (reference quant_layer.py:72,159-172,
     # 234-237): quantize input channels [:split] and [split:] with separate
-    # act/weight quantizer groups. 0 = disabled. Simulate backend only.
+    # act/weight quantizer groups. 0 = disabled. Simulate backend only; act
+    # qparams are always computed on the fly (dynamic semantics), and the
+    # split path is mutually exclusive with smooth-quant (the reference never
+    # combines them — its q-diffusion configs have channel_wise_scale off).
     split: int = 0
+
+    def __post_init__(self):
+        if self.split > 0 and self.smooth_quant.enable:
+            raise ValueError(
+                "q-diffusion channel split cannot be combined with "
+                "smooth-quant channel balancing: the split branch quantizes "
+                "the raw kernel without the balancing rescale")
 
     def disabled(self) -> "LayerQuantSpec":
         return dataclasses.replace(self, weight_quant=False, act_quant=False)

@@ -27,8 +27,12 @@ from viditq_tpu.samplers.gaussian_diffusion import get_named_beta_schedule
 class LCMScheduler:
     """Latent-consistency sampling loop.
 
-    boundary conditions (lcm_scheduler.py get_scalings_for_boundary_...):
-      c_skip = s^2 / ((t/10)^2 + s^2),  c_out = (t/10) / sqrt((t/10)^2 + s^2)
+    boundary conditions (lcm_scheduler.py:313-319,
+    get_scalings_for_boundary_condition_discrete — note the reference
+    divides by 0.1, i.e. scales t UP by 10x, "almost a delta function at
+    t=0"):
+      ts = t * 10
+      c_skip = s^2 / (ts^2 + s^2),  c_out = ts / sqrt(ts^2 + s^2)
     with sigma_data s = 0.5; denoised = c_out * x0_pred + c_skip * x.
     """
 
@@ -50,7 +54,7 @@ class LCMScheduler:
         self.timesteps = lcm_origin[::-skip][:num_sampling_steps]
 
     def _scalings(self, t):
-        ts = t / 10.0
+        ts = t * 10.0  # reference t / 0.1 (lcm_scheduler.py:317-318)
         c_skip = self.sigma_data ** 2 / (ts ** 2 + self.sigma_data ** 2)
         c_out = ts / jnp.sqrt(ts ** 2 + self.sigma_data ** 2)
         return c_skip, c_out

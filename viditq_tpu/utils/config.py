@@ -126,6 +126,15 @@ class QuantPlanConfig:
             return spec
         return resolve
 
+    def uses_native(self) -> bool:
+        """True when any layer runs the native int backend — either via the
+        default or via per-group backend_overrides (hybrid plans). Callers
+        must pack int weight slabs (native_pack) before quant inference."""
+        if self.default_layer.backend == "native":
+            return True
+        return any(mode in ("native", "weight_only", "fused", "static")
+                   for _, mode in self.backend_overrides)
+
     def with_backend(self, backend: str) -> "QuantPlanConfig":
         """Switch between 'simulate' (reference-parity fake quant) and
         'native' (real int8 Pallas kernels)."""

@@ -68,6 +68,11 @@ def build_model(cfg: Dict[str, Any], resolver=None, dtype=None):
 
 
 def build_sampler(cfg: Dict[str, Any], cfg_split: bool = False):
+    # registration side effect: samplers register themselves on import;
+    # without this a fresh process (e.g. `cli ptq` standalone) sees an
+    # empty SCHEDULERS registry
+    import viditq_tpu.samplers  # noqa: F401
+
     scfg = dict(cfg.get("scheduler", {"type": "iddpm"}))
     scfg.setdefault("cfg_scale", 4.0)
     scfg["cfg_split"] = cfg_split
