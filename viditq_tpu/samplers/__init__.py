@@ -5,7 +5,7 @@ from viditq_tpu.samplers.gaussian_diffusion import (  # noqa: F401
     training_losses, get_named_beta_schedule, space_timesteps)
 from viditq_tpu.samplers.iddpm import IDDPM, default_qctx_factory  # noqa: F401
 from viditq_tpu.samplers.dpm_solver import (  # noqa: F401
-    DPMSolverSampler, NoiseScheduleVP, dpm_solver_pp_2m)
+    DPMSolver, DPMSolverSampler, NoiseScheduleVP, dpm_solver_pp_2m)
 from viditq_tpu.samplers.extra_solvers import (  # noqa: F401
     EDMSampler, LCMScheduler, SASolverSampler)
 
