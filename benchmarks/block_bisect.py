@@ -1,0 +1,133 @@
+"""In-block backend bisection at STDiT-XL/2 shapes on the real block code.
+
+Methodology (see BENCH_NOTES.md round-2 revision): per-iteration time is the
+SLOPE between two chained fori_loop lengths inside single dispatches, with a
+fresh input per run (the device relay dedupes identical dispatches) and a
+scalar host readback (block_until_ready can return early through the relay).
+This supersedes the round-1 per-dispatch timing that overstated overheads
+and understated the int8 MXU rate (which is the full 2x: measured 384 TOPS
+int8 vs 183 TFLOPS bf16 at 4096^3).
+
+Usage: python benchmarks/block_bisect.py [arm ...]
+"""
+
+import dataclasses
+import sys
+sys.path.insert(0, "/root/repo")
+import time
+
+import numpy as np
+
+
+def main(arms):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from viditq_tpu.models.stdit import STDiTBlock
+    from viditq_tpu.quant import (
+        LayerQuantSpec, QuantSpec, QuantCtx, calibrate_weight_tables,
+        resolve_layer_spec)
+    from viditq_tpu.quant.native_pack import add_native_slots, \
+        pack_native_weights
+
+    B, T, S, C = 2, 16, 1024, 1152
+    N = T * S
+    H = 16
+
+    W8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+                   round_mode="nearest")
+    A8 = QuantSpec(n_bits=8, granularity="token", round_mode="nearest_ste",
+                   dynamic=True)
+    A8S = dataclasses.replace(A8, sym=True)
+
+    def mk_resolver(default, overrides=None):
+        def resolve(name):
+            spec = default
+            if overrides:
+                for pat, sp in overrides.items():
+                    if pat in name:
+                        spec = sp
+                        break
+            return spec
+        return resolve
+
+    W8S = dataclasses.replace(W8, sym=True)
+    NAT = LayerQuantSpec(weight=W8, act=A8, backend="native")
+    NATS = dataclasses.replace(NAT, act=A8S)
+    WO = dataclasses.replace(NAT, act=None, act_quant=False)
+    FUSED = dataclasses.replace(NAT, impl="fused")
+    FUSED_S = dataclasses.replace(NATS, impl="fused")
+    FUSED_SS = dataclasses.replace(FUSED_S, weight=W8S)
+    ARMS = {
+        "bf16": None,
+        "int8-asym": mk_resolver(NAT),
+        "int8-sym": mk_resolver(NATS),
+        "hybrid": mk_resolver(WO, {"mlp": NAT}),
+        "hybrid-sym": mk_resolver(WO, {"mlp": NATS}),
+        "weight-only": mk_resolver(WO),
+        "int8-sym-mlp-attn": mk_resolver(WO, {"mlp": NATS, "attn": NATS}),
+        "fused-asym": mk_resolver(FUSED),
+        "fused-sym": mk_resolver(FUSED_S),
+        "fused-allsym": mk_resolver(FUSED_SS),
+    }
+    arms = arms or list(ARMS)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, N, C)) * 0.5, jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((B, 120, C)) * 0.5, jnp.bfloat16)
+    t0 = jnp.asarray(rng.standard_normal((B, 6 * C)) * 0.1, jnp.bfloat16)
+
+    def _force(out):
+        return float(jnp.sum(out[..., :1, :1].astype(jnp.float32)))
+
+    results = {}
+    for arm in arms:
+        resolver = ARMS[arm]
+        block = STDiTBlock(hidden_size=C, num_heads=H, d_s=S, d_t=T,
+                           resolver=resolver or (lambda n: None),
+                           prefix="b", dtype=jnp.bfloat16)
+        qctx = QuantCtx(mode="quant") if resolver else None
+        variables = block.init(jax.random.PRNGKey(0), x, y, t0,
+                               qctx=QuantCtx(mode="fp") if resolver else None)
+        variables = dict(variables)
+        if resolver and "quant" in variables:
+            variables["quant"] = calibrate_weight_tables(
+                variables["params"], variables["quant"], resolver)
+            variables["quant"] = add_native_slots(
+                variables["quant"], variables["params"], resolver)
+            variables["quant"] = pack_native_weights(
+                variables["params"], variables["quant"], resolver)
+
+        def mk(iters):
+            @jax.jit
+            def f(x, vs):
+                def body(i, x):
+                    return block.apply(vs, x, y, t0, qctx=qctx
+                                       ).astype(x.dtype) * 0.5
+                return jax.lax.fori_loop(0, iters, body, x)
+            return f
+
+        def t(fn, salt):
+            _force(fn(x + salt, variables))
+            best = 1e9
+            for i in range(3):
+                tt = time.perf_counter()
+                _force(fn(x + salt + i + 1, variables))
+                best = min(best, time.perf_counter() - tt)
+            return best
+
+        lo_i, hi_i = 4, 16
+        f_lo, f_hi = mk(lo_i), mk(hi_i)
+        per = (t(f_hi, 50.0) - t(f_lo, 10.0)) / (hi_i - lo_i)
+        results[arm] = per * 1e3
+        print(f"{arm:24s} {per*1e3:8.3f} ms/block", flush=True)
+    if "bf16" in results:
+        for k, v in results.items():
+            if k != "bf16":
+                print(f"{k:24s} speedup {results['bf16']/v:.3f}x")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

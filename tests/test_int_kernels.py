@@ -105,3 +105,98 @@ def test_pack_weight_int4():
     deq = ((packed["w_q"].astype(np.float32) - packed["w_zp"])
            * packed["w_scale"])
     np.testing.assert_allclose(deq, np.asarray(w_fq), rtol=1e-4, atol=1e-5)
+
+
+def _ref_linear(x, packed, sym):
+    from viditq_tpu.kernels.int_matmul import (dynamic_quant_rows_ref,
+                                               int8_matmul_ref)
+    xq, xs, xzp, xrs = dynamic_quant_rows_ref(x, sym=sym)
+    return int8_matmul_ref(xq, packed["w_q"], xs, xzp, xrs,
+                           packed["w_scale"], packed["w_zp"],
+                           packed["w_colsum"], out_dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("sym,sym_w", [(True, True), (True, False),
+                                       (False, True), (False, False)])
+def test_fused_dynq_matmul_parity(sym, sym_w):
+    """fused quantize-in kernel == dynq_ref + int8_matmul_ref for every
+    act/weight symmetry combination (the correction-dropping fast paths)."""
+    from viditq_tpu.kernels.fused_matmul import fused_dynq_int8_matmul
+    from viditq_tpu.kernels.int_matmul import pack_weight
+    rng = np.random.default_rng(0)
+    M, K, N = 64, 256, 128
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    if sym_w:
+        wd = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+        wz = jnp.zeros_like(wd)
+    else:
+        wd = (jnp.max(w, 0, keepdims=True) - jnp.min(w, 0, keepdims=True)) / 255.0
+        wz = jnp.round(-jnp.min(w, 0, keepdims=True) / wd)
+    packed = pack_weight(w, wd, wz, sym=sym_w)
+    bias = jnp.asarray(rng.standard_normal((N,)), jnp.float32)
+    want = _ref_linear(x, packed, sym) + bias
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_dynq_int8_matmul(
+            x, packed["w_q"], packed["w_scale"], packed["w_zp"],
+            packed["w_colsum"], sym=sym, sym_w=sym_w, bias=bias,
+            out_dtype=jnp.float32, block_m=32, block_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("sym,sym_w,n_k", [(True, True, 2), (True, False, 1),
+                                           (False, True, 2),
+                                           (False, False, 2)])
+def test_consumer_matmul_parity(sym, sym_w, n_k):
+    """int8_consumer_matmul (incl. K-splitting) == reference epilogue."""
+    from viditq_tpu.kernels.fused_matmul import (int8_consumer_matmul,
+                                                 quantize_rows_fused)
+    from viditq_tpu.kernels.int_matmul import (dynamic_quant_rows_ref,
+                                               int8_matmul_ref, pack_weight)
+    rng = np.random.default_rng(1)
+    M, K, N = 64, 256, 128
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    if sym_w:
+        wd = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+        wz = jnp.zeros_like(wd)
+    else:
+        wd = (jnp.max(w, 0, keepdims=True) - jnp.min(w, 0, keepdims=True)) / 255.0
+        wz = jnp.round(-jnp.min(w, 0, keepdims=True) / wd)
+    packed = pack_weight(w, wd, wz, sym=sym_w)
+    xq, xs, xzp, xrs = dynamic_quant_rows_ref(x, sym=sym)
+    want = int8_matmul_ref(xq, packed["w_q"], xs, xzp, xrs,
+                           packed["w_scale"], packed["w_zp"],
+                           packed["w_colsum"], out_dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = int8_consumer_matmul(
+            xq, xs,
+            packed["w_q"], packed["w_scale"],
+            x_zp=None if sym else xzp,
+            x_rowsum=xrs,
+            w_zp=None if sym_w else packed["w_zp"],
+            w_colsum=packed["w_colsum"],
+            out_dtype=jnp.float32, block_m=32, block_n=128,
+            block_k=K // n_k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("sym", [True, False])
+def test_quantize_rows_fused_gelu(sym):
+    """gelu+quantize producer pass == approx_gelu then dynq_ref."""
+    from viditq_tpu.kernels.fused_matmul import quantize_rows_fused
+    from viditq_tpu.kernels.int_matmul import dynamic_quant_rows_ref
+    from viditq_tpu.models.layers import approx_gelu
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((48, 256)) * 2, jnp.float32)
+    want = dynamic_quant_rows_ref(approx_gelu(x).astype(jnp.float32), sym=sym)
+    with pltpu.force_tpu_interpret_mode():
+        got = quantize_rows_fused(x, sym=sym, gelu=True, block_m=16)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=1e-5)
+    if not sym:
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]))
+    np.testing.assert_allclose(np.asarray(got[3]), np.asarray(want[3]))

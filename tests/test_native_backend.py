@@ -236,3 +236,32 @@ def test_native_rejects_sub8bit_dynamic_acts():
     vs = layer.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp"))
     with pytest.raises(ValueError, match="8-bit"):
         layer.apply(vs, x, QuantCtx(mode="quant"))
+
+
+def test_fused_impl_linear_matches_xla_native(monkeypatch):
+    """impl='fused' (single-Pallas-kernel dataflow, interpret mode on CPU)
+    == the XLA native path bit-for-bit (same quantization math)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from viditq_tpu.quant import QuantLinear
+
+    monkeypatch.setenv("VIDITQ_FORCE_FUSED", "1")
+    for sym_a, sym_w in [(True, True), (True, False), (False, False)]:
+        w = dataclasses.replace(W8, sym=sym_w)
+        a = dataclasses.replace(A8, sym=sym_a)
+        nat = LayerQuantSpec(weight=w, act=a, backend="native")
+        fus = dataclasses.replace(nat, impl="fused")
+        res_n = lambda n: nat
+        res_f = lambda n: fus
+        layer_n = QuantLinear(features=32, lspec=nat, dtype=jnp.float32)
+        layer_f = QuantLinear(features=32, lspec=fus, dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(5).standard_normal((2, 16, 24)),
+                        jnp.float32)
+        vs = dict(layer_n.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+        vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], res_n)
+        vs["quant"] = pack_native_weights(vs["params"], vs["quant"], res_n)
+        out_n = layer_n.apply(vs, x, QuantCtx(mode="quant"))
+        with pltpu.force_tpu_interpret_mode():
+            out_f = layer_f.apply(vs, x, QuantCtx(mode="quant"))
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"sym_a={sym_a} sym_w={sym_w}")

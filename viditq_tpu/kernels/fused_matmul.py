@@ -1,31 +1,57 @@
-"""Fused dynamic-quant int8 matmul: ONE Pallas kernel for the whole W8A8
-linear.
+"""Fused int8 dataflow kernels: the W8A8 execution path at MXU rate.
 
-The measured breakdown on v5e (tests via chained 20-layer microbench,
-M=32768 K=N=1152): bf16 dot 0.517ms; XLA int8 path 0.537ms — the int8 MXU
-win (~2x) is fully consumed by the separate dynamic-quant pass and the
-int32->f32 epilogue materialization. This kernel removes both: per M-block
-the bf16 activations are read once, quantized to int8 in VMEM (on the j==0
-grid step, cached in scratch for all N-blocks), multiplied on the MXU in
-int8, and dequantized in registers before a single bf16 store.
+Round-2 measurement revision (see BENCH_NOTES.md): with clean slope-based
+timing the v5e MXU delivers the full 2x int8 rate (384 TOPS int8 vs 183
+TFLOPS bf16 at 4096^3), and the loss observed in-model comes from the
+per-linear dynamic-quant pass + dequant epilogue that XLA materializes
+instead of fusing. These kernels internalize that work so each linear is a
+single Pallas call:
 
-  x = (x_q - zp_x[m]) * dx[m]   (per-row asym, codes shifted to signed)
-  w = (w_q - zp_w[n]) * dw[n]   (per-out-channel asym, packed offline)
+* `fused_dynq_int8_matmul` — read bf16 activations once, quantize rows to
+  int8 in VMEM (per M-block, cached across N-blocks), run the MXU in int8,
+  dequantize in registers, one bf16 store. Symmetric acts skip every
+  zero-point correction. Measured 278 TOPS at M=32768 K=N=1152 (bm512) vs
+  148-183 TFLOPS bf16 — ~1.8x per linear, fusion-context independent.
+* `int8_consumer_matmul` — activations arrive already quantized
+  (int8 codes + per-row scales) from a producer kernel or a shared
+  quantize; pure MXU work, measured 382 TOPS. Supports K-splitting for
+  K > ~2304 (fc2) with an f32 VMEM accumulator.
+* `quantize_rows_fused` — standalone bandwidth-bound producer pass:
+  optional tanh-GELU then row-wise dynamic quantize, emitting int8 codes +
+  scales (half the write bandwidth of a bf16 gelu). Feeds
+  `int8_consumer_matmul` as `prequant` (fc1 -> gelu -> fc2 handoff, shared
+  q/k/v input).
 
-  out[m,n] = dx[m]*dw[n] * ( x_q@w_q - zp_x[m]*colsum_w[n]
+Quantization semantics are bit-identical to the fake-quant reference path
+(`qdiff/quantizer/dynamic_quantizer.py` per-token dynamic, asymmetric codes
+shifted to signed int8); the epilogue algebra matches int_matmul.py:
+
+  out[m,n] = dx[m]*dw[n] * ( acc[m,n] - zp_x[m]*colsum_w[n]
                              - zp_w[n]*rowsum_x[m] + K*zp_x[m]*zp_w[n] )
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def fused_available() -> bool:
+    """Pallas TPU kernels compile only on a TPU backend; callers fall back
+    to the XLA int8 path elsewhere (tests force interpret mode instead)."""
+    import os
+    if os.environ.get("VIDITQ_FORCE_FUSED"):
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def _cdiv(a, b):
@@ -36,67 +62,84 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _kernel(x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, o_ref,
-            xq_ref, xs_ref, xzp_ref, xrs_ref, *,
-            k_size: int, sym: bool):
+def _quantize_rows_f32(x, sym: bool):
+    """Row-wise dynamic quant in f32 (reference dynamic per-token
+    semantics); returns (q f32, scale, zp, rowsum?) with shifted-signed
+    asym codes."""
+    if sym:
+        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax / 127.0, 1e-6)
+        q = jnp.clip(jnp.round(x / scale), -128, 127)
+        zp = jnp.zeros_like(scale)
+    else:
+        x_min = jnp.minimum(jnp.min(x, axis=-1, keepdims=True), 0.0)
+        x_max = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), 0.0)
+        scale = jnp.maximum((x_max - x_min) / 255.0, 1e-6)
+        zp = jnp.round(-x_min / scale) - 128.0
+        q = jnp.clip(jnp.round(x / scale) + zp, -128, 127)
+    return q, scale, zp
+
+
+# ---------------------------------------------------------------------------
+# quantize-in matmul: bf16 activations in, one kernel, bf16 out
+# ---------------------------------------------------------------------------
+
+def _dynq_mm_kernel(x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, b_ref, o_ref,
+                    xq_ref, xs_ref, xzp_ref, xrs_ref, *,
+                    k_size: int, sym: bool, sym_w: bool, has_bias: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         # quantize this M-block once; reuse across every N-block
-        x = x_ref[:].astype(jnp.float32)
-        if sym:
-            absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-            scale = jnp.maximum(absmax / 127.0, 1e-6)
-            zp = jnp.zeros_like(scale)
-            q = jnp.clip(jnp.round(x / scale), -128, 127)
-        else:
-            x_min = jnp.minimum(jnp.min(x, axis=-1, keepdims=True), 0.0)
-            x_max = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), 0.0)
-            scale = jnp.maximum((x_max - x_min) / 255.0, 1e-6)
-            zp = jnp.round(-x_min / scale) - 128.0
-            q = jnp.clip(jnp.round(x / scale) + zp, -128, 127)
+        q, scale, zp = _quantize_rows_f32(x_ref[:].astype(jnp.float32), sym)
         xq_ref[:] = q.astype(jnp.int8)
         xs_ref[:] = scale
-        xzp_ref[:] = zp
-        xrs_ref[:] = jnp.sum(q, axis=-1, keepdims=True)
+        if not sym:
+            xzp_ref[:] = zp
+        if not (sym and sym_w):
+            xrs_ref[:] = jnp.sum(q, axis=-1, keepdims=True)
 
     acc = jax.lax.dot_general(
         xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.float32)
-    corrected = (acc - xzp_ref[:] * wcs_ref[:] - wzp_ref[:] * xrs_ref[:]
-                 + (float(k_size) * xzp_ref[:]) * wzp_ref[:])
-    o_ref[:] = (corrected * xs_ref[:] * ws_ref[:]).astype(o_ref.dtype)
+    if sym and sym_w:
+        # sym acts + sym weights: every correction term vanishes
+        out = acc * (xs_ref[:] * ws_ref[:])
+    elif sym:
+        # sym acts (zp_x = 0), asym weights: only the rowsum term survives
+        out = (acc - wzp_ref[:] * xrs_ref[:]) * (xs_ref[:] * ws_ref[:])
+    else:
+        corrected = (acc - xzp_ref[:] * wcs_ref[:] - wzp_ref[:] * xrs_ref[:]
+                     + (float(k_size) * xzp_ref[:]) * wzp_ref[:])
+        out = corrected * xs_ref[:] * ws_ref[:]
+    if has_bias:
+        out = out + b_ref[:]
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
                            w_scale: jnp.ndarray, w_zp: jnp.ndarray,
                            w_colsum: jnp.ndarray, sym: bool = False,
+                           sym_w: bool = False,
+                           bias: 'Optional[jnp.ndarray]' = None,
                            out_dtype=jnp.bfloat16,
                            block_m: Optional[int] = None,
                            block_n: Optional[int] = None) -> jnp.ndarray:
-    """x: [M, K] bf16/f32; w_q: [K, N] int8 (full-K blocks — K must fit
-    VMEM; true for every DiT linear, K <= 4608). Returns [M, N].
+    """x: [M, K] bf16/f32; w_q: [K, N] int8 (full-K blocks — true for every
+    DiT linear input except fc2, whose input arrives pre-quantized from the
+    gelu producer). Returns [M, N].
 
-    Default blocks from v5e tuning: full-N when it fits (one quantize per
-    M-block, no scratch revisits; bm1024/bn-full measured 102 TOPS vs 85
-    for 512x512)."""
+    sym / sym_w flag ACT / WEIGHT symmetry: each zero correction term is
+    dropped exactly when its zero point is statically 0.
+    """
     M, K = x.shape
     K2, N = w_q.shape
     assert K == K2
-    if block_n is None:
-        block_n = _round_up(N, 128) if N <= 2048 else 512
     if block_m is None:
-        # VMEM budget: x bf16 (pipelined x2) + int8/scales scratch + w int8
-        # (x2) + out f32 acc; keep under ~12MB of the 16MB VMEM
-        def vmem(bm):
-            return (bm * K * 2 * 2 + bm * K + 2 * K * block_n
-                    + 2 * bm * block_n * 4 + 4 * bm * 4)
-        block_m = 1024
-        # Mosaic stacks more buffering than the naive estimate (observed
-        # ~1.8x); budget conservatively
-        while block_m > 128 and vmem(block_m) > 8 * 1024 * 1024:
-            block_m //= 2
+        block_m = 512 if K <= 2304 else 256  # v5e retune (278 TOPS @ bm512)
+    if block_n is None:
+        block_n = _round_up(min(N, 1152), 128)
     block_m = min(block_m, _round_up(M, 8))
     block_n = min(block_n, _round_up(N, 128))
     Mp, Np = _round_up(M, block_m), _round_up(N, block_n)
@@ -107,25 +150,25 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
         w_scale = jnp.pad(w_scale, ((0, 0), (0, Np - N)))
         w_zp = jnp.pad(w_zp, ((0, 0), (0, Np - N)))
         w_colsum = jnp.pad(w_colsum, ((0, 0), (0, Np - N)))
+    has_bias = bias is not None
+    b = (jnp.zeros((1, Np), jnp.float32) if bias is None
+         else jnp.pad(bias.reshape(1, -1).astype(jnp.float32),
+                      ((0, 0), (0, Np - N))))
     grid = (Mp // block_m, Np // block_n)
-    kernel = functools.partial(_kernel, k_size=K, sym=sym)
+    kernel = functools.partial(_dynq_mm_kernel, k_size=K, sym=sym,
+                               sym_w=sym_w, has_bias=has_bias)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, K), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((K, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((block_m, K), jnp.int8),
@@ -133,8 +176,7 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
             pltpu.VMEM((block_m, 1), jnp.float32),
             pltpu.VMEM((block_m, 1), jnp.float32),
         ],
-        # both 'arbitrary': the j==0 scratch-quantize step requires strict
-        # lexicographic (i-major) execution order
+        # the j==0 scratch-quantize step requires i-major execution order
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -142,5 +184,197 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
             bytes_accessed=(Mp * K * 2 + K * Np
                             + Mp * Np * np.dtype(out_dtype).itemsize),
             transcendentals=0),
-    )(x, w_q, w_scale, w_zp, w_colsum)
+    )(x, w_q, w_scale, w_zp, w_colsum, b)
     return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
+# consumer matmul: pre-quantized activations in (382 TOPS measured)
+# ---------------------------------------------------------------------------
+
+def _consumer_kernel(xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref,
+                     wzp_ref, wcs_ref, b_ref, o_ref, acc_ref, *,
+                     k_size: int, n_k: int, sym: bool, sym_w: bool,
+                     has_bias: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        acc = acc_ref[:].astype(jnp.float32)
+        if sym and sym_w:
+            out = acc * (xs_ref[:] * ws_ref[:])
+        elif sym:
+            out = (acc - wzp_ref[:] * xrs_ref[:]) * (xs_ref[:] * ws_ref[:])
+        else:
+            corrected = (acc - xzp_ref[:] * wcs_ref[:]
+                         - wzp_ref[:] * xrs_ref[:]
+                         + (float(k_size) * xzp_ref[:]) * wzp_ref[:])
+            out = corrected * xs_ref[:] * ws_ref[:]
+        if has_bias:
+            out = out + b_ref[:]
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
+                         w_q: jnp.ndarray, w_scale: jnp.ndarray,
+                         x_zp: Optional[jnp.ndarray] = None,
+                         x_rowsum: Optional[jnp.ndarray] = None,
+                         w_zp: Optional[jnp.ndarray] = None,
+                         w_colsum: Optional[jnp.ndarray] = None,
+                         bias: Optional[jnp.ndarray] = None,
+                         out_dtype=jnp.bfloat16,
+                         block_m: int = 512,
+                         block_n: Optional[int] = None,
+                         block_k: int = 2304) -> jnp.ndarray:
+    """x_q: [M, K] int8 (+ per-row scales [M, 1]); w_q: [K, N] int8.
+
+    Pure MXU work — the activation quantize already happened in a producer
+    (shared q/k/v quantize, gelu+quantize pass, or an int8-emitting
+    epilogue). sym mode (no x_zp) skips all corrections.
+    """
+    M, K = x_q.shape
+    K2, N = w_q.shape
+    assert K == K2
+    sym = x_zp is None
+    sym_w = w_zp is None
+    if sym and not sym_w:
+        assert x_rowsum is not None, \
+            "sym acts on asym weights need x_rowsum for the w_zp term"
+    if not sym:
+        # asym acts need -zp_x * colsum_w regardless of weight symmetry
+        # (sym weights have zp_w = 0 but their signed-code column sums are
+        # not zero)
+        assert w_colsum is not None, "asym acts require w_colsum"
+    if block_n is None:
+        block_n = _round_up(min(N, 1152), 128)
+    block_m = min(block_m, _round_up(M, 8))
+    block_n = min(block_n, _round_up(N, 128))
+    block_k = min(block_k, K)
+    assert K % block_k == 0, (K, block_k)
+    n_k = K // block_k
+    Mp, Np = _round_up(M, block_m), _round_up(N, block_n)
+    zeros = lambda r, c: jnp.zeros((r, c), jnp.float32)
+    if x_zp is None:
+        x_zp = zeros(M, 1)
+        if x_rowsum is None:
+            x_rowsum = zeros(M, 1)
+    if w_zp is None:
+        w_zp = zeros(1, N)
+    if w_colsum is None:
+        w_colsum = zeros(1, N)
+    if Mp != M:
+        pad = ((0, Mp - M), (0, 0))
+        x_q = jnp.pad(x_q, pad)
+        x_scale = jnp.pad(x_scale, pad)
+        x_zp = jnp.pad(x_zp, pad)
+        x_rowsum = jnp.pad(x_rowsum, pad)
+    if Np != N:
+        pad = ((0, 0), (0, Np - N))
+        w_q = jnp.pad(w_q, pad)
+        w_scale = jnp.pad(w_scale, pad)
+        w_zp = jnp.pad(w_zp, pad)
+        w_colsum = jnp.pad(w_colsum, pad)
+    has_bias = bias is not None
+    b = (jnp.zeros((1, Np), jnp.float32) if bias is None
+         else jnp.pad(bias.reshape(1, -1).astype(jnp.float32),
+                      ((0, 0), (0, Np - N))))
+    grid = (Mp // block_m, Np // block_n, n_k)
+    kernel = functools.partial(_consumer_kernel, k_size=K, n_k=n_k, sym=sym,
+                               sym_w=sym_w, has_bias=has_bias)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * K,
+            bytes_accessed=(Mp * K + K * Np
+                            + Mp * Np * np.dtype(out_dtype).itemsize),
+            transcendentals=0),
+    )(x_q, x_scale, x_zp, x_rowsum, w_q, w_scale, w_zp, w_colsum, b)
+    return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
+# producer pass: (optional tanh-GELU) -> row-wise dynamic quantize
+# ---------------------------------------------------------------------------
+
+_SQRT_2_OVER_PI = 0.7978845608028654
+
+
+def _quant_rows_kernel(x_ref, q_ref, xs_ref, xzp_ref, xrs_ref, *,
+                       sym: bool, gelu: bool, need_rowsum: bool):
+    x = x_ref[:].astype(jnp.float32)
+    if gelu:
+        # tanh approximation, matching flax nn.gelu(approximate=True) /
+        # the reference timm Mlp act
+        x = 0.5 * x * (1.0 + jnp.tanh(_SQRT_2_OVER_PI
+                                      * (x + 0.044715 * x ** 3)))
+    q, scale, zp = _quantize_rows_f32(x, sym)
+    q_ref[:] = q.astype(jnp.int8)
+    xs_ref[:] = scale
+    if not sym:
+        xzp_ref[:] = zp
+    if not sym or need_rowsum:
+        xrs_ref[:] = jnp.sum(q, axis=-1, keepdims=True)
+
+
+def quantize_rows_fused(x: jnp.ndarray, sym: bool = True,
+                        gelu: bool = False, need_rowsum: bool = True,
+                        block_m: int = 512) -> Tuple[jnp.ndarray, ...]:
+    """[M, K] bf16 -> (int8 codes [M, K], scale [M, 1], zp, rowsum).
+
+    zp is None for sym; rowsum is emitted unless sym and not need_rowsum
+    (asym WEIGHTS still need the act rowsum for their zero-point term).
+    One bandwidth-bound pass; with gelu=True this REPLACES the bf16 gelu
+    between fc1 and fc2 (int8 codes halve the write bandwidth)."""
+    M, K = x.shape
+    # VMEM budget: bf16 in x2 buffers + int8 out x2 + f32 working set
+    while block_m > 64 and block_m * K * 10 > 8 * 1024 * 1024:
+        block_m //= 2
+    block_m = min(block_m, _round_up(M, 8))
+    Mp = _round_up(M, block_m)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    kernel = functools.partial(_quant_rows_kernel, sym=sym, gelu=gelu,
+                               need_rowsum=need_rowsum)
+    s1 = jax.ShapeDtypeStruct((Mp, 1), jnp.float32)
+    q, xs, xzp, xrs = pl.pallas_call(
+        kernel,
+        grid=(Mp // block_m,),
+        in_specs=[pl.BlockSpec((block_m, K), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((block_m, K), lambda i: (i, 0)),
+                   pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+                   pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
+                   pl.BlockSpec((block_m, 1), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((Mp, K), jnp.int8), s1, s1, s1],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * Mp * K, bytes_accessed=Mp * K * 3, transcendentals=0),
+    )(x)
+    if sym:
+        return q[:M], xs[:M], None, (xrs[:M] if need_rowsum else None)
+    return q[:M], xs[:M], xzp[:M], xrs[:M]

@@ -270,6 +270,7 @@ def _default_impl() -> str:
 def quantized_linear_native(x: jnp.ndarray, packed: dict,
                             bias: Optional[jnp.ndarray] = None,
                             act_sym: bool = False,
+                            w_sym: bool = False,
                             out_dtype=jnp.bfloat16,
                             impl: Optional[str] = None) -> jnp.ndarray:
     """W8A8 linear: dynamic per-token int8 act quant + int8 MXU matmul.
@@ -278,6 +279,10 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
     reshape to the logical token view first, matching the fake-quant path).
     """
     impl = impl or _default_impl()
+    if impl in ("fused", "pallas", "mixed"):
+        from viditq_tpu.kernels.fused_matmul import fused_available
+        if not fused_available():
+            impl = "xla"  # CPU / non-TPU fallback, same numerics
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
@@ -285,7 +290,9 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
         from viditq_tpu.kernels.fused_matmul import fused_dynq_int8_matmul
         out = fused_dynq_int8_matmul(x2, packed["w_q"], packed["w_scale"],
                                      packed["w_zp"], packed["w_colsum"],
-                                     sym=act_sym, out_dtype=out_dtype)
+                                     sym=act_sym, sym_w=w_sym, bias=bias,
+                                     out_dtype=out_dtype)
+        return out.reshape(*lead, -1)
     elif impl == "pallas":
         x_q, xs, xzp, xrs = dynamic_quant_rows(x2, sym=act_sym)
         out = int8_matmul(x_q, packed["w_q"], xs, xzp, xrs,

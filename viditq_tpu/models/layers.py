@@ -89,12 +89,31 @@ class Mlp(nn.Module):
         out_features = self.out_features or x.shape[-1]
         kw = dict(dtype=self.dtype, token_layout=self.token_layout,
                   d_t=self.d_t, d_s=self.d_s)
+        spec2 = self.resolver(f"{self.prefix}.fc2")
         x = QuantLinear(self.hidden_features,
                         lspec=self.resolver(f"{self.prefix}.fc1"),
                         name="fc1", **kw)(x, qctx)
+        # fused int8 dataflow: gelu + row-quantize in ONE bandwidth-bound
+        # Pallas pass emitting int8 codes + scales (half the write bytes of
+        # a bf16 gelu), consumed by fc2's pure-MXU kernel
+        fused2 = (spec2 is not None and spec2.backend == "native"
+                  and spec2.impl == "fused" and spec2.act is not None
+                  and spec2.act.dynamic and spec2.act_quant
+                  and spec2.weight_quant and not spec2.smooth_quant.enable
+                  and qctx is not None and qctx.mode == "quant")
+        if fused2:
+            from viditq_tpu.kernels.fused_matmul import (fused_available,
+                                                         quantize_rows_fused)
+            fused2 = fused_available()
+        if fused2:
+            pre = quantize_rows_fused(
+                x.reshape(-1, x.shape[-1]), sym=spec2.act.sym, gelu=True,
+                need_rowsum=not (spec2.weight is not None
+                                 and spec2.weight.sym))
+            return QuantLinear(out_features, lspec=spec2, name="fc2",
+                               **kw)(x, qctx, prequant=pre)
         x = approx_gelu(x)
-        x = QuantLinear(out_features,
-                        lspec=self.resolver(f"{self.prefix}.fc2"),
+        x = QuantLinear(out_features, lspec=spec2,
                         name="fc2", **kw)(x, qctx)
         return x
 
@@ -182,6 +201,10 @@ class SelfAttention(nn.Module):
     token_layout: Optional[str] = None
     d_t: int = 1
     d_s: int = 1
+    # Block-diagonal attention: token i attends only to its seg_len-sized
+    # segment (STDiT temporal attention packed as [B, S*T, C] with
+    # seg_len=T). 0 = full attention over N.
+    seg_len: int = 0
     # Ulysses sequence parallelism: when a Mesh with an 'sp' axis is given,
     # attention runs via all-to-all head-scatter/seq-gather (the reference's
     # SeqParallelAttention, blocks.py:198-274)
@@ -220,13 +243,37 @@ class SelfAttention(nn.Module):
                 return QuantLinear(
                     C, lspec=self.resolver(f"{self.prefix}.proj"),
                     name="proj", **kw)(out, qctx)
+        attn_spec = specs[0].attn_act if specs[0] is not None else None
+        sm_spec0 = specs[0].softmax if specs[0] is not None else None
+        from viditq_tpu.kernels.attention import attention_bnhd, attention_ok
+        if (attn_spec is None and sm_spec0 is None
+                and attention_ok(N, H, D, self.seg_len)):
+            # layout-native path: q/k/v stay [B, N, H, D] (free reshapes of
+            # the projection output); the kernel slices heads in VMEM —
+            # no HBM transposes (kernels/attention.py)
+            q4 = q.reshape(B, N, H, D)
+            k4 = k.reshape(B, N, H, D)
+            v4 = v.reshape(B, N, H, D)
+            if self.qk_norm:
+                q4 = AffineLayerNorm(dtype=self.dtype, name="q_norm")(q4)
+                k4 = AffineLayerNorm(dtype=self.dtype, name="k_norm")(k4)
+            out = attention_bnhd(q4, k4, v4, scale=D ** -0.5,
+                                 seg_len=self.seg_len)
+            out = out.reshape(B, N, C)
+            return QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
+                               name="proj", **kw)(out, qctx)
+        if self.seg_len > 0:
+            # fallback (CPU / odd shapes): unpack segments into the batch dim
+            G = N // self.seg_len
+            x_view = lambda t: t.reshape(B * G, self.seg_len, C)
+            q, k, v = x_view(q), x_view(k), x_view(v)
+            B, N = B * G, self.seg_len
         q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         if self.qk_norm:
             q = AffineLayerNorm(dtype=self.dtype, name="q_norm")(q)
             k = AffineLayerNorm(dtype=self.dtype, name="k_norm")(k)
-        attn_spec = specs[0].attn_act if specs[0] is not None else None
         if (attn_spec is not None and qctx is not None
                 and qctx.mode == "quant"):
             from viditq_tpu.quant import core as qcore
@@ -249,6 +296,9 @@ class SelfAttention(nn.Module):
         else:
             out = sdpa(q, k, v, scale=D ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        if self.seg_len > 0:
+            # undo the segment-unpacking fallback view
+            out = out.reshape(x.shape[0], x.shape[1], C)
         out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
                           name="proj", **kw)(out, qctx)
         return out
@@ -361,11 +411,24 @@ class CrossAttention(nn.Module):
         kv = QuantLinear(2 * C, lspec=self.resolver(f"{self.prefix}.kv_linear"),
                          name="kv_linear", **kw)(cond, qctx)
         k, v = jnp.split(kv, 2, axis=-1)
+        kv_mask = (mask.astype(jnp.int32) if mask is not None
+                   else jnp.ones((B, P), jnp.int32))
+        from viditq_tpu.kernels.attention import (attention_bnhd,
+                                                  attention_ok)
+        if attention_ok(N, H, D, m=P):
+            # layout-native cross-attention: no [B,H,N,D] transposes, the
+            # (small) prompt k/v stay VMEM-resident, padding masked in-
+            # kernel (kernels/attention.py)
+            out = attention_bnhd(
+                q.reshape(B, N, H, D), k.reshape(B, P, H, D),
+                v.reshape(B, P, H, D), scale=D ** -0.5, kv_mask=kv_mask)
+            out = out.reshape(B, N, C)
+            out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
+                              name="proj", **kw)(out, qctx)
+            return out
         q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, P, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, P, H, D).transpose(0, 2, 1, 3)
-        kv_mask = (mask.astype(jnp.int32) if mask is not None
-                   else jnp.ones((B, P), jnp.int32))
         # pad prompt axis to a flash-friendly multiple of 128 (padded keys
         # are masked out; harmless for the XLA fallback too)
         P_pad = max(128, -(-P // 128) * 128)

@@ -64,22 +64,38 @@ class STDiTBlock(nn.Module):
             sp_mesh=self.sp_mesh, name="attn")(x_s, qctx)
         x = x + gate_msa * x_s.reshape(B, N, C)
 
-        # temporal branch: [B, (T S), C] -> [(B S), T, C]
+        # temporal branch: [B, (T S), C] -> [B, S, T, C]
         x_t = x.reshape(B, self.d_t, self.d_s, C).transpose(0, 2, 1, 3)
-        x_t = x_t.reshape(B * self.d_s, self.d_t, C)
         if tpe is not None:
             tpe_eff = tpe.astype(self.dtype)
             if tpe_gate is not None:
                 # scanned form: tpe applies only where the per-block gate is
                 # set (block 0, stdit.py:307-316)
                 tpe_eff = tpe_eff * tpe_gate.astype(self.dtype)
-            x_t = x_t + tpe_eff
-        x_t = SelfAttention(
-            C, self.num_heads, resolver=self.resolver,
-            prefix=f"{self.prefix}.attn_temp", dtype=self.dtype,
-            token_layout="temporal", d_t=self.d_t, d_s=self.d_s,
-            sp_mesh=self.sp_mesh, name="attn_temp")(x_t, qctx)
-        x_t = x_t.reshape(B, self.d_s, self.d_t, C).transpose(0, 2, 1, 3)
+            x_t = x_t + tpe_eff[None]
+        if self.sp_mesh is None:
+            # packed segment form [B, (S T), C], seg_len=T: the temporal
+            # attention runs block-diagonally in one layout-native kernel
+            # (kernels/attention.py — the [(B S), T, C] form materializes
+            # [.., T, T] f32 scores with 8x tile padding through XLA).
+            # [B, (S T), C] IS the reference's temporal per-token quant
+            # view (stdit_quant_layer.py:159-164), so token_layout is
+            # identity here.
+            x_t = x_t.reshape(B, self.d_s * self.d_t, C)
+            x_t = SelfAttention(
+                C, self.num_heads, resolver=self.resolver,
+                prefix=f"{self.prefix}.attn_temp", dtype=self.dtype,
+                seg_len=self.d_t, name="attn_temp")(x_t, qctx)
+            x_t = x_t.reshape(B, self.d_s, self.d_t, C)
+        else:
+            x_t = x_t.reshape(B * self.d_s, self.d_t, C)
+            x_t = SelfAttention(
+                C, self.num_heads, resolver=self.resolver,
+                prefix=f"{self.prefix}.attn_temp", dtype=self.dtype,
+                token_layout="temporal", d_t=self.d_t, d_s=self.d_s,
+                sp_mesh=self.sp_mesh, name="attn_temp")(x_t, qctx)
+            x_t = x_t.reshape(B, self.d_s, self.d_t, C)
+        x_t = x_t.transpose(0, 2, 1, 3)
         x = x + gate_msa * x_t.reshape(B, N, C)
 
         # cross attention to prompt tokens

@@ -75,6 +75,15 @@ def shared_prequant(x: jnp.ndarray, lspec: Optional[LayerQuantSpec]):
             or not lspec.act.dynamic or not lspec.act_quant
             or not lspec.weight_quant or lspec.smooth_quant.enable):
         return None
+    if lspec.impl == "fused":
+        from viditq_tpu.kernels.fused_matmul import (fused_available,
+                                                     quantize_rows_fused)
+        if fused_available():
+            q, xs, xzp, xrs = quantize_rows_fused(
+                x.reshape(-1, x.shape[-1]), sym=lspec.act.sym,
+                need_rowsum=not (lspec.weight is not None
+                                 and lspec.weight.sym))
+            return q, xs, xzp, xrs
     from viditq_tpu.kernels.int_matmul import dynamic_quant_rows_ref
     return dynamic_quant_rows_ref(x.reshape(-1, x.shape[-1]),
                                   sym=lspec.act.sym)
@@ -321,6 +330,17 @@ class QuantLinear(nn.Module):
             }
             if prequant is not None:
                 x_qv, xs, xzp, xrs = prequant
+                from viditq_tpu.kernels.fused_matmul import fused_available
+                if lspec.impl == "fused" and fused_available():
+                    from viditq_tpu.kernels.fused_matmul import \
+                        int8_consumer_matmul
+                    out = int8_consumer_matmul(
+                        x_qv, xs, packed["w_q"], packed["w_scale"],
+                        x_zp=xzp, x_rowsum=xrs,
+                        w_zp=None if wspec.sym else packed["w_zp"],
+                        w_colsum=packed["w_colsum"],
+                        bias=bias, out_dtype=self.dtype)
+                    return out.reshape(*x.shape[:-1], self.features)
                 out = int8_matmul_ref(
                     x_qv, packed["w_q"], xs, xzp, xrs, packed["w_scale"],
                     packed["w_zp"], packed["w_colsum"],
@@ -331,7 +351,9 @@ class QuantLinear(nn.Module):
             xv = self._to_token_view(x)
             out = quantized_linear_native(xv, packed, bias=bias,
                                           act_sym=aspec.sym,
-                                          out_dtype=self.dtype)
+                                          w_sym=wspec.sym,
+                                          out_dtype=self.dtype,
+                                          impl=lspec.impl)
             return out.reshape(*x.shape[:-1], self.features)
 
         if native_static and mode == "quant":

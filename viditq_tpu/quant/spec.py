@@ -172,6 +172,10 @@ class LayerQuantSpec:
     # weights) — the deploy path the reference paper describes but never
     # released.
     backend: str = "simulate"
+    # Native execution implementation: None = auto ('xla'), 'fused' = the
+    # single-Pallas-call quantize+matmul+epilogue dataflow (kernels/
+    # fused_matmul.py), 'xla'/'pallas'/'mixed' = int_matmul variants.
+    impl: Optional[str] = None
     # Optional attention-internal quantizers (reference
     # QuantTransformerBlock act_quantizer_{q,k,v} + softmax quantizer,
     # quant_block.py:181-236): applied to post-projection q/k/v and the

@@ -23,6 +23,12 @@ def _granularity(per_group) -> str:
         return "tensor"
     if per_group in ("channel", "token"):
         return per_group
+    if per_group == "group":
+        # the reference's w6a6_smooth_quant.yaml says per_group: "group",
+        # a value its quantizer doesn't actually handle (base_quantizer.py
+        # :169-177 only matches 'channel'/'token'); the intended semantics
+        # for a dynamic-act smooth-quant plan is per-token
+        return "token"
     raise ValueError(f"unknown per_group {per_group!r}")
 
 
@@ -120,6 +126,9 @@ class QuantPlanConfig:
                     if mode == "weight_only":
                         spec = dataclasses.replace(spec, backend="native",
                                                    act_quant=False)
+                    elif mode == "fused":
+                        spec = dataclasses.replace(spec, backend="native",
+                                                   impl="fused")
                     else:
                         spec = dataclasses.replace(spec, backend=mode)
                     break
@@ -193,6 +202,14 @@ def load_quant_config(path: str, part_fp: bool = True,
             dynamic=True)
     default = LayerQuantSpec(weight=wspec, act=aspec, smooth_quant=smooth,
                              softmax=softmax_spec, attn_act=attn_act_spec)
+    # optional plan-level default backend ('native' / 'fused'); per-group
+    # backend_overrides still win
+    plan_backend = cfg.get("backend")
+    if plan_backend == "fused":
+        default = dataclasses.replace(default, backend="native",
+                                      impl="fused")
+    elif plan_backend:
+        default = dataclasses.replace(default, backend=str(plan_backend))
 
     fp_patterns: Tuple[str, ...] = ()
     fp_path = cfg.get("part_fp_list")
