@@ -141,3 +141,21 @@ def test_ptq_standalone_registers_schedulers():
         assert sampler is not None
     finally:
         registry.SCHEDULERS.update(saved)
+
+
+def test_sampler_type_override_cli(outdir):
+    """--sampler_type dpms / sa-solver drive get-calib-data and
+    quant-generate end-to-end (reference t2i get_calib_data.py /
+    quant_txt2img.py --sampler dispatch)."""
+    d = outdir + "/samplers"
+    common = ["--config", "configs/workload/pixart_tiny.py",
+              "--save_dir", d, "--num_samples", "1"]
+    cli.main(["get-calib-data"] + common + ["--sampler_type", "dpms"])
+    xs = np.load(os.path.join(d, "calib_data.npz"))["xs"]
+    assert xs.shape[1] == 2  # duplicated to the [cond; null] layout
+    cli.main(["get-calib-data"] + common + ["--sampler_type", "sa-solver"])
+    cli.main(["quant-generate"] + common +
+             ["--ptq_config", "configs/pixart/w8a8.yaml",
+              "--sampler_type", "sa-solver"])
+    out = np.load(os.path.join(d, "quant_samples.npz"))["samples"]
+    assert out.shape == (1, 4, 8, 8) and np.isfinite(out).all()

@@ -88,3 +88,54 @@ def test_edm_recovers_constant_denoiser():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
     sig = sampler.sigmas()
     assert sig[0] == sampler.sigma_max and sig[-1] == 0.0
+
+
+def test_lcm_prediction_types_and_clip():
+    """'sample' and 'v_prediction' parameterizations + clip_sample
+    (reference lcm_scheduler.step branch, lcm_scheduler.py:385-396)."""
+    z = jnp.ones((1, 4, 4, 4))
+    y = jnp.zeros((2, 1, 4, 8))
+
+    def model_apply(x, t, yy, mm, qctx):
+        return jnp.concatenate([x * 0.1, jnp.zeros_like(x)], axis=1)
+
+    for pt in ("sample", "v_prediction"):
+        sched = LCMScheduler(num_sampling_steps=4, prediction_type=pt,
+                             clip_sample=True)
+        out = sched.sample(model_apply, z, y, rng=jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(out)).all()
+    # thresholding path
+    sched = LCMScheduler(num_sampling_steps=2, thresholding=True)
+    out = sched.sample(model_apply, z, y, rng=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lcm_guidance_scale_embedding():
+    """w-embedding matches the sinusoidal formula (diffusers LCM
+    get_guidance_scale_embedding: w*1000, half sin / half cos)."""
+    from viditq_tpu.samplers.extra_solvers import get_guidance_scale_embedding
+
+    emb = np.asarray(get_guidance_scale_embedding(jnp.asarray([3.0]), 8))
+    w = 3.0 * 1000.0
+    freqs = np.exp(np.arange(4) * (-np.log(10000.0) / 3))
+    want = np.concatenate([np.sin(w * freqs), np.cos(w * freqs)])
+    np.testing.assert_allclose(emb[0], want, rtol=1e-5)
+    # odd dim pads
+    assert np.asarray(get_guidance_scale_embedding(jnp.asarray([1.0]), 7)
+                      ).shape == (1, 7)
+    # the scheduler passes it through to the model
+    seen = {}
+
+    def model_apply(x, t, yy, mm, qctx, w_embed=None):
+        seen["w"] = w_embed
+        return jnp.concatenate([x * 0.1, jnp.zeros_like(x)], axis=1)
+
+    sched = LCMScheduler(num_sampling_steps=2, cfg_scale=4.5,
+                         guidance_embed_dim=16)
+    z = jnp.ones((2, 4, 4, 4))
+    y = jnp.zeros((4, 1, 4, 8))
+    sched.sample(model_apply, z, y, rng=jax.random.PRNGKey(0))
+    assert seen["w"].shape == (2, 16)
+    want0 = np.asarray(get_guidance_scale_embedding(
+        jnp.asarray([3.5, 3.5]), 16))
+    np.testing.assert_allclose(np.asarray(seen["w"]), want0, rtol=1e-5)

@@ -39,7 +39,8 @@ def _common(parser):
                         help="comma-separated prompt indices")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--sampler_type", default="ddim",
-                        choices=["ddim", "iddpm"])
+                        choices=["ddim", "iddpm", "dpms", "dpm-solver",
+                                 "sa-solver", "lcm", "edm"])
 
 
 def _quant_args(parser):
@@ -72,7 +73,8 @@ def _setup(args, quant: bool = False):
         resolver = plan.resolver()
     model = workload.build_model(cfg, resolver=resolver)
     sampler = workload.build_sampler(
-        cfg, cfg_split=bool(plan.cfg_split) if plan else False)
+        cfg, cfg_split=bool(plan.cfg_split) if plan else False,
+        override_type=getattr(args, "sampler_type", None))
     return cfg, plan, resolver, model, sampler
 
 

@@ -8,6 +8,7 @@ from viditq_tpu.samplers.dpm_solver import (  # noqa: F401
     DPMSolver, DPMSolverSampler, NoiseScheduleVP, dpm_solver_pp_2m)
 from viditq_tpu.samplers.extra_solvers import (  # noqa: F401
     EDMSampler, LCMScheduler, SASolverSampler)
+from viditq_tpu.samplers.sa_solver import SASolver  # noqa: F401
 
 from viditq_tpu.models.registry import SCHEDULERS, register
 

@@ -24,6 +24,24 @@ from viditq_tpu.samplers.dpm_solver import NoiseScheduleVP, model_input_timestep
 from viditq_tpu.samplers.gaussian_diffusion import get_named_beta_schedule
 
 
+def get_guidance_scale_embedding(w, embedding_dim: int):
+    """Sinusoidal guidance-scale (w) conditioning embedding for
+    guidance-distilled consistency models (diffusers
+    LCM get_guidance_scale_embedding; see https://arxiv.org/abs/2210.02303
+    eq. 17 — w is scaled by 1000 before embedding).
+
+    w: [B] guidance weights. Returns [B, embedding_dim]."""
+    w = jnp.asarray(w, jnp.float32) * 1000.0
+    half = embedding_dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32)
+                    * (-np.log(10000.0) / (half - 1)))
+    emb = w[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
 class LCMScheduler:
     """Latent-consistency sampling loop.
 
@@ -34,16 +52,38 @@ class LCMScheduler:
       ts = t * 10
       c_skip = s^2 / (ts^2 + s^2),  c_out = ts / sqrt(ts^2 + s^2)
     with sigma_data s = 0.5; denoised = c_out * x0_pred + c_skip * x.
+
+    prediction_type: 'epsilon' | 'sample' | 'v_prediction'
+    (lcm_scheduler.step parameterization branch, lcm_scheduler.py:385-396).
+    clip_sample / thresholding mirror the reference's x0 post-processing
+    (_threshold_sample, lcm_scheduler.py:256-289).
+
+    guidance_embed_dim: when set, sample() computes the sinusoidal
+    guidance-scale embedding w_embed = get_guidance_scale_embedding(
+    cfg_scale - 1, dim) and passes it to the model as an extra keyword —
+    the conditioning input of guidance-distilled LCM backbones.
     """
 
     sigma_data = 0.5
 
     def __init__(self, num_sampling_steps: int = 4,
                  lcm_origin_steps: int = 50, diffusion_steps: int = 1000,
-                 cfg_scale: float = 4.0, in_channels: int = 4):
+                 cfg_scale: float = 4.0, in_channels: int = 4,
+                 prediction_type: str = "epsilon",
+                 clip_sample: bool = False, thresholding: bool = False,
+                 dynamic_thresholding_ratio: float = 0.995,
+                 sample_max_value: float = 1.0,
+                 guidance_embed_dim: Optional[int] = None):
+        assert prediction_type in ("epsilon", "sample", "v_prediction")
         self.steps = num_sampling_steps
         self.cfg_scale = cfg_scale
         self.in_channels = in_channels
+        self.prediction_type = prediction_type
+        self.clip_sample = clip_sample
+        self.thresholding = thresholding
+        self.dynamic_thresholding_ratio = dynamic_thresholding_ratio
+        self.sample_max_value = sample_max_value
+        self.guidance_embed_dim = guidance_embed_dim
         betas = get_named_beta_schedule("linear", diffusion_steps)
         self.alphas_cumprod = np.cumprod(1.0 - betas)
         # LCM timestep schedule (lcm_scheduler.set_timesteps): every k-th of
@@ -52,6 +92,25 @@ class LCMScheduler:
         lcm_origin = np.asarray(range(1, lcm_origin_steps + 1)) * c - 1
         skip = max(len(lcm_origin) // num_sampling_steps, 1)
         self.timesteps = lcm_origin[::-skip][:num_sampling_steps]
+
+    def _pred_x0(self, x, out, a):
+        """Parameterization branch of step() (lcm_scheduler.py:385-396) plus
+        the clip/threshold x0 corrections."""
+        if self.prediction_type == "epsilon":
+            x0 = (x - jnp.sqrt(1 - a) * out) / jnp.sqrt(a)
+        elif self.prediction_type == "sample":
+            x0 = out
+        else:  # v_prediction
+            x0 = jnp.sqrt(a) * x - jnp.sqrt(1 - a) * out
+        if self.thresholding:
+            p = self.dynamic_thresholding_ratio
+            s = jnp.quantile(jnp.abs(x0).reshape(x0.shape[0], -1), p, axis=1)
+            s = jnp.clip(s, 1.0, self.sample_max_value).reshape(
+                (-1,) + (1,) * (x0.ndim - 1))
+            x0 = jnp.clip(x0, -s, s) / s
+        elif self.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
 
     def _scalings(self, t):
         ts = t * 10.0  # reference t / 0.1 (lcm_scheduler.py:317-318)
@@ -70,14 +129,19 @@ class LCMScheduler:
         nd = z.ndim
         y_cond = jnp.split(y, 2, axis=0)[0]
 
+        w_kwargs = {}
+        if self.guidance_embed_dim is not None:
+            w = jnp.full((z.shape[0],), self.cfg_scale - 1.0, jnp.float32)
+            w_kwargs["w_embed"] = get_guidance_scale_embedding(
+                w, self.guidance_embed_dim)
+
         def step(x, i):
             t = ts[i]
             qctx = qctx_factory(t, i) if qctx_factory is not None else None
             tb = jnp.full((x.shape[0],), t, jnp.float32)
-            out = model_apply(x, tb, y_cond, mask, qctx)
-            eps = out[:, :c]
+            out = model_apply(x, tb, y_cond, mask, qctx, **w_kwargs)
             a = acp[t].reshape((1,) * nd)
-            x0 = (x - jnp.sqrt(1 - a) * eps) / jnp.sqrt(a)
+            x0 = self._pred_x0(x, out[:, :c], a)
             c_skip, c_out = self._scalings(t.astype(jnp.float32))
             denoised = c_out * x0 + c_skip * x
             # re-noise to the next timestep (ancestral; skipped on the last)
@@ -168,31 +232,43 @@ class EDMSampler:
 
 
 class SASolverSampler:
-    """SA-Solver (data prediction, predictor order 2 + trapezoid corrector,
-    tau=0 deterministic default). CFG layout identical to DPMSolverSampler."""
+    """SA-Solver scheduler wrapper (reference SASolverSampler,
+    t2i/diffusion/sa_sampler.py:10-94): classifier-free guidance over
+    [cond; null] embeds, data-prediction SASolver in 'few_steps' mode with
+    the reference's default tau schedule tau(t) = eta for t in [0.2, 0.8]
+    else 0, eta defaulting to 0 (sa_sampler.py:42,91)."""
 
     def __init__(self, num_sampling_steps: int = 25, cfg_scale: float = 4.0,
-                 in_channels: int = 4, tau: float = 0.0):
+                 in_channels: int = 4, tau=None, eta: float = 0.0,
+                 predictor_order: int = 2, corrector_order: int = 2,
+                 pc_mode: str = "PEC", mode: str = "few_steps",
+                 skip_type: str = "time", skip_order: int = 1,
+                 algorithm_type: str = "data_prediction",
+                 thresholding: bool = False):
+        from viditq_tpu.samplers.sa_solver import SASolver  # noqa: F401
         self.steps = num_sampling_steps
         self.cfg_scale = cfg_scale
         self.in_channels = in_channels
+        if tau is None:
+            tau = lambda t: eta if 0.2 <= t <= 0.8 else 0.0  # noqa: E731
         self.tau = tau
+        self.predictor_order = predictor_order
+        self.corrector_order = corrector_order
+        self.pc_mode = pc_mode
+        self.mode = mode
+        self.skip_type = skip_type
+        self.skip_order = skip_order
+        self.algorithm_type = algorithm_type
+        self.thresholding = thresholding
         self.ns = NoiseScheduleVP()
 
     def sample(self, model_apply, z, y, mask=None, rng=None,
                qctx_factory=None, return_trajectory: bool = False):
-        ns = self.ns
+        from viditq_tpu.samplers.sa_solver import SASolver
         s = self.cfg_scale
         c = self.in_channels
-        nd = z.ndim
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        ts = jnp.linspace(1.0, 1.0 / ns.total_N, self.steps + 1,
-                          dtype=jnp.float32)
-        B = z.shape[0]
 
-        def x0_of(x, t_cont, step_idx):
-            t_model = jnp.full((B,), model_input_timestep(t_cont, ns.total_N),
-                               jnp.float32)
+        def noise_model_fn(x, t_model, step_idx):
             t_id = jnp.clip(t_model[0].astype(jnp.int32), 0, 999)
             qctx = (qctx_factory(t_id, step_idx)
                     if qctx_factory is not None else None)
@@ -200,67 +276,16 @@ class SASolverSampler:
             tt = jnp.concatenate([t_model, t_model], axis=0)
             out = model_apply(xx, tt, y, mask, qctx)
             out_c, out_u = jnp.split(out, 2, axis=0)
-            eps = out_u[:, :c] + s * (out_c[:, :c] - out_u[:, :c])
-            alpha = ns.marginal_alpha(t_cont).reshape((1,) * nd)
-            sigma = ns.marginal_std(t_cont).reshape((1,) * nd)
-            return (x - sigma * eps) / alpha
+            return out_u[:, :c] + s * (out_c[:, :c] - out_u[:, :c])
 
-        def transfer(x, t_from, t_to, x0, x0_prev, lam_prev2, order2: bool):
-            """x0-form exponential-integrator update t_from -> t_to, with an
-            optional 2nd-order (Adams) correction using the previous x0."""
-            lam_a = ns.marginal_lambda(t_from)
-            lam_b = ns.marginal_lambda(t_to)
-            h = lam_b - lam_a
-            sig_a = ns.marginal_std(t_from)
-            sig_b = ns.marginal_std(t_to)
-            alp_b = ns.marginal_alpha(t_to)
-            d = jnp.zeros_like(x0)
-            if order2:
-                h_prev = lam_a - lam_prev2
-                r = h_prev / jnp.maximum(h, 1e-12)
-                d = (x0 - x0_prev) / (2.0 * jnp.maximum(r, 1e-12))
-            x_new = (sig_b / sig_a).reshape((1,) * nd) * x \
-                - (alp_b * jnp.expm1(-h)).reshape((1,) * nd) * (x0 + d)
-            if self.tau > 0:
-                # stochastic variant: inject scaled noise (SA-Solver SDE tau)
-                g = jnp.sqrt(jnp.maximum(sig_b ** 2 *
-                                         (1 - jnp.exp(-2 * h * self.tau ** 2)),
-                                         0.0))
-                x_new = x_new + g * jax.random.normal(
-                    jax.random.fold_in(rng, int(0)), x.shape, x.dtype)
-            return x_new
-
-        # first step: order 1 predictor
-        x = z
-        x0_prev = x0_of(x, ts[0], jnp.asarray(0, jnp.int32))
-        lam0 = ns.marginal_lambda(ts[0])
-        x = transfer(x, ts[0], ts[1], x0_prev, x0_prev, lam0, order2=False)
-        traj0 = (z, jnp.full((B,), model_input_timestep(ts[0], ns.total_N)))
-
-        def step(carry, i):
-            x, x0_prev, lam_prev = carry
-            t_prev, t_cur = ts[i], ts[i + 1]
-            # predictor (order 2, Adams-Bashforth flavor)
-            x0_cur = x0_of(x, t_prev, i)
-            x_pred = transfer(x, t_prev, t_cur, x0_cur, x0_prev, lam_prev,
-                              order2=True)
-            # corrector (trapezoid, Adams-Moulton flavor): re-evaluate at the
-            # new point and average data predictions
-            x0_new = x0_of(x_pred, t_cur, i)
-            x0_corr = 0.5 * (x0_cur + x0_new)
-            x_corr = transfer(x, t_prev, t_cur, x0_corr, x0_prev, lam_prev,
-                              order2=False)
-            out = ((x, jnp.full((B,), model_input_timestep(t_prev,
-                                                           ns.total_N)))
-                   if return_trajectory else None)
-            return (x_corr.astype(x.dtype), x0_cur,
-                    ns.marginal_lambda(t_prev)), out
-
-        init = (x.astype(z.dtype), x0_prev, lam0)
-        (x_final, _, _), traj = jax.lax.scan(step, init,
-                                             jnp.arange(1, self.steps))
-        if return_trajectory:
-            xs = jnp.concatenate([traj0[0][None], traj[0]], axis=0)
-            tss = jnp.concatenate([traj0[1][None], traj[1]], axis=0)
-            return x_final, {"xs": xs, "ts": tss}
-        return x_final
+        solver = SASolver(
+            noise_model_fn, self.ns, algorithm_type=self.algorithm_type,
+            correcting_x0_fn=("dynamic_thresholding" if self.thresholding
+                              else None))
+        return solver.sample(
+            z, tau=self.tau, steps=self.steps, skip_type=self.skip_type,
+            skip_order=self.skip_order,
+            predictor_order=self.predictor_order,
+            corrector_order=self.corrector_order, pc_mode=self.pc_mode,
+            mode=self.mode, rng=rng,
+            capture_trajectory=return_trajectory)

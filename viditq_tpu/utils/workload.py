@@ -67,7 +67,8 @@ def build_model(cfg: Dict[str, Any], resolver=None, dtype=None):
     return build_module(mcfg, MODELS)
 
 
-def build_sampler(cfg: Dict[str, Any], cfg_split: bool = False):
+def build_sampler(cfg: Dict[str, Any], cfg_split: bool = False,
+                  override_type: str = None):
     # registration side effect: samplers register themselves on import;
     # without this a fresh process (e.g. `cli ptq` standalone) sees an
     # empty SCHEDULERS registry
@@ -75,7 +76,22 @@ def build_sampler(cfg: Dict[str, Any], cfg_split: bool = False):
 
     scfg = dict(cfg.get("scheduler", {"type": "iddpm"}))
     scfg.setdefault("cfg_scale", 4.0)
-    scfg["cfg_split"] = cfg_split
+    # --sampler_type on the CLI (reference t2i quant_txt2img.py:138-182
+    # sampler dispatch): 'ddim'/'iddpm' stay inside the config's IDDPM
+    # wrapper; solver names replace the scheduler, keeping the config's
+    # step/scale settings when the types differ.
+    alias = {"dpms": "dpm-solver", "dpm-solver": "dpm-solver",
+             "sa-solver": "sa-solver", "lcm": "lcm", "edm": "edm"}
+    if override_type in alias:
+        target = alias[override_type]
+        if scfg.get("type") != target:
+            scfg = {"type": target,
+                    **{k: scfg[k] for k in
+                       ("num_sampling_steps", "cfg_scale", "in_channels")
+                       if k in scfg}}
+        scfg.setdefault("cfg_scale", 4.0)
+    if scfg.get("type", "iddpm") in ("iddpm", "dpm-solver"):
+        scfg["cfg_split"] = cfg_split
     return build_module(scfg, SCHEDULERS)
 
 
