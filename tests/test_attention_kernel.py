@@ -61,3 +61,39 @@ def test_cross_attention_with_kv_mask():
                              block_q=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_attention_bnhd_differentiable():
+    """custom_vjp backward (XLA recompute) matches grads of the XLA
+    reference — block recon / QAT differentiate through the attention."""
+    from viditq_tpu.kernels.attention import attention_bnhd_xla
+    rng = np.random.default_rng(3)
+    B, N, H, D = 2, 128, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(attention_bnhd(q, k, v, scale=D ** -0.5,
+                                          block_q=128) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_bnhd_xla(q, k, v, scale=D ** -0.5) ** 2)
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    # the kernel's forward is bf16 on the MXU (~3e-3 output noise), so the
+    # cotangents differ slightly; require tight directional agreement
+    for gp, gx in zip(g_pallas, g_xla):
+        gp, gx = np.asarray(gp).ravel(), np.asarray(gx).ravel()
+        cos = gp @ gx / (np.linalg.norm(gp) * np.linalg.norm(gx))
+        assert cos > 0.9995, cos
+        np.testing.assert_allclose(gp, gx, atol=5e-2)
+    # segment mode grads too
+    def loss_seg(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(attention_bnhd(q, k, v, scale=D ** -0.5,
+                                          seg_len=16) ** 2)
+    g_seg = jax.grad(loss_seg)(q, k, v)
+    assert np.isfinite(np.asarray(g_seg)).all()

@@ -159,3 +159,42 @@ def test_sampler_type_override_cli(outdir):
               "--sampler_type", "sa-solver"])
     out = np.load(os.path.join(d, "quant_samples.npz"))["samples"]
     assert out.shape == (1, 4, 8, 8) and np.isfinite(out).all()
+
+
+def test_ptq_with_block_reconstruction(outdir, monkeypatch):
+    """`cli ptq` runs optimization-based reconstruction when the plan's YAML
+    has quant.weight.optimization.params + AdaRound rounding (the reference
+    use_optimization gate, t2i/scripts/ptq.py:320-359)."""
+    from viditq_tpu.utils.config import load_quant_config
+    plan = load_quant_config("configs/opensora/w4a8_adaround.yaml")
+    assert plan.weight_opt.enabled and plan.weight_opt.granularity == "block"
+
+    # shrink iters for the smoke run
+    import viditq_tpu.utils.config as cfgmod
+    orig = cfgmod.load_quant_config
+
+    def fast(path, **kw):
+        p = orig(path, **kw)
+        if p.weight_opt is not None:
+            import dataclasses
+            p = dataclasses.replace(
+                p, weight_opt=dataclasses.replace(p.weight_opt, iters=10))
+        return p
+    monkeypatch.setattr(cfgmod, "load_quant_config", fast)
+    import viditq_tpu.cli as climod
+    d = outdir + "/recon"
+    common = ["--config", "configs/workload/opensora_tiny.py",
+              "--save_dir", d, "--num_samples", "1"]
+    climod.main(["get-calib-data"] + common)
+    climod.main(["ptq", "--config", "configs/workload/opensora_tiny.py",
+                 "--save_dir", d,
+                 "--ptq_config", "configs/opensora/w4a8_adaround.yaml",
+                 "--calib_data", os.path.join(d, "calib_data.npz")])
+    ck = np.load(os.path.join(d, "quant_ckpt.npz"))
+    alpha_keys = [k for k in ck.files if k.endswith("w_alpha")]
+    assert alpha_keys, "AdaRound alphas must be in the quant ckpt"
+    climod.main(["quant-generate"] + common +
+                ["--ptq_config", "configs/opensora/w4a8_adaround.yaml",
+                 "--quant_ckpt", os.path.join(d, "quant_ckpt.npz")])
+    out = np.load(os.path.join(d, "quant_samples.npz"))["samples"]
+    assert np.isfinite(out).all()

@@ -202,6 +202,35 @@ def cmd_ptq(args):
     z = jnp.asarray(calib["xs"][0, :n])
     variables = _init_variables(model, args, z, y, mask)
     res = run_ptq(model, variables, calib, plan, resolver)
+    # optimization-based reconstruction: runs when the plan's YAML carries
+    # `quant.weight.optimization.params` and AdaRound rounding — the
+    # reference's use_optimization gate (t2i/scripts/ptq.py:320-359)
+    wopt = plan.weight_opt
+    wspec = plan.default_layer.weight
+    if (wopt is not None and wopt.enabled and wspec is not None
+            and wspec.round_mode == "learned_hard_sigmoid"):
+        from viditq_tpu.quant.reconstruction import (
+            ReconConfig, capture_layer_io, model_block_reconstruction,
+            model_reconstruction)
+        rcfg = ReconConfig(
+            iters=wopt.iters, batch_size=plan.calib_batch_size,
+            lr_alpha=wopt.alpha_lr or 1e-3,
+            lr_delta=wopt.delta_lr or 4e-5,
+            lambda_coeff=wopt.lambda_coeff, warmup=wopt.warmup,
+            opt_target=("weight_and_activation" if wopt.joint_weight_act
+                        else "weight"))
+        t0 = jnp.asarray(calib["ts"][0], jnp.float32)
+        x0 = jnp.asarray(calib["xs"][0])
+        recon_args = (x0, t0, y, mask)
+        logger.info("reconstruction: granularity=%s iters=%d",
+                    wopt.granularity, wopt.iters)
+        if wopt.granularity == "block":
+            res.variables = model_block_reconstruction(
+                model, res.variables, recon_args, rcfg, mask=mask)
+        else:
+            io = capture_layer_io(model, res.variables, recon_args)
+            res.variables = model_reconstruction(res.variables, io,
+                                                 resolver, rcfg)
     os.makedirs(args.save_dir, exist_ok=True)
     out = os.path.join(args.save_dir, "quant_ckpt.npz")
     meta = {"act_slot_map": res.act_slot_map, "calib_ts": res.calib_ts,

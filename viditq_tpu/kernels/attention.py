@@ -70,6 +70,57 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
+def attention_bnhd_xla(q, k, v, scale: float, seg_len: int = 0,
+                       kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """XLA reference of attention_bnhd (fp32 softmax), used as the
+    backward-pass recompute path and as the test oracle."""
+    B, N, H, D = q.shape
+    if seg_len > 0:
+        G = N // seg_len
+        qs = q.reshape(B, G, seg_len, H, D)
+        ks = k.reshape(B, G, seg_len, H, D)
+        vs = v.reshape(B, G, seg_len, H, D)
+        attn = jnp.einsum("bgnhd,bgmhd->bghnm", qs * scale, ks,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bghnm,bgmhd->bgnhd", attn, vs,
+                         preferred_element_type=q.dtype)
+        return out.reshape(B, N, H, D)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    if kv_mask is not None:
+        attn = attn + jnp.where(kv_mask[:, None, None, :] != 0,
+                                0.0, -jnp.inf)
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                      preferred_element_type=q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_bnhd(q, k, v, kv_mask, scale, seg_len, block_q):
+    return _attention_bnhd_impl(q, k, v, kv_mask, scale, seg_len, block_q)
+
+
+def _attention_bnhd_fwd(q, k, v, kv_mask, scale, seg_len, block_q):
+    return (_attention_bnhd_impl(q, k, v, kv_mask, scale, seg_len, block_q),
+            (q, k, v, kv_mask))
+
+
+def _attention_bnhd_bwd(scale, seg_len, block_q, res, g):
+    # backward recomputes through the (numerically equivalent) XLA path —
+    # keeps the forward on the fast Pallas kernel while making QAT / block
+    # reconstruction differentiable through the attention
+    q, k, v, kv_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_bnhd_xla(q_, k_, v_, scale, seg_len,
+                                              kv_mask), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_attention_bnhd.defvjp(_attention_bnhd_fwd, _attention_bnhd_bwd)
+
+
 def attention_bnhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    scale: float, seg_len: int = 0,
                    kv_mask: Optional[jnp.ndarray] = None,
@@ -85,7 +136,17 @@ def attention_bnhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kv_mask: [B, M] (1 = attend) padding mask for the kv tokens — the
     packed-varlen cross-attention masking (reference BlockDiagonalMask,
     blocks.py:300-304) for fixed-shape 0-padded prompts.
+
+    Differentiable: the forward runs the Pallas kernel; gradients recompute
+    through `attention_bnhd_xla` via custom_vjp.
     """
+    return _attention_bnhd(q, k, v, kv_mask, scale, seg_len, block_q)
+
+
+def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         kv_mask: Optional[jnp.ndarray], scale: float,
+                         seg_len: int = 0,
+                         block_q: Optional[int] = None) -> jnp.ndarray:
     B, N, H, D = q.shape
     M = k.shape[1]
     assert seg_len == 0 or M == N

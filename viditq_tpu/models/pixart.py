@@ -39,6 +39,8 @@ class PixArtBlock(nn.Module):
     def __call__(self, x, y, t0, mask=None, HW=None,
                  qctx: Optional[QuantCtx] = None):
         B, N, C = x.shape
+        if qctx is not None and qctx.capture:
+            self.sow("intermediates", "block_in", x)
         table = self.param("scale_shift_table",
                            nn.initializers.normal(self.hidden_size ** -0.5),
                            (6, self.hidden_size), jnp.float32)
@@ -71,6 +73,8 @@ class PixArtBlock(nn.Module):
             name="mlp")(t2i_modulate(
                 LayerNorm(dtype=self.dtype, name="norm2")(x),
                 shift_mlp, scale_mlp), qctx)
+        if qctx is not None and qctx.capture:
+            self.sow("intermediates", "block_out", x)
         return x
 
 
@@ -129,8 +133,9 @@ class PixArt(nn.Module):
         h = x.shape[-2] // self.patch_size
         w = x.shape[-1] // self.patch_size
 
-        x = PatchEmbed(self.patch_size, C, dtype=self.dtype,
-                       name="x_embedder")(x.astype(self.dtype))
+        x = PatchEmbed(self.patch_size, C, resolver=self.resolver,
+                       dtype=self.dtype,
+                       name="x_embedder")(x.astype(self.dtype), qctx)
         x = x + jnp.asarray(self.pos_embed(h, w), self.dtype)
 
         t = TimestepEmbedder(C, dtype=self.dtype, name="t_embedder")(timestep)
@@ -154,26 +159,44 @@ class PixArt(nn.Module):
                 mask = jnp.tile(mask, (B // mask.shape[0], 1))
             y = y * mask[..., None].astype(y.dtype)
 
+        if qctx is not None and qctx.capture:
+            self.sow("intermediates", "block_ctx_y", y)
+            self.sow("intermediates", "block_ctx_t0", t0)
         if self.scan_blocks:
-            assert not self.kv_compress_layers, \
-                "scan_blocks requires uniform blocks (no kv compression)"
-
+            # Blocks scan in CONTIGUOUS UNIFORM RUNS: Σ KV compression
+            # applies to a contiguous tail of the stack (reference config
+            # kv_compress_layer = [14..27]), so the stack splits into at
+            # most a few runs of structurally identical blocks, each run
+            # one nn.scan — keeping the ~depth-x compile-time win with
+            # non-uniform sr configs.
             def step(blk, carry, _):
                 return blk(carry, y, t0, mask, (h, w), qctx), None
 
             if self.grad_checkpoint:
                 step = nn.remat(step, prevent_cse=False)
-            scan = nn.scan(
-                step,
-                variable_axes={"params": 0, "quant": 0, "qstats": 0,
-                               "intermediates": 0},
-                split_rngs={"params": True},
-                in_axes=0, length=self.depth)
-            block = PixArtBlock(
-                C, self.num_heads, mlp_ratio=self.mlp_ratio,
-                qk_norm=self.qk_norm, resolver=self.resolver,
-                prefix="blocks.0", dtype=self.dtype, name="blocks")
-            x, _ = scan(block, x, jnp.zeros((self.depth, 1), self.dtype))
+            runs = []
+            for i in range(self.depth):
+                sr = (self.kv_compress_scale
+                      if i in self.kv_compress_layers else 1)
+                if runs and runs[-1][1] == sr:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([i, sr, 1])
+            for j, (start, sr, length) in enumerate(runs):
+                scan = nn.scan(
+                    step,
+                    variable_axes={"params": 0, "quant": 0, "qstats": 0,
+                                   "intermediates": 0},
+                    split_rngs={"params": True},
+                    in_axes=0, length=length)
+                name = "blocks" if len(runs) == 1 else f"blocks_run{j}"
+                block = PixArtBlock(
+                    C, self.num_heads, mlp_ratio=self.mlp_ratio,
+                    qk_norm=self.qk_norm,
+                    sampling=self.kv_compress_sampling if sr > 1 else None,
+                    sr_ratio=sr, resolver=self.resolver,
+                    prefix=f"blocks.{start}", dtype=self.dtype, name=name)
+                x, _ = scan(block, x, jnp.zeros((length, 1), self.dtype))
         else:
             block_cls = (nn.remat(PixArtBlock) if self.grad_checkpoint
                          else PixArtBlock)

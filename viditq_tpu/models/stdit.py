@@ -45,6 +45,11 @@ class STDiTBlock(nn.Module):
     def __call__(self, x, y, t0, mask=None, tpe=None,
                  qctx: Optional[QuantCtx] = None, tpe_gate=None):
         B, N, C = x.shape
+        if qctx is not None and qctx.capture:
+            # block-granularity IO for joint AdaRound reconstruction
+            # (replaces the reference's save_in_out_data block hooks,
+            # qdiff/utils.py:228)
+            self.sow("intermediates", "block_in", x)
         table = self.param("scale_shift_table",
                            nn.initializers.normal(self.hidden_size ** -0.5),
                            (6, self.hidden_size), jnp.float32)
@@ -111,6 +116,8 @@ class STDiTBlock(nn.Module):
             name="mlp")(t2i_modulate(
                 LayerNorm(dtype=self.dtype, name="norm2")(x),
                 shift_mlp, scale_mlp), qctx)
+        if qctx is not None and qctx.capture:
+            self.sow("intermediates", "block_out", x)
         return x
 
 
@@ -174,8 +181,9 @@ class STDiT(nn.Module):
         B = x.shape[0]
         T, S, C = self.num_temporal, self.num_spatial, self.hidden_size
 
-        x = PatchEmbed3D(self.patch_size, C, dtype=self.dtype,
-                         name="x_embedder")(x.astype(self.dtype))
+        x = PatchEmbed3D(self.patch_size, C, resolver=self.resolver,
+                         dtype=self.dtype,
+                         name="x_embedder")(x.astype(self.dtype), qctx)
         x = x.reshape(B, T, S, C)
         x = x + jnp.asarray(self.spatial_pos_embed(), self.dtype)
         x = x.reshape(B, T * S, C)
@@ -194,6 +202,10 @@ class STDiT(nn.Module):
 
         tpe = (None if self.no_temporal_pos_emb
                else jnp.asarray(self.temporal_pos_embed(), self.dtype))
+        if qctx is not None and qctx.capture:
+            # shared per-batch block context for block reconstruction
+            self.sow("intermediates", "block_ctx_y", y)
+            self.sow("intermediates", "block_ctx_t0", t0)
         if self.scan_blocks:
             gates = jnp.zeros((self.depth, 1, 1), self.dtype).at[0].set(1.0)
 

@@ -283,3 +283,214 @@ def capture_layer_io(model, variables, example_args,
         elif path[-1] == "output":
             outs[path_to_dotted(path[:-1])] = val[0]
     return {k: (ins[k], outs[k]) for k in ins if k in outs}
+
+
+# ---------------------------------------------------------------------------
+# General block-granularity reconstruction (reference block_reconstruction,
+# qdiff/optimization/block_recon.py:31: jointly optimize EVERY quant layer
+# in one transformer block against the block's FP output; the rounding
+# regularizer sums over all of the block's AdaRound quantizers,
+# qdiff/utils.py:169-176).
+# ---------------------------------------------------------------------------
+
+def block_reconstruction(block_apply: Callable, block_vars: Dict,
+                         x_fp: jnp.ndarray, y_fp: jnp.ndarray,
+                         batch_args: Tuple,
+                         cfg: ReconConfig = ReconConfig(),
+                         rng: Optional[jnp.ndarray] = None) -> Dict:
+    """Optimize all AdaRound alphas of one block jointly.
+
+    block_apply(variables, x, *batch_args_row) -> block output, running the
+    block in quant mode with soft AdaRound targets. block_vars: {'params',
+    'quant'} subtrees of the block (weight tables already calibrated —
+    w_alpha leaves exist and are adaround-initialized). x_fp [NB, N, C]
+    captured block inputs; y_fp matching FP block outputs; batch_args:
+    per-row extra inputs (y, t0, mask, ...), leading dim NB.
+
+    Returns the block's 'quant' subtree with optimized w_alpha leaves.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    flat_q = traverse_util.flatten_dict(block_vars["quant"])
+    alpha_paths = sorted(p for p in flat_q if p[-1] == "w_alpha")
+    if not alpha_paths:
+        return block_vars["quant"]
+    train = {str(i): flat_q[p].astype(jnp.float32)
+             for i, p in enumerate(alpha_paths)}
+    n = x_fp.shape[0]
+    bs = min(cfg.batch_size, n)
+    x_fp = x_fp.astype(jnp.float32)
+    y_fp = y_fp.astype(jnp.float32)
+
+    def fwd(p, xb, argsb):
+        fq = dict(flat_q)
+        for i, path in enumerate(alpha_paths):
+            fq[path] = p[str(i)]
+        qv = traverse_util.unflatten_dict(fq)
+        return block_apply({"params": block_vars["params"], "quant": qv},
+                           xb, *argsb)
+
+    def loss_fn(p, xb, yb, argsb, t):
+        rec = jnp.mean((fwd(p, xb, argsb) - yb) ** 2)
+        b = temp_decay(t, cfg.iters, cfg.warmup, *cfg.b_range)
+        rl = sum(jnp.sum(1.0 - jnp.abs(
+            2.0 * core.adaround_soft_targets(p[k]) - 1.0) ** b)
+            for k in p)
+        rl = jnp.where(t < cfg.warmup * cfg.iters, 0.0,
+                       cfg.lambda_coeff * rl)
+        return rec + rl
+
+    tx = optax.adam(cfg.lr_alpha)
+    opt_state = tx.init(train)
+
+    @jax.jit
+    def step(carry, t):
+        p, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (bs,), 0, n)
+        argsb = jax.tree.map(
+            lambda a: a[idx] if (hasattr(a, "shape") and a.ndim > 0
+                                 and a.shape[0] == n) else a,
+            batch_args)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            p, x_fp[idx], y_fp[idx], argsb, t)
+        updates, opt_state = tx.update(grads, opt_state)
+        p = optax.apply_updates(p, updates)
+        return (p, opt_state, key), loss
+
+    (train, _, _), losses = jax.lax.scan(
+        step, (train, opt_state, rng), jnp.arange(cfg.iters))
+    for i, path in enumerate(alpha_paths):
+        flat_q[path] = train[str(i)]
+    quant = traverse_util.unflatten_dict(flat_q)
+    return quant
+
+
+def capture_block_io(model, variables, example_args,
+                     mode: str = "fp") -> Dict:
+    """Run the model once with capture and collect block-granularity IO.
+
+    Returns {'blocks': {idx: (x_in, y_out)}, 'y': ..., 't0': ...} — the
+    per-block input/output plus the shared block context the model sows
+    (replaces the reference save_in_out_data block hooks). mode='quant'
+    (hard rounding) captures the quantized-input view for asym recon."""
+    from viditq_tpu.quant.qlinear import QuantCtx
+    _, inter = model.apply(
+        variables, *example_args,
+        qctx=QuantCtx(mode=mode, capture=True, soft_targets=False),
+        mutable=["intermediates"])
+    flat = traverse_util.flatten_dict(inter["intermediates"])
+    out = {"blocks": {}}
+    for path, val in flat.items():
+        leaf = path[-1]
+        v = val[0]
+        if leaf in ("block_in", "block_out") and len(path) >= 2:
+            name = path[-2]
+            if not name.startswith("blocks_"):
+                continue
+            idx = int(name.split("_")[1])
+            slot = out["blocks"].setdefault(idx, [None, None])
+            slot[0 if leaf == "block_in" else 1] = v
+        elif leaf == "block_ctx_y":
+            out["y"] = v
+        elif leaf == "block_ctx_t0":
+            out["t0"] = v
+    out["blocks"] = {i: tuple(v) for i, v in out["blocks"].items()
+                     if v[0] is not None and v[1] is not None}
+    return out
+
+
+def _standalone_block(model, i: int):
+    """Build the standalone block module matching model block i (unrolled
+    naming 'blocks_{i}'), in float32 for reconstruction gradients.
+    Returns (module, extra_arg) where extra_arg is the block's non-batch
+    input (STDiT tpe for block 0 / PixArt HW)."""
+    import jax.numpy as _jnp
+    from viditq_tpu.models.pixart import PixArt, PixArtBlock
+    from viditq_tpu.models.stdit import STDiT, STDiTBlock
+
+    if isinstance(model, STDiT):
+        tpe = (None if (model.no_temporal_pos_emb or i != 0)
+               else _jnp.asarray(model.temporal_pos_embed(), _jnp.float32))
+        mod = STDiTBlock(
+            model.hidden_size, model.num_heads, d_s=model.num_spatial,
+            d_t=model.num_temporal, mlp_ratio=model.mlp_ratio,
+            resolver=model.resolver, prefix=f"blocks.{i}",
+            dtype=_jnp.float32)
+        return mod, tpe
+    if isinstance(model, PixArt):
+        sr = (model.kv_compress_scale
+              if i in model.kv_compress_layers else 1)
+        h = w = model.input_size // model.patch_size
+        mod = PixArtBlock(
+            model.hidden_size, model.num_heads, mlp_ratio=model.mlp_ratio,
+            qk_norm=model.qk_norm,
+            sampling=model.kv_compress_sampling if sr > 1 else None,
+            sr_ratio=sr, resolver=model.resolver, prefix=f"blocks.{i}",
+            dtype=_jnp.float32)
+        return mod, (h, w)
+    raise NotImplementedError(
+        f"block reconstruction not wired for {type(model).__name__}")
+
+
+def model_block_reconstruction(model, variables: Dict, example_args,
+                               cfg: ReconConfig = ReconConfig(),
+                               mask=None, asym: bool = True,
+                               rng: Optional[jnp.ndarray] = None) -> Dict:
+    """Block-granularity reconstruction over every transformer block.
+
+    The recursion analog of the reference model_reconstruction
+    (qdiff/optimization/model_recon.py:13-52) at block granularity:
+    captures each block's FP output targets in one forward, then jointly
+    optimizes each block's AdaRound alphas against its FP output. With
+    `asym` (the reference block_recon default: "use quant input to
+    reconstruct fp output"), blocks reconstruct sequentially on their
+    QUANTIZED inputs — re-captured through the already-reconstructed
+    preceding blocks — so each block compensates accumulated quantization
+    error. fp-list layers carry no quant state and are skipped naturally;
+    kv_linear participates (the reference's kv_linear skip applies to LAYER
+    recon, where its input shape differs — inside a block it reconstructs
+    jointly).
+
+    Requires the unrolled block form (scan_blocks=False) — per-block quant
+    subtrees live at 'blocks_{i}'.
+    """
+    from viditq_tpu.quant.qlinear import QuantCtx
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    io = capture_block_io(model, variables, example_args)
+    if not io["blocks"]:
+        raise ValueError("no block IO captured — scan_blocks model? "
+                         "block recon needs the unrolled form")
+    y_ctx, t0_ctx = io["y"], io["t0"]
+    B = y_ctx.shape[0]
+    if mask is not None and mask.shape[0] != B:
+        import numpy as _np
+        mask = jnp.asarray(_np.tile(_np.asarray(mask),
+                                    (B // mask.shape[0], 1)))
+
+    variables = dict(variables)
+    quant_all = dict(variables["quant"])
+    qctx = QuantCtx(mode="quant", soft_targets=True)
+    for k, i in enumerate(sorted(io["blocks"])):
+        bname = f"blocks_{i}"
+        if bname not in quant_all:
+            continue
+        x_in, y_out = io["blocks"][i]
+        if asym:
+            # quant-mode input through the already-reconstructed prefix
+            variables["quant"] = quant_all
+            io_q = capture_block_io(model, variables, example_args,
+                                    mode="quant")
+            x_in = io_q["blocks"][i][0]
+        mod, extra = _standalone_block(model, i)
+
+        def block_apply(vs, xb, yb, t0b, maskb, mod=mod, extra=extra):
+            return mod.apply(vs, xb, yb, t0b, maskb, extra, qctx)
+
+        bvars = {"params": variables["params"][bname],
+                 "quant": quant_all[bname]}
+        batch_args = (y_ctx, t0_ctx, mask)
+        quant_all[bname] = block_reconstruction(
+            block_apply, bvars, x_in, y_out, batch_args, cfg,
+            jax.random.fold_in(rng, k))
+    variables["quant"] = quant_all
+    return variables

@@ -87,6 +87,47 @@ def parse_smooth_spec(cfg: Dict[str, Any]) -> SmoothQuantSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class OptimizationConfig:
+    """Parsed `quant.{weight,activation}.optimization` section — the
+    reference's recon knobs (t2i/scripts/ptq.py:320-359: presence of
+    `optimization.params` turns reconstruction on; lr per param type,
+    loss lambda/warmup, joint weight+act optimization)."""
+
+    iters: int = 2000
+    lambda_coeff: float = 1.0
+    warmup: float = 0.0
+    alpha_lr: Optional[float] = None
+    delta_lr: Optional[float] = None
+    joint_weight_act: bool = False
+    # ours: reconstruction granularity — 'layer' (reference model_recon
+    # recursion) or 'block' (reference block_reconstruction: joint
+    # block-output optimization)
+    granularity: str = "layer"
+
+    @property
+    def enabled(self) -> bool:
+        return self.alpha_lr is not None or self.delta_lr is not None
+
+
+def parse_optimization(sec) -> Optional["OptimizationConfig"]:
+    if not isinstance(sec, dict):
+        return None
+    loss = sec.get("loss") or {}
+    params = sec.get("params") or {}
+
+    def lr(name):
+        p = params.get(name)
+        return float(p["lr"]) if isinstance(p, dict) and "lr" in p else None
+    return OptimizationConfig(
+        iters=int(sec.get("iters", 2000)),
+        lambda_coeff=float(loss.get("lambda_coeff", 1.0)),
+        warmup=float(loss.get("warmup", 0.0)),
+        alpha_lr=lr("alpha"), delta_lr=lr("delta"),
+        joint_weight_act=bool(sec.get("joint_weight_act_opt", False)),
+        granularity=str(sec.get("granularity", "layer")))
+
+
+@dataclasses.dataclass(frozen=True)
 class QuantPlanConfig:
     """One parsed quant YAML (the reference 'ptq_config')."""
 
@@ -108,6 +149,8 @@ class QuantPlanConfig:
     n_spatial_token: int = 1024
     n_temporal_token: int = 16
     n_prompt: int = 120
+    weight_opt: Optional["OptimizationConfig"] = None
+    act_opt: Optional["OptimizationConfig"] = None
 
     def resolver(self, overrides=None):
         """Layer-name -> LayerQuantSpec resolver for model construction and
@@ -243,6 +286,9 @@ def load_quant_config(path: str, part_fp: bool = True,
         n_spatial_token=int(act_q.get("n_spatial_token", 1024)),
         n_temporal_token=int(act_q.get("n_temporal_token", 16)),
         n_prompt=int(act_q.get("n_prompt", 120)),
+        weight_opt=parse_optimization(quant["weight"].get("optimization")),
+        act_opt=parse_optimization(
+            quant["activation"].get("optimization")),
     )
 
 
