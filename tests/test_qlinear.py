@@ -212,11 +212,14 @@ def test_attention_internal_quantizers():
 def test_quant_conv():
     from viditq_tpu.quant.qlinear import QuantConv
     lspec = LayerQuantSpec(weight=W8, act=A8_DYN)
-    conv = QuantConv(features=16, kernel_size=(3, 3), lspec=lspec,
-                     dtype=jnp.float32)
+    conv = QuantConv(features=16, kernel_size=(3, 3), strides=(1, 1),
+                     padding="SAME", lspec=lspec, dtype=jnp.float32)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 4)),
                     jnp.float32)
-    vs = conv.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp"))
+    vs = dict(conv.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    from viditq_tpu.quant.calibrate import calibrate_weight_tables
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"],
+                                          lambda n: lspec)
     out_fp = conv.apply(vs, x, QuantCtx(mode="fp"))
     out_q = conv.apply(vs, x, QuantCtx(mode="quant"))
     assert out_fp.shape == (2, 8, 8, 16)
@@ -246,3 +249,114 @@ def test_channel_split_quant():
                                                             act=A8_DYN))
     y_q2 = layer2.apply(v2, x, QuantCtx(mode="quant"))
     assert np.abs(np.asarray(y_q2 - y_q)).max() > 1e-7
+
+
+def test_quant_conv_full_parity_with_linear():
+    """QuantConv == im2col + QuantLinear (the shared _quant_forward):
+    calibrated tables, AdaRound alphas and the native weight-only path all
+    apply to convs (reference conv wrapping, quant_layer.py:34-45)."""
+    from viditq_tpu.quant.qlinear import QuantConv, QuantLinear
+    from viditq_tpu.quant.calibrate import calibrate_weight_tables
+
+    lspec = LayerQuantSpec(weight=W8, act=A8_DYN)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    conv = QuantConv(features=16, kernel_size=(2, 2), lspec=lspec,
+                     dtype=jnp.float32)
+    vs = conv.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp"))
+    assert vs["params"]["kernel"].shape == (2, 2, 4, 16)  # conv layout
+    # calibrated tables work on the conv-layout kernel
+    resolver = lambda n: lspec  # noqa: E731
+    vs = dict(vs)
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"],
+                                          resolver)
+    out_q = conv.apply(vs, x, QuantCtx(mode="quant"))
+    assert out_q.shape == (2, 4, 4, 16)
+
+    # identical math through QuantLinear on hand-im2col'd patches
+    lin = QuantLinear(features=16, lspec=lspec, dtype=jnp.float32)
+    patches = x.reshape(2, 4, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(2, 16, 16)
+    lvs = {"params": {"kernel": vs["params"]["kernel"].reshape(16, 16),
+                      "bias": vs["params"]["bias"]}}
+    lvs = dict(lin.init(jax.random.PRNGKey(0), patches, QuantCtx(mode="fp")),
+               **lvs)
+    lvs["quant"] = calibrate_weight_tables(lvs["params"], lvs["quant"],
+                                           resolver)
+    out_lin = lin.apply(lvs, patches, QuantCtx(mode="quant"))
+    np.testing.assert_allclose(
+        np.asarray(out_q).reshape(2, 16, 16), np.asarray(out_lin),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_quant_conv_weight_only_native():
+    """Conv weight-only native: int8-stored weights + packing."""
+    import dataclasses as dc
+    from viditq_tpu.quant.qlinear import QuantConv
+    from viditq_tpu.quant.calibrate import calibrate_weight_tables
+    from viditq_tpu.quant.native_pack import pack_native_weights
+
+    lspec = dc.replace(LayerQuantSpec(weight=W8, act=None, act_quant=False),
+                       backend="native")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    conv = QuantConv(features=16, kernel_size=(2, 2), lspec=lspec,
+                     dtype=jnp.float32)
+    vs = dict(conv.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    resolver = lambda n: lspec  # noqa: E731
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"],
+                                          resolver)
+    assert "w_int" in vs["quant"]
+    vs["quant"] = pack_native_weights({"": vs["params"]},
+                                      {"": vs["quant"]}, resolver)[""]
+    out_fp = conv.apply(vs, x, QuantCtx(mode="fp"))
+    out_q = conv.apply(vs, x, QuantCtx(mode="quant"))
+    rel = (np.linalg.norm(np.asarray(out_q - out_fp))
+           / np.linalg.norm(np.asarray(out_fp)))
+    assert 0 < rel < 0.05, rel
+
+
+def test_quant_conv_general_stride_matches_xla_conv():
+    """Non-patchify (overlapping) convs route through
+    conv_general_dilated_patches with the channel reorder."""
+    from viditq_tpu.quant.qlinear import QuantConv
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 9, 9, 3)), jnp.float32)
+    conv = QuantConv(features=8, kernel_size=(3, 3), strides=(2, 2),
+                     padding="SAME", lspec=None, dtype=jnp.float32)
+    vs = conv.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp"))
+    got = conv.apply(vs, x, QuantCtx(mode="fp"))
+    want = jax.lax.conv_general_dilated(
+        x, vs["params"]["kernel"], window_strides=(2, 2), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    want = want + vs["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_stdit_quantized_patch_embed():
+    """A plan that takes x_embedder off the fp list quantizes the patchify
+    conv through the full pipeline."""
+    from viditq_tpu.models import STDiT
+    from viditq_tpu.quant import (QuantCtx as QC, calibrate_weight_tables,
+                                  resolve_layer_spec)
+    base = LayerQuantSpec(weight=W8, act=A8_DYN)
+    fp = ("t_embedder", "t_block", "y_embedder", "final_layer")
+    resolver = lambda n: resolve_layer_spec(n, base, fp)  # noqa: E731
+    model = STDiT(input_size=(2, 8, 8), in_channels=4, patch_size=(1, 2, 2),
+                  hidden_size=32, depth=1, num_heads=4, caption_channels=16,
+                  model_max_length=4, dtype=jnp.float32, resolver=resolver)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 2, 8, 8)), jnp.float32)
+    t = jnp.asarray([10.0, 20.0])
+    y = jnp.asarray(rng.standard_normal((2, 1, 4, 16)), jnp.float32)
+    vs = dict(model.init(jax.random.PRNGKey(0), x, t, y, None,
+                         qctx=QC(mode="fp")))
+    assert "proj" in vs["quant"]["x_embedder"], "patch embed must quantize"
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"],
+                                          resolver)
+    out_fp = model.apply(vs, x, t, y, None, qctx=QC(mode="fp"))
+    out_q = model.apply(vs, x, t, y, None, qctx=QC(mode="quant"))
+    rel = (np.linalg.norm(np.asarray(out_q - out_fp))
+           / np.linalg.norm(np.asarray(out_fp)))
+    assert 0 < rel < 0.2, rel

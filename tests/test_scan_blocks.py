@@ -99,3 +99,35 @@ def test_pixart_scan_matches_unrolled():
     out_sc = sc.apply(v_sc, x, t, y, mask)
     np.testing.assert_allclose(np.asarray(out_sc), np.asarray(out_un),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pixart_sigma_kv_compress_scan_matches_unrolled():
+    """Σ KV compression under scan_blocks: the stack scans in contiguous
+    uniform runs (uncompressed prefix + compressed tail, reference config
+    kv_compress_layer=[14..27]) and matches the unrolled model."""
+    from viditq_tpu.models import PixArt
+    from viditq_tpu.utils.ckpt import stack_block_params_runs
+    kw = dict(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+              depth=4, num_heads=4, caption_channels=32, model_max_length=8,
+              kv_compress_sampling="uniform", kv_compress_scale=2,
+              kv_compress_layers=(2, 3), dtype=jnp.float32)
+    un = PixArt(scan_blocks=False, **kw)
+    sc = PixArt(scan_blocks=True, **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8)), jnp.float32)
+    t = jnp.asarray([500.0, 100.0])
+    y = jnp.asarray(rng.standard_normal((2, 1, 8, 32)), jnp.float32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    v_un = un.init(jax.random.PRNGKey(0), x, t, y, mask)
+    v_sc = {"params": stack_block_params_runs(
+        jax.tree.map(np.asarray, v_un["params"]), [(0, 2), (2, 2)])}
+    out_un = un.apply(v_un, x, t, y, mask)
+    out_sc = sc.apply(v_sc, x, t, y, mask)
+    np.testing.assert_allclose(np.asarray(out_sc), np.asarray(out_un),
+                               rtol=2e-4, atol=2e-4)
+    # conv-sampling variant initializes and runs under scan
+    kw2 = dict(kw, kv_compress_sampling="conv")
+    sc2 = PixArt(scan_blocks=True, **kw2)
+    v2 = sc2.init(jax.random.PRNGKey(0), x, t, y, mask)
+    out2 = sc2.apply(v2, x, t, y, mask)
+    assert np.isfinite(np.asarray(out2)).all()

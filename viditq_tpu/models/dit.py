@@ -106,11 +106,12 @@ class DiT(nn.Module):
                                   dtype=self.dtype, name="y_embedder")(y)
         return t_emb + y_emb
 
-    def _embed_x(self, x):
+    def _embed_x(self, x, qctx=None):
         B = x.shape[0]
         T, S, C = self.num_temporal, self.num_spatial, self.hidden_size
-        x = PatchEmbed3D(self.patch_size, C, dtype=self.dtype,
-                         name="x_embedder")(x.astype(self.dtype))
+        x = PatchEmbed3D(self.patch_size, C, resolver=self.resolver,
+                         dtype=self.dtype,
+                         name="x_embedder")(x.astype(self.dtype), qctx)
         x = x.reshape(B, T, S, C)
         grid = self.input_size[1] // self.patch_size[1]
         spe = get_2d_sincos_pos_embed(C, grid)[None]
@@ -127,7 +128,7 @@ class DiT(nn.Module):
                  qctx: Optional[QuantCtx] = None):
         B = x.shape[0]
         T, S, C = self.num_temporal, self.num_spatial, self.hidden_size
-        x = self._embed_x(x)
+        x = self._embed_x(x, qctx)
         if not self.no_temporal_pos_emb:
             x = x.transpose(0, 2, 1, 3) + self.temporal_pos_embed()
             x = x.transpose(0, 2, 1, 3)
@@ -166,7 +167,7 @@ class Latte(DiT):
                  qctx: Optional[QuantCtx] = None):
         B = x.shape[0]
         T, S, C = self.num_temporal, self.num_spatial, self.hidden_size
-        x = self._embed_x(x).reshape(B, T * S, C)
+        x = self._embed_x(x, qctx).reshape(B, T * S, C)
         t_emb = TimestepEmbedder(C, dtype=self.dtype,
                                  name="t_embedder")(timestep)
         cond = self._embed_condition(t_emb, y)

@@ -549,38 +549,63 @@ class LabelEmbedder(nn.Module):
 
 
 class PatchEmbed(nn.Module):
-    """2D conv patchify (timm PatchEmbed; kept FP per remain_fp.txt)."""
+    """2D conv patchify (timm PatchEmbed; FP per remain_fp.txt by default —
+    when a quant plan resolves `{prefix}.proj`, the conv runs through
+    QuantConv with the full QuantLayer machinery, matching the reference's
+    conv wrapping, quant_layer.py:34-45)."""
 
     patch_size: int
     embed_dim: int
     use_bias: bool = True
+    resolver: Resolver = no_quant
+    prefix: str = "x_embedder"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, qctx: Optional[QuantCtx] = None):
         # x: [B, C, H, W] -> [B, N, D]
+        from viditq_tpu.quant.qlinear import QuantConv
         x = x.transpose(0, 2, 3, 1)  # NHWC for flax conv
         p = self.patch_size
-        x = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
-                    use_bias=self.use_bias, dtype=self.dtype, name="proj")(x)
+        lspec = self.resolver(f"{self.prefix}.proj")
+        if lspec is not None:
+            x = QuantConv(self.embed_dim, kernel_size=(p, p),
+                          strides=(p, p), lspec=lspec,
+                          use_bias=self.use_bias, dtype=self.dtype,
+                          name="proj")(x, qctx)
+        else:
+            x = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
+                        use_bias=self.use_bias, dtype=self.dtype,
+                        name="proj")(x)
         B, h, w, D = x.shape
         return x.reshape(B, h * w, D)
 
 
 class PatchEmbed3D(nn.Module):
-    """3D conv patchify for video latents (blocks.py:60-110)."""
+    """3D conv patchify for video latents (blocks.py:60-110); QuantConv
+    when the plan resolves `{prefix}.proj` (see PatchEmbed)."""
 
     patch_size: tuple
     embed_dim: int
+    resolver: Resolver = no_quant
+    prefix: str = "x_embedder"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, qctx: Optional[QuantCtx] = None):
         # x: [B, C, T, H, W] -> [B, N, D]
+        from viditq_tpu.quant.qlinear import QuantConv
         x = x.transpose(0, 2, 3, 4, 1)  # -> [B, T, H, W, C]
         pt, ph, pw = self.patch_size
-        x = nn.Conv(self.embed_dim, kernel_size=(pt, ph, pw),
-                    strides=(pt, ph, pw), dtype=self.dtype, name="proj")(x)
+        lspec = self.resolver(f"{self.prefix}.proj")
+        if lspec is not None:
+            x = QuantConv(self.embed_dim, kernel_size=(pt, ph, pw),
+                          strides=(pt, ph, pw), lspec=lspec,
+                          dtype=self.dtype, name="proj")(x, qctx)
+        else:
+            x = nn.Conv(self.embed_dim, kernel_size=(pt, ph, pw),
+                        strides=(pt, ph, pw), dtype=self.dtype,
+                        name="proj")(x)
         B, t, h, w, D = x.shape
         return x.reshape(B, t * h * w, D)
 

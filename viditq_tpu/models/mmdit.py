@@ -142,8 +142,9 @@ class MMDiT(nn.Module):
         h = x.shape[-2] // self.patch_size
         w = x.shape[-1] // self.patch_size
 
-        img = PatchEmbed(self.patch_size, C, dtype=self.dtype,
-                         name="x_embedder")(x.astype(self.dtype))
+        img = PatchEmbed(self.patch_size, C, resolver=self.resolver,
+                         dtype=self.dtype,
+                         name="x_embedder")(x.astype(self.dtype), qctx)
         img = img + jnp.asarray(
             get_2d_sincos_pos_embed(C, (h, w))[None], self.dtype)
         if y.ndim == 4:

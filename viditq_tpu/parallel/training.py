@@ -37,23 +37,70 @@ def update_ema(ema_params, params, decay: float = 0.9999):
 
 def make_train_step(model, schedule: Schedule,
                     optimizer: optax.GradientTransformation,
-                    in_channels: int = 4, ema_decay: float = 0.9999):
+                    in_channels: int = 4, ema_decay: float = 0.9999,
+                    loss_type: str = "mse",
+                    schedule_sampler: Optional[str] = None):
     """Returns train_step(params, ema, opt_state, batch, rng) ->
     (params, ema, opt_state, loss).
 
     batch: {'x0': [B, C, ...], 't': [B] int32 spaced-step ids,
             'y': [B, 1, L, C_cap], 'mask': [B, L] | None}.
-    """
+
+    loss_type: 'mse' (fast path) | 'rescaled_mse' | 'kl' | 'rescaled_kl'
+    (the reference training_losses loss types; non-mse adds the
+    variational-bound term training the variance head).
+    schedule_sampler: None/'uniform' keeps the batch's t;
+    'loss-second-moment' returns a step with signature
+    (params, ema, opt_state, batch, rng, sampler_state) ->
+    (params, ema, opt_state, loss, sampler_state) that importance-samples t
+    and reweights per-sample losses (reference create_named_schedule_sampler
+    + LossSecondMomentResampler, timestep_sampler.py)."""
+
+    def per_sample_loss(p, batch, t, noise):
+        def model_fn(x_t, tt):
+            return model.apply({"params": p}, x_t, tt, batch["y"],
+                               batch.get("mask"))
+        if loss_type == "mse" and schedule_sampler is None:
+            return training_losses(model_fn, batch["x0"], t, noise,
+                                   schedule, in_channels), None
+        from viditq_tpu.samplers.diffusion_losses import training_losses_full
+        terms = training_losses_full(model_fn, batch["x0"], t, noise,
+                                     schedule, loss_type, in_channels)
+        return terms["loss"], terms
+
+    if schedule_sampler == "loss-second-moment":
+        from viditq_tpu.samplers.diffusion_losses import (
+            LossSecondMomentResampler)
+        resampler = LossSecondMomentResampler(schedule.n_steps)
+
+        def train_step_ls(params, ema, opt_state, batch, rng, sampler_state):
+            rng_t, rng_n = jax.random.split(rng)
+            t, w = resampler.sample(sampler_state, rng_t,
+                                    batch["x0"].shape[0])
+            noise = jax.random.normal(rng_n, batch["x0"].shape, jnp.float32)
+
+            def loss_fn(p):
+                losses, _ = per_sample_loss(p, batch, t, noise)
+                return jnp.mean(w * losses), losses
+
+            (loss, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            sampler_state = resampler.update(
+                sampler_state, t, jax.lax.stop_gradient(losses))
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema = update_ema(ema, params, ema_decay)
+            return params, ema, opt_state, loss, sampler_state
+
+        train_step_ls.init_sampler_state = resampler.init
+        return train_step_ls
 
     def train_step(params, ema, opt_state, batch, rng):
         noise = jax.random.normal(rng, batch["x0"].shape, jnp.float32)
 
         def loss_fn(p):
-            def model_fn(x_t, t):
-                return model.apply({"params": p}, x_t, t, batch["y"],
-                                   batch.get("mask"))
-            return training_losses(model_fn, batch["x0"], batch["t"], noise,
-                                   schedule, in_channels)
+            losses, _ = per_sample_loss(p, batch, batch["t"], noise)
+            return jnp.mean(losses)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -118,6 +118,10 @@ def calibrate_weight_tables(params: Dict, quant_vars: Dict,
         if lspec is None or lspec.weight is None:
             continue
         kernel = flat_p[layer_path + ("kernel",)]
+        if kernel.ndim >= 4:
+            # conv layout [*k, C_in, F] (QuantConv): flatten to the 2D
+            # [prod(k)*C_in, F] view the forward uses
+            kernel = kernel.reshape(-1, kernel.shape[-1])
         act_scale = flat_q.get(layer_path + ("act_scale",))
         if kernel.ndim == 3:
             # scanned block stack: leading depth axis — vmap per block

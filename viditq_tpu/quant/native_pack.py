@@ -40,6 +40,8 @@ def add_native_slots(quant_vars: Dict, params: Dict,
         if not (full_native or static_native or weight_only):
             continue
         kernel = flat_p[layer_path + ("kernel",)]
+        if kernel.ndim >= 4:  # conv layout [*k, C_in, F] -> 2D view
+            kernel = kernel.reshape(-1, kernel.shape[-1])
         n_tr = flat_q[layer_path + ("w_delta",)].shape[1]
         pack4 = (weight_only and lspec.weight.n_bits == 4
                  and not lspec.weight.sym)
@@ -69,6 +71,8 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
         pack4 = ((lspec.act is None or not lspec.act_quant)
                  and wspec.n_bits == 4 and not wspec.sym)
         kernel = jnp.asarray(flat_p[layer_path + ("kernel",)], jnp.float32)
+        if kernel.ndim >= 4:  # conv layout [*k, C_in, F] -> 2D view
+            kernel = kernel.reshape(-1, kernel.shape[-1])
         wd_full = flat_q[layer_path + ("w_delta",)]
         wz_full = flat_q[layer_path + ("w_zp",)]
         if kernel.ndim == 3:

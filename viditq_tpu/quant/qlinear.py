@@ -57,7 +57,10 @@ class QuantCtx:
     act_slot: jnp.ndarray = flax.struct.field(
         default_factory=lambda: jnp.zeros((), jnp.int32))  # act-table slot
     mode: str = flax.struct.field(pytree_node=False, default="quant")
-    soft_targets: bool = flax.struct.field(pytree_node=False, default=True)
+    # AdaRound rounding: hard (alpha >= 0) by default — the reference's
+    # inference setting (base_quantizer.py soft_targets=False after recon);
+    # reconstruction loops set True to optimize through the soft relaxation.
+    soft_targets: bool = flax.struct.field(pytree_node=False, default=False)
     # capture per-layer inputs/outputs into the 'intermediates' collection
     # (the functional analog of the reference's forward hooks,
     # qdiff/utils.py:72,446 DataSaverHook / GetLayerInOut) — used by
@@ -161,7 +164,14 @@ class QuantLinear(nn.Module):
                             (in_features, self.features), self.param_dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            self.param_dtype) if self.use_bias else None)
+        return self._quant_forward(x, kernel, bias, qctx, prequant)
 
+    def _quant_forward(self, x: jnp.ndarray, kernel: jnp.ndarray, bias,
+                       qctx: Optional[QuantCtx], prequant=None
+                       ) -> jnp.ndarray:
+        """The full quant pipeline over a 2D kernel [K, features] and inputs
+        [..., K] — shared by QuantLinear and (via im2col) QuantConv."""
+        in_features = kernel.shape[0]
         lspec = self.lspec
         if lspec is None or (not lspec.weight_quant and not lspec.act_quant
                              and not lspec.smooth_quant.enable):
@@ -515,57 +525,77 @@ class QuantLinear(nn.Module):
         return y
 
 
-class QuantConv(nn.Module):
-    """Quantization-aware NCHW-style convolution.
+class QuantConv(QuantLinear):
+    """Quantization-aware channels-last convolution with FULL QuantLinear
+    parity (calibrated w/a tables, smooth-quant, timestep slots, AdaRound,
+    native int8/weight-only backends, capture) — the reference wraps ConvNd
+    with the same QuantLayer machinery it uses for Linear
+    (quant_layer.py:34-45).
 
-    The reference `QuantLayer` wraps Conv1d/Conv2d the same way it wraps
-    Linear (quant_layer.py:34-45); here the conv is expressed channels-last
-    internally (flax) with per-out-channel weight quant and tensor/token act
-    quant. Used when quant plans target conv layers (e.g. patch embedders
-    taken off the fp list).
+    TPU-first design: the conv is lowered to im2col patches + the shared
+    `_quant_forward` dense pipeline, so every quant feature applies without
+    a second implementation. The kernel param keeps the flax conv layout
+    [*k, C_in, F] (checkpoint-compatible with nn.Conv / the torch
+    converters); it is viewed as a 2D [prod(k)*C_in, F] matrix internally.
+    Non-overlapping patchify convs (stride == kernel, the model zoo's only
+    convs: patch embedders, Σ sr conv) lower to a pure reshape — zero
+    overhead on the MXU path. Note: act-quant token/channel groups apply to
+    the im2col'd patch channels (prod(k)*C_in), not raw C_in — identical
+    values, regrouped; per-tensor quant is bit-identical to the reference.
     """
 
-    features: int
     kernel_size: tuple = (3, 3)
-    strides: tuple = (1, 1)
-    padding: Any = "SAME"
-    lspec: Optional[LayerQuantSpec] = None
-    use_bias: bool = True
-    dtype: Any = jnp.bfloat16
+    strides: Optional[tuple] = None  # default: kernel_size (patchify)
+    padding: Any = "VALID"
 
     @nn.compact
     def __call__(self, x, qctx: Optional[QuantCtx] = None):
-        """x: [B, ..., C_in] channels-last."""
-        from viditq_tpu.quant import core
-        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
-        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
-                            kshape, jnp.float32)
-        bias = (self.param("bias", nn.initializers.zeros_init(),
-                           (self.features,), jnp.float32)
-                if self.use_bias else None)
-        lspec = self.lspec
-        w_eff = kernel
-        if (lspec is not None and qctx is not None and qctx.mode == "quant"):
-            if lspec.act is not None and lspec.act_quant:
-                aspec = lspec.act
-                if aspec.granularity == "token":
-                    # tokens = spatial positions: flatten to [B, P, C]
-                    xv = x.reshape(x.shape[0], -1, x.shape[-1])
-                    x = core.fake_quant_dynamic(xv, aspec).reshape(x.shape)
-                else:
-                    x = core.fake_quant_dynamic(x, aspec)
-            if lspec.weight is not None and lspec.weight_quant:
-                wspec = lspec.weight
-                d, z = core.compute_qparams(
-                    kernel.reshape(-1, self.features), wspec)
-                w_eff = core.fake_quant(
-                    kernel.reshape(-1, self.features), d, z,
-                    wspec).reshape(kshape)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w_eff.astype(self.dtype),
-            window_strides=self.strides, padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC")
-            if len(self.kernel_size) == 2 else ("NWC", "WIO", "NWC"))
-        if bias is not None:
-            y = y + bias.astype(self.dtype)
-        return y
+        """x: [B, *spatial, C_in] channels-last ->
+        [B, *out_spatial, features]."""
+        k = tuple(self.kernel_size)
+        strides = tuple(self.strides) if self.strides is not None else k
+        kshape = k + (x.shape[-1], self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape,
+                            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        B, c_in = x.shape[0], x.shape[-1]
+        spatial = x.shape[1:-1]
+        nd = len(k)
+        assert len(spatial) == nd, (x.shape, k)
+
+        if strides == k and self.padding in ("VALID", "SAME") \
+                and all(s % p == 0 for s, p in zip(spatial, k)):
+            # patchify: pure reshape, patch channels ordered (*k, C_in) —
+            # exactly the kernel's flatten order
+            grid = tuple(s // p for s, p in zip(spatial, k))
+            shape = (B,)
+            perm = [0]
+            for g, p in zip(grid, k):
+                shape += (g, p)
+            x = x.reshape(shape + (c_in,))
+            perm += [1 + 2 * i for i in range(nd)] \
+                + [2 + 2 * i for i in range(nd)] + [1 + 2 * nd]
+            patches = x.transpose(perm).reshape(
+                B, int(np.prod(grid)), int(np.prod(k)) * c_in)
+            kernel2d = kernel.reshape(-1, self.features)
+            out_spatial = grid
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kshape,
+                ("NHWC", "HWIO", "NHWC") if nd == 2 else
+                (("NWC", "WIO", "NWC") if nd == 1 else
+                 ("NDHWC", "DHWIO", "NDHWC")))
+            patches = jax.lax.conv_general_dilated_patches(
+                x, k, strides, self.padding, dimension_numbers=dn)
+            out_spatial = patches.shape[1:-1]
+            n_out = int(np.prod(out_spatial))
+            # conv_general_dilated_patches emits channels ordered
+            # (C_in, *k); reorder the PATCHES to the kernel's (*k, C_in)
+            # flatten order so one calibration layout serves both paths
+            patches = patches.reshape((B, n_out, c_in, int(np.prod(k))))
+            patches = patches.transpose(0, 1, 3, 2).reshape(B, n_out, -1)
+            kernel2d = kernel.reshape(-1, self.features)
+
+        out = self._quant_forward(patches, kernel2d, bias, qctx)
+        return out.reshape((B,) + tuple(out_spatial) + (self.features,))

@@ -9,6 +9,10 @@ from viditq_tpu.samplers.dpm_solver import (  # noqa: F401
 from viditq_tpu.samplers.extra_solvers import (  # noqa: F401
     EDMSampler, LCMScheduler, SASolverSampler)
 from viditq_tpu.samplers.sa_solver import SASolver  # noqa: F401
+from viditq_tpu.samplers.diffusion_losses import (  # noqa: F401
+    LossSecondMomentResampler, UniformSampler,
+    create_named_schedule_sampler, discretized_gaussian_log_likelihood,
+    normal_kl, training_losses_full, vb_terms)
 
 from viditq_tpu.models.registry import SCHEDULERS, register
 

@@ -202,3 +202,19 @@ def load_quant_ckpt(path: str, quant_vars: Dict) -> tuple:
         name, tab = key.split("::")
         packed.setdefault(name, {})[tab] = data[key]
     return load_quant_params_dict(quant_vars, packed), meta
+
+
+def stack_block_params_runs(tree: Dict, runs, key: str = "blocks") -> Dict:
+    """stack_block_params for a stack scanned in contiguous uniform runs
+    (PixArt-Σ KV compression under scan_blocks): `runs` is a list of
+    (start, length); run j stacks blocks [start, start+length) under
+    `{key}_run{j}` (single run keeps the plain `{key}` name)."""
+    if len(runs) == 1:
+        return stack_block_params(tree, runs[0][1], key)
+    from jax import tree as jtree
+    out = {k: v for k, v in tree.items() if not k.startswith(f"{key}_")}
+    for j, (start, length) in enumerate(runs):
+        blocks = [tree[f"{key}_{start + i}"] for i in range(length)]
+        out[f"{key}_run{j}"] = jtree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks)
+    return out
