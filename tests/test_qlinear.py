@@ -360,3 +360,36 @@ def test_stdit_quantized_patch_embed():
     rel = (np.linalg.norm(np.asarray(out_q - out_fp))
            / np.linalg.norm(np.asarray(out_fp)))
     assert 0 < rel < 0.2, rel
+
+
+def test_fp_and_quantized_builds_init_identically():
+    """Same seed => same params whether or not a resolver is attached, for
+    every plan that keeps x_embedder on the fp list (regression: routing
+    fp-list patch embeds through QuantConv changed the kernel initializer,
+    silently diverging the FP and quant arms on random weights)."""
+    from viditq_tpu.models import STDiT
+    from viditq_tpu.quant import QuantCtx as QC
+    from viditq_tpu.utils.config import load_quant_config
+
+    plan = load_quant_config("configs/opensora/w8a8_dynamic.yaml")
+    kw = dict(input_size=(2, 8, 8), in_channels=4, patch_size=(1, 2, 2),
+              hidden_size=32, depth=1, num_heads=4, caption_channels=16,
+              model_max_length=4, dtype=jnp.float32)
+    m_fp = STDiT(**kw)
+    m_q = STDiT(resolver=plan.resolver(), **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 2, 8, 8)), jnp.float32)
+    t = jnp.asarray([10.0, 20.0])
+    y = jnp.asarray(rng.standard_normal((2, 1, 4, 16)), jnp.float32)
+    v_fp = m_fp.init(jax.random.PRNGKey(0), x, t, y, None)
+    v_q = m_q.init(jax.random.PRNGKey(0), x, t, y, None, qctx=QC(mode="fp"))
+    flat_fp = {".".join(k): v for k, v in
+               __import__("flax").traverse_util.flatten_dict(
+                   v_fp["params"]).items()}
+    flat_q = {".".join(k): v for k, v in
+              __import__("flax").traverse_util.flatten_dict(
+                  v_q["params"]).items()}
+    assert set(flat_fp) == set(flat_q)
+    for k in flat_fp:
+        np.testing.assert_array_equal(np.asarray(flat_fp[k]),
+                                      np.asarray(flat_q[k]), err_msg=k)

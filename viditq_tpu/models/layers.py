@@ -568,10 +568,14 @@ class PatchEmbed(nn.Module):
         x = x.transpose(0, 2, 3, 1)  # NHWC for flax conv
         p = self.patch_size
         lspec = self.resolver(f"{self.prefix}.proj")
-        if lspec is not None:
+        if lspec is not None and (lspec.weight_quant or lspec.act_quant
+                                  or lspec.smooth_quant.enable):
+            # kernel_init matches nn.Conv so the quantized and FP builds
+            # initialize identically from the same seed
             x = QuantConv(self.embed_dim, kernel_size=(p, p),
                           strides=(p, p), lspec=lspec,
                           use_bias=self.use_bias, dtype=self.dtype,
+                          kernel_init=nn.initializers.lecun_normal(),
                           name="proj")(x, qctx)
         else:
             x = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
@@ -598,10 +602,13 @@ class PatchEmbed3D(nn.Module):
         x = x.transpose(0, 2, 3, 4, 1)  # -> [B, T, H, W, C]
         pt, ph, pw = self.patch_size
         lspec = self.resolver(f"{self.prefix}.proj")
-        if lspec is not None:
+        if lspec is not None and (lspec.weight_quant or lspec.act_quant
+                                  or lspec.smooth_quant.enable):
             x = QuantConv(self.embed_dim, kernel_size=(pt, ph, pw),
                           strides=(pt, ph, pw), lspec=lspec,
-                          dtype=self.dtype, name="proj")(x, qctx)
+                          dtype=self.dtype,
+                          kernel_init=nn.initializers.lecun_normal(),
+                          name="proj")(x, qctx)
         else:
             x = nn.Conv(self.embed_dim, kernel_size=(pt, ph, pw),
                         strides=(pt, ph, pw), dtype=self.dtype,
