@@ -84,9 +84,18 @@ def _quantize_rows_f32(x, sym: bool):
 # quantize-in matmul: bf16 activations in, one kernel, bf16 out
 # ---------------------------------------------------------------------------
 
-def _dynq_mm_kernel(x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, b_ref, o_ref,
-                    xq_ref, xs_ref, xzp_ref, xrs_ref, *,
-                    k_size: int, sym: bool, sym_w: bool, has_bias: bool):
+def _dynq_mm_kernel(*refs, k_size: int, sym: bool, sym_w: bool,
+                    has_bias: bool, has_epi: bool, has_gate: bool,
+                    bpg: int = 1):
+    if has_epi and has_gate:
+        (x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, b_ref, res_ref, g_ref,
+         o_ref, xq_ref, xs_ref, xzp_ref, xrs_ref) = refs
+    elif has_epi:
+        (x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, b_ref, res_ref,
+         o_ref, xq_ref, xs_ref, xzp_ref, xrs_ref) = refs
+    else:
+        (x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, b_ref,
+         o_ref, xq_ref, xs_ref, xzp_ref, xrs_ref) = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -115,6 +124,20 @@ def _dynq_mm_kernel(x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, b_ref, o_ref,
         out = corrected * xs_ref[:] * ws_ref[:]
     if has_bias:
         out = out + b_ref[:]
+    if has_epi:
+        # residual (+ adaLN gate) epilogue: o = res + gate * out — the
+        # block's residual add fuses here, so the raw projection output
+        # never round-trips HBM
+        if has_gate:
+            # the gate block holds ALL G batch rows (Mosaic sublane rule);
+            # select this M-block's row by a masked reduction (dynamic
+            # sublane slices need alignment proofs Mosaic can't make)
+            rows = jax.lax.broadcasted_iota(jnp.int32, g_ref.shape, 0)
+            sel = (rows == pl.program_id(0) // bpg).astype(jnp.float32)
+            g = jnp.sum(g_ref[:].astype(jnp.float32) * sel, axis=0,
+                        keepdims=True)
+            out = out * g
+        out = out + res_ref[:].astype(jnp.float32)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -125,7 +148,9 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
                            bias: 'Optional[jnp.ndarray]' = None,
                            out_dtype=jnp.bfloat16,
                            block_m: Optional[int] = None,
-                           block_n: Optional[int] = None) -> jnp.ndarray:
+                           block_n: Optional[int] = None,
+                           residual: 'Optional[jnp.ndarray]' = None,
+                           gate: 'Optional[jnp.ndarray]' = None) -> jnp.ndarray:
     """x: [M, K] bf16/f32; w_q: [K, N] int8 (full-K blocks — true for every
     DiT linear input except fc2, whose input arrives pre-quantized from the
     gelu producer). Returns [M, N].
@@ -141,6 +166,15 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
     if block_n is None:
         block_n = _round_up(min(N, 1152), 128)
     block_m = min(block_m, _round_up(M, 8))
+    if residual is not None:
+        # the residual stream adds 2 VMEM buffers; smaller M-blocks keep
+        # the pipeline double-buffered
+        block_m = min(block_m, 256)
+    if gate is not None:
+        # gate rows must not straddle an M-block
+        rpg = M // gate.shape[0]
+        while block_m > 8 and rpg % block_m:
+            block_m //= 2
     block_n = min(block_n, _round_up(N, 128))
     Mp, Np = _round_up(M, block_m), _round_up(N, block_n)
     if Mp != M:
@@ -155,19 +189,38 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
          else jnp.pad(bias.reshape(1, -1).astype(jnp.float32),
                       ((0, 0), (0, Np - N))))
     grid = (Mp // block_m, Np // block_n)
+    has_epi = residual is not None
+    has_gate = gate is not None
+    bpg = 1
+    operands = [x, w_q, w_scale, w_zp, w_colsum, b]
+    in_specs = [
+        pl.BlockSpec((block_m, K), lambda i, j: (i, 0)),
+        pl.BlockSpec((K, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+    ]
+    if has_epi:
+        residual = jnp.pad(residual, ((0, Mp - M), (0, Np - N)))
+        operands.append(residual)
+        in_specs.append(pl.BlockSpec((block_m, block_n),
+                                     lambda i, j: (i, j)))
+        if has_gate:
+            G = gate.shape[0]
+            rows_per_gate = M // G
+            assert M % G == 0 and rows_per_gate % block_m == 0,                 (M, G, block_m)
+            bpg = rows_per_gate // block_m
+            gate = jnp.pad(gate, ((0, 0), (0, Np - N)))
+            operands.append(gate)
+            in_specs.append(pl.BlockSpec((G, block_n), lambda i, j: (0, j)))
     kernel = functools.partial(_dynq_mm_kernel, k_size=K, sym=sym,
-                               sym_w=sym_w, has_bias=has_bias)
+                               sym_w=sym_w, has_bias=has_bias,
+                               has_epi=has_epi, has_gate=has_gate, bpg=bpg)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, K), lambda i, j: (i, 0)),
-            pl.BlockSpec((K, block_n), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         scratch_shapes=[
@@ -184,7 +237,7 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
             bytes_accessed=(Mp * K * 2 + K * Np
                             + Mp * Np * np.dtype(out_dtype).itemsize),
             transcendentals=0),
-    )(x, w_q, w_scale, w_zp, w_colsum, b)
+    )(*operands)
     return out[:M, :N]
 
 
@@ -192,10 +245,18 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
 # consumer matmul: pre-quantized activations in (382 TOPS measured)
 # ---------------------------------------------------------------------------
 
-def _consumer_kernel(xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref,
-                     wzp_ref, wcs_ref, b_ref, o_ref, acc_ref, *,
-                     k_size: int, n_k: int, sym: bool, sym_w: bool,
-                     has_bias: bool):
+def _consumer_kernel(*refs, k_size: int, n_k: int, sym: bool, sym_w: bool,
+                     has_bias: bool, has_epi: bool, has_gate: bool,
+                     bpg: int = 1):
+    if has_epi and has_gate:
+        (xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref, wzp_ref, wcs_ref,
+         b_ref, res_ref, g_ref, o_ref, acc_ref) = refs
+    elif has_epi:
+        (xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref, wzp_ref, wcs_ref,
+         b_ref, res_ref, o_ref, acc_ref) = refs
+    else:
+        (xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref, wzp_ref, wcs_ref,
+         b_ref, o_ref, acc_ref) = refs
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -220,6 +281,14 @@ def _consumer_kernel(xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref,
             out = corrected * xs_ref[:] * ws_ref[:]
         if has_bias:
             out = out + b_ref[:]
+        if has_epi:
+            if has_gate:
+                rows = jax.lax.broadcasted_iota(jnp.int32, g_ref.shape, 0)
+                sel = (rows == pl.program_id(0) // bpg).astype(jnp.float32)
+                g = jnp.sum(g_ref[:].astype(jnp.float32) * sel, axis=0,
+                            keepdims=True)
+                out = out * g
+            out = out + res_ref[:].astype(jnp.float32)
         o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -233,7 +302,9 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
                          out_dtype=jnp.bfloat16,
                          block_m: int = 512,
                          block_n: Optional[int] = None,
-                         block_k: int = 2304) -> jnp.ndarray:
+                         block_k: int = 2304,
+                         residual: Optional[jnp.ndarray] = None,
+                         gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x_q: [M, K] int8 (+ per-row scales [M, 1]); w_q: [K, N] int8.
 
     Pure MXU work — the activation quantize already happened in a producer
@@ -256,6 +327,12 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
     if block_n is None:
         block_n = _round_up(min(N, 1152), 128)
     block_m = min(block_m, _round_up(M, 8))
+    if residual is not None:
+        block_m = min(block_m, 256)
+    if gate is not None:
+        rpg = M // gate.shape[0]
+        while block_m > 8 and rpg % block_m:
+            block_m //= 2
     block_n = min(block_n, _round_up(N, 128))
     block_k = min(block_k, K)
     assert K % block_k == 0, (K, block_k)
@@ -287,22 +364,43 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
          else jnp.pad(bias.reshape(1, -1).astype(jnp.float32),
                       ((0, 0), (0, Np - N))))
     grid = (Mp // block_m, Np // block_n, n_k)
+    has_epi = residual is not None
+    has_gate = gate is not None
+    bpg = 1
+    operands = [x_q, x_scale, x_zp, x_rowsum, w_q, w_scale, w_zp, w_colsum,
+                b]
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+        pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
+        pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
+        pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
+        pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+        pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+    ]
+    if has_epi:
+        residual = jnp.pad(residual, ((0, Mp - M), (0, Np - N)))
+        operands.append(residual)
+        in_specs.append(pl.BlockSpec((block_m, block_n),
+                                     lambda i, j, k: (i, j)))
+        if has_gate:
+            G = gate.shape[0]
+            rows_per_gate = M // G
+            assert M % G == 0 and rows_per_gate % block_m == 0,                 (M, G, block_m)
+            bpg = rows_per_gate // block_m
+            gate = jnp.pad(gate, ((0, 0), (0, Np - N)))
+            operands.append(gate)
+            in_specs.append(pl.BlockSpec((G, block_n),
+                                         lambda i, j, k: (0, j)))
     kernel = functools.partial(_consumer_kernel, k_size=K, n_k=n_k, sym=sym,
-                               sym_w=sym_w, has_bias=has_bias)
+                               sym_w=sym_w, has_bias=has_bias,
+                               has_epi=has_epi, has_gate=has_gate, bpg=bpg)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
-            pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
-            pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
-            pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
-            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
@@ -313,7 +411,7 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
             bytes_accessed=(Mp * K + K * Np
                             + Mp * Np * np.dtype(out_dtype).itemsize),
             transcendentals=0),
-    )(x_q, x_scale, x_zp, x_rowsum, w_q, w_scale, w_zp, w_colsum, b)
+    )(*operands)
     return out[:M, :N]
 
 
@@ -378,3 +476,69 @@ def quantize_rows_fused(x: jnp.ndarray, sym: bool = True,
     if sym:
         return q[:M], xs[:M], None, (xrs[:M] if need_rowsum else None)
     return q[:M], xs[:M], xzp[:M], xrs[:M]
+
+
+def _ln_mod_quant_kernel(x_ref, sh_ref, sc_ref, q_ref, xs_ref, xzp_ref,
+                         xrs_ref, *, sym: bool, eps: float):
+    x = x_ref[0].astype(jnp.float32)                     # [bm, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * (1.0 + sc_ref[0, 0].astype(jnp.float32)) \
+        + sh_ref[0, 0].astype(jnp.float32)
+    q, scale, zp = _quantize_rows_f32(y, sym)
+    q_ref[0] = q.astype(jnp.int8)
+    xs_ref[0] = scale
+    if not sym:
+        xzp_ref[0] = zp
+    xrs_ref[0] = jnp.sum(q, axis=-1, keepdims=True)
+
+
+def ln_modulate_quantize(x: jnp.ndarray, shift: jnp.ndarray,
+                         scale: jnp.ndarray, sym: bool = True,
+                         need_rowsum: bool = True, eps: float = 1e-6,
+                         block_m: int = 256) -> Tuple[jnp.ndarray, ...]:
+    """Fused non-affine LayerNorm + adaLN t2i modulation + dynamic row
+    quantization: [B, N, C] bf16 -> (int8 [B*N, C], scale, zp, rowsum).
+
+    Replaces the block's LayerNorm -> t2i_modulate -> quantize_rows_fused
+    chain (three HBM round trips of the [B*N, C] activation) with ONE read
+    + an int8 write; the unfused x_m becomes dead code once every consumer
+    takes the prequant (STDiTBlock norm1 -> q/k/v, norm2 -> fc1).
+
+    shift/scale: [B, 1, C] per-batch adaLN vectors (scale_shift_table + t0).
+    LN is the model zoo's non-affine eps-1e-6 form (blocks.py:30).
+    """
+    B, N, C = x.shape
+    while block_m > 64 and block_m * C * 10 > 8 * 1024 * 1024:
+        block_m //= 2
+    assert N % block_m == 0, (N, block_m)
+    kernel = functools.partial(_ln_mod_quant_kernel, sym=sym, eps=eps)
+    gm = N // block_m
+    s1 = jax.ShapeDtypeStruct((B, N, 1), jnp.float32)
+    q, xs, xzp, xrs = pl.pallas_call(
+        kernel,
+        grid=(B, gm),
+        in_specs=[pl.BlockSpec((1, block_m, C), lambda b, i: (b, i, 0)),
+                  pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
+                  pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0))],
+        out_specs=[pl.BlockSpec((1, block_m, C), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((1, block_m, 1), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((1, block_m, 1), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((1, block_m, 1), lambda b, i: (b, i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((B, N, C), jnp.int8), s1, s1, s1],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * N * C, bytes_accessed=B * N * C * 3,
+            transcendentals=0),
+    )(x, shift.reshape(B, 1, C), scale.reshape(B, 1, C))
+    M = B * N
+    q = q.reshape(M, C)
+    xs = xs.reshape(M, 1)
+    xzp = xzp.reshape(M, 1)
+    xrs = xrs.reshape(M, 1)
+    if sym:
+        return q, xs, None, (xrs if need_rowsum else None)
+    return q, xs, xzp, xrs

@@ -272,7 +272,9 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
                             act_sym: bool = False,
                             w_sym: bool = False,
                             out_dtype=jnp.bfloat16,
-                            impl: Optional[str] = None) -> jnp.ndarray:
+                            impl: Optional[str] = None,
+                            residual: Optional[jnp.ndarray] = None,
+                            gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """W8A8 linear: dynamic per-token int8 act quant + int8 MXU matmul.
 
     x: [..., K]; per-token groups are the flattened leading dims (callers
@@ -283,6 +285,8 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
         from viditq_tpu.kernels.fused_matmul import fused_available
         if not fused_available():
             impl = "xla"  # CPU / non-TPU fallback, same numerics
+    assert residual is None or impl == "fused", \
+        "residual epilogue only on the fused impl"
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
@@ -291,7 +295,8 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
         out = fused_dynq_int8_matmul(x2, packed["w_q"], packed["w_scale"],
                                      packed["w_zp"], packed["w_colsum"],
                                      sym=act_sym, sym_w=w_sym, bias=bias,
-                                     out_dtype=out_dtype)
+                                     out_dtype=out_dtype,
+                                     residual=residual, gate=gate)
         return out.reshape(*lead, -1)
     elif impl == "pallas":
         x_q, xs, xzp, xrs = dynamic_quant_rows(x2, sym=act_sym)

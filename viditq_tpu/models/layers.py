@@ -85,14 +85,17 @@ class Mlp(nn.Module):
     d_s: int = 1
 
     @nn.compact
-    def __call__(self, x, qctx: Optional[QuantCtx] = None):
+    def __call__(self, x, qctx: Optional[QuantCtx] = None, prequant=None,
+                 epilogue=None):
+        """`epilogue`: optional (residual, gate) fused into fc2 (the block's
+        `res + gate * mlp(x)` — see QuantLinear._quant_forward)."""
         out_features = self.out_features or x.shape[-1]
         kw = dict(dtype=self.dtype, token_layout=self.token_layout,
                   d_t=self.d_t, d_s=self.d_s)
         spec2 = self.resolver(f"{self.prefix}.fc2")
         x = QuantLinear(self.hidden_features,
                         lspec=self.resolver(f"{self.prefix}.fc1"),
-                        name="fc1", **kw)(x, qctx)
+                        name="fc1", **kw)(x, qctx, prequant=prequant)
         # fused int8 dataflow: gelu + row-quantize in ONE bandwidth-bound
         # Pallas pass emitting int8 codes + scales (half the write bytes of
         # a bf16 gelu), consumed by fc2's pure-MXU kernel
@@ -111,10 +114,11 @@ class Mlp(nn.Module):
                 need_rowsum=not (spec2.weight is not None
                                  and spec2.weight.sym))
             return QuantLinear(out_features, lspec=spec2, name="fc2",
-                               **kw)(x, qctx, prequant=pre)
+                               **kw)(x, qctx, prequant=pre,
+                                     epilogue=epilogue)
         x = approx_gelu(x)
         x = QuantLinear(out_features, lspec=spec2,
-                        name="fc2", **kw)(x, qctx)
+                        name="fc2", **kw)(x, qctx, epilogue=epilogue)
         return x
 
 
@@ -211,15 +215,22 @@ class SelfAttention(nn.Module):
     sp_mesh: Any = None
 
     @nn.compact
-    def __call__(self, x, qctx: Optional[QuantCtx] = None):
+    def __call__(self, x, qctx: Optional[QuantCtx] = None, prequant=None,
+                 epilogue=None):
+        """`prequant`: optional externally fused (codes, scale, zp, rowsum)
+        of this attention's input rows (e.g. the block's LN+modulate+quantize
+        producer) — replaces the internal shared q/k/v quantize pass.
+        `epilogue`: optional (residual, gate) — the block's residual add
+        `res + gate * proj(attn)` fuses into the proj matmul (QuantLinear
+        epilogue); the return value then IS the updated residual stream."""
         B, N, C = x.shape
         H = self.num_heads
         D = C // H
         kw = dict(dtype=self.dtype, token_layout=self.token_layout,
                   d_t=self.d_t, d_s=self.d_s)
         specs = [self.resolver(f"{self.prefix}.{n}") for n in ("q", "k", "v")]
-        pre = None
-        if (qctx is not None and qctx.mode == "quant"
+        pre = prequant
+        if (pre is None and qctx is not None and qctx.mode == "quant"
                 and all(s == specs[0] for s in specs)):
             from viditq_tpu.quant.qlinear import shared_prequant
             pre = shared_prequant(x, specs[0])
@@ -242,7 +253,7 @@ class SelfAttention(nn.Module):
                 out = out.reshape(B, N, C)
                 return QuantLinear(
                     C, lspec=self.resolver(f"{self.prefix}.proj"),
-                    name="proj", **kw)(out, qctx)
+                    name="proj", **kw)(out, qctx, epilogue=epilogue)
         attn_spec = specs[0].attn_act if specs[0] is not None else None
         sm_spec0 = specs[0].softmax if specs[0] is not None else None
         from viditq_tpu.kernels.attention import attention_bnhd, attention_ok
@@ -261,7 +272,7 @@ class SelfAttention(nn.Module):
                                  seg_len=self.seg_len)
             out = out.reshape(B, N, C)
             return QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
-                               name="proj", **kw)(out, qctx)
+                               name="proj", **kw)(out, qctx, epilogue=epilogue)
         if self.seg_len > 0:
             # fallback (CPU / odd shapes): unpack segments into the batch dim
             G = N // self.seg_len
@@ -300,7 +311,7 @@ class SelfAttention(nn.Module):
             # undo the segment-unpacking fallback view
             out = out.reshape(x.shape[0], x.shape[1], C)
         out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
-                          name="proj", **kw)(out, qctx)
+                          name="proj", **kw)(out, qctx, epilogue=epilogue)
         return out
 
 
@@ -400,7 +411,8 @@ class CrossAttention(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cond, mask=None, qctx: Optional[QuantCtx] = None):
+    def __call__(self, x, cond, mask=None, qctx: Optional[QuantCtx] = None,
+                 epilogue=None):
         B, N, C = x.shape
         P = cond.shape[-2]
         H, D = self.num_heads, C // self.num_heads
@@ -424,7 +436,7 @@ class CrossAttention(nn.Module):
                 v.reshape(B, P, H, D), scale=D ** -0.5, kv_mask=kv_mask)
             out = out.reshape(B, N, C)
             out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
-                              name="proj", **kw)(out, qctx)
+                              name="proj", **kw)(out, qctx, epilogue=epilogue)
             return out
         q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, P, H, D).transpose(0, 2, 1, 3)
@@ -440,7 +452,7 @@ class CrossAttention(nn.Module):
         out = sdpa(q, k, v, scale=D ** -0.5, kv_mask=kv_mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
-                          name="proj", **kw)(out, qctx)
+                          name="proj", **kw)(out, qctx, epilogue=epilogue)
         return out
 
 

@@ -58,16 +58,46 @@ class STDiTBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
             m for m in jnp.split(mods, 6, axis=1)]
 
+        def _ln_mod_prequant(inp, shift, scale, spec_names):
+            """Fused LN + adaLN modulate + row-quantize producer: ONE Pallas
+            pass emits the int8 codes every consumer linear takes, and the
+            unfused x_m becomes dead code (kernels/fused_matmul.py
+            ln_modulate_quantize). Engaged only on the plain fused-dynamic
+            path (mirrors shared_prequant gating)."""
+            if qctx is None or qctx.mode != "quant" or self.sp_mesh is not None:
+                return None
+            specs = [self.resolver(f"{self.prefix}.{n}") for n in spec_names]
+            s0 = specs[0]
+            if (s0 is None or any(s != s0 for s in specs)
+                    or s0.backend != "native" or s0.impl != "fused"
+                    or s0.act is None or not s0.act.dynamic
+                    or not s0.act_quant or not s0.weight_quant
+                    or s0.smooth_quant.enable or qctx.capture
+                    or inp.shape[1] % 256 != 0):
+                return None
+            from viditq_tpu.kernels.fused_matmul import (fused_available,
+                                                         ln_modulate_quantize)
+            if not fused_available():
+                return None
+            return ln_modulate_quantize(
+                inp, shift, scale, sym=s0.act.sym,
+                need_rowsum=not (s0.weight is not None and s0.weight.sym))
+
+        pre_attn = _ln_mod_prequant(x, shift_msa, scale_msa,
+                                    ("attn.q", "attn.k", "attn.v"))
         x_m = t2i_modulate(LayerNorm(dtype=self.dtype, name="norm1")(x),
                            shift_msa, scale_msa)
-        # spatial branch: [B, (T S), C] -> [(B T), S, C]
+        # spatial branch: [B, (T S), C] -> [(B T), S, C]; the residual add
+        # x + gate * proj(attn) rides the proj matmul's epilogue (rows of x
+        # and x_s coincide), so the raw attention output never hits HBM
         x_s = x_m.reshape(B * self.d_t, self.d_s, C)
-        x_s = SelfAttention(
+        x = SelfAttention(
             C, self.num_heads, resolver=self.resolver,
             prefix=f"{self.prefix}.attn", dtype=self.dtype,
             token_layout="spatial", d_t=self.d_t, d_s=self.d_s,
-            sp_mesh=self.sp_mesh, name="attn")(x_s, qctx)
-        x = x + gate_msa * x_s.reshape(B, N, C)
+            sp_mesh=self.sp_mesh, name="attn")(
+                x_s, qctx, prequant=pre_attn,
+                epilogue=(x, gate_msa.reshape(B, C))).reshape(B, N, C)
 
         # temporal branch: [B, (T S), C] -> [B, S, T, C]
         x_t = x.reshape(B, self.d_t, self.d_s, C).transpose(0, 2, 1, 3)
@@ -103,19 +133,21 @@ class STDiTBlock(nn.Module):
         x_t = x_t.transpose(0, 2, 1, 3)
         x = x + gate_msa * x_t.reshape(B, N, C)
 
-        # cross attention to prompt tokens
-        x = x + CrossAttention(
+        # cross attention to prompt tokens (residual via proj epilogue)
+        x = CrossAttention(
             C, self.num_heads, resolver=self.resolver,
             prefix=f"{self.prefix}.cross_attn", dtype=self.dtype,
-            name="cross_attn")(x, y, mask, qctx)
+            name="cross_attn")(x, y, mask, qctx, epilogue=(x, None))
 
-        # MLP
-        x = x + gate_mlp * Mlp(
+        # MLP (residual + gate via fc2 epilogue)
+        pre_mlp = _ln_mod_prequant(x, shift_mlp, scale_mlp, ("mlp.fc1",))
+        x = Mlp(
             int(C * self.mlp_ratio), resolver=self.resolver,
             prefix=f"{self.prefix}.mlp", dtype=self.dtype,
             name="mlp")(t2i_modulate(
                 LayerNorm(dtype=self.dtype, name="norm2")(x),
-                shift_mlp, scale_mlp), qctx)
+                shift_mlp, scale_mlp), qctx, prequant=pre_mlp,
+                epilogue=(x, gate_mlp.reshape(B, C)))
         if qctx is not None and qctx.capture:
             self.sow("intermediates", "block_out", x)
         return x

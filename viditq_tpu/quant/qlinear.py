@@ -154,23 +154,73 @@ class QuantLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qctx: Optional[QuantCtx] = None,
-                 prequant=None) -> jnp.ndarray:
+                 prequant=None, epilogue=None) -> jnp.ndarray:
         """`prequant`: optional (x_q int8 [M,K], scale, zp, rowsum) computed
         once by the parent for an input shared across sibling linears
         (q/k/v) — saves the redundant per-linear dynamic-quant passes in the
-        native path."""
+        native path. `epilogue`: optional (residual, gate) fused residual
+        add (see _quant_forward)."""
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (in_features, self.features), self.param_dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            self.param_dtype) if self.use_bias else None)
-        return self._quant_forward(x, kernel, bias, qctx, prequant)
+        return self._quant_forward(x, kernel, bias, qctx, prequant,
+                                   epilogue)
+
+    def _epilogue_fusable(self, qctx) -> bool:
+        """Whether the residual(+gate) epilogue runs inside the fused int8
+        matmul kernel (vs the XLA fallback applied after).
+
+        DEFAULT OFF: measured a net LOSS on v5e (fused-allsym block 11.49 ->
+        12.6-12.7 ms — the residual stream's extra VMEM buffers stall the
+        matmul pipeline more than the saved HBM round trip of the raw
+        projection output; XLA already fuses the external residual add into
+        neighboring elementwise passes). Set VIDITQ_FUSE_EPILOGUE=1 to
+        re-enable for tuning on other TPU generations."""
+        import os
+        if os.environ.get("VIDITQ_FUSE_EPILOGUE", "0") != "1":
+            return False
+        lspec = self.lspec
+        if (qctx is None or qctx.mode != "quant" or qctx.capture
+                or lspec is None or lspec.backend != "native"
+                or lspec.impl != "fused" or lspec.act is None
+                or not lspec.act.dynamic or not lspec.act_quant
+                or not lspec.weight_quant or lspec.smooth_quant.enable
+                or lspec.split):
+            return False
+        from viditq_tpu.kernels.fused_matmul import fused_available
+        return fused_available()
 
     def _quant_forward(self, x: jnp.ndarray, kernel: jnp.ndarray, bias,
-                       qctx: Optional[QuantCtx], prequant=None
-                       ) -> jnp.ndarray:
+                       qctx: Optional[QuantCtx], prequant=None,
+                       epilogue=None) -> jnp.ndarray:
         """The full quant pipeline over a 2D kernel [K, features] and inputs
-        [..., K] — shared by QuantLinear and (via im2col) QuantConv."""
+        [..., K] — shared by QuantLinear and (via im2col) QuantConv.
+
+        `epilogue`: optional (residual, gate) with residual shaped like the
+        output and gate [G, features] (G batches, rows split evenly) — the
+        caller's residual add `res + gate * out` fuses into the int8 matmul
+        epilogue on the fused-native path (no HBM round trip of the raw
+        projection output), and is applied identically in XLA otherwise."""
+        fused_epi = epilogue is not None and self._epilogue_fusable(qctx)
+        out = self._quant_core(x, kernel, bias, qctx, prequant,
+                               epilogue if fused_epi else None)
+        if epilogue is not None and not fused_epi:
+            res, gate = epilogue
+            if gate is not None:
+                G, F = gate.shape
+                o2 = out.reshape(G, -1, F)
+                out = (res.reshape(o2.shape)
+                       + gate[:, None].astype(o2.dtype) * o2
+                       ).reshape(out.shape).astype(out.dtype)
+            else:
+                out = (res.reshape(out.shape) + out).astype(out.dtype)
+        return out
+
+    def _quant_core(self, x: jnp.ndarray, kernel: jnp.ndarray, bias,
+                    qctx: Optional[QuantCtx], prequant=None,
+                    epilogue=None) -> jnp.ndarray:
         in_features = kernel.shape[0]
         lspec = self.lspec
         if lspec is None or (not lspec.weight_quant and not lspec.act_quant
@@ -344,12 +394,17 @@ class QuantLinear(nn.Module):
                 if lspec.impl == "fused" and fused_available():
                     from viditq_tpu.kernels.fused_matmul import \
                         int8_consumer_matmul
+                    res2 = gate2 = None
+                    if epilogue is not None:
+                        res2 = epilogue[0].reshape(-1, self.features)
+                        gate2 = epilogue[1]
                     out = int8_consumer_matmul(
                         x_qv, xs, packed["w_q"], packed["w_scale"],
                         x_zp=xzp, x_rowsum=xrs,
                         w_zp=None if wspec.sym else packed["w_zp"],
                         w_colsum=packed["w_colsum"],
-                        bias=bias, out_dtype=self.dtype)
+                        bias=bias, out_dtype=self.dtype,
+                        residual=res2, gate=gate2)
                     return out.reshape(*x.shape[:-1], self.features)
                 out = int8_matmul_ref(
                     x_qv, packed["w_q"], xs, xzp, xrs, packed["w_scale"],
@@ -359,11 +414,16 @@ class QuantLinear(nn.Module):
                     out = out + bias.astype(self.dtype)
                 return out.reshape(*x.shape[:-1], self.features)
             xv = self._to_token_view(x)
+            res2 = gate2 = None
+            if epilogue is not None:
+                res2 = epilogue[0].reshape(-1, self.features)
+                gate2 = epilogue[1]
             out = quantized_linear_native(xv, packed, bias=bias,
                                           act_sym=aspec.sym,
                                           w_sym=wspec.sym,
                                           out_dtype=self.dtype,
-                                          impl=lspec.impl)
+                                          impl=lspec.impl,
+                                          residual=res2, gate=gate2)
             return out.reshape(*x.shape[:-1], self.features)
 
         if native_static and mode == "quant":
