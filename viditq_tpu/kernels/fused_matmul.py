@@ -66,17 +66,21 @@ def _quantize_rows_f32(x, sym: bool):
     """Row-wise dynamic quant in f32 (reference dynamic per-token
     semantics); returns (q f32, scale, zp, rowsum?) with shifted-signed
     asym codes."""
+    # NOTE: the per-element work is multiply-by-row-reciprocal, never an
+    # [M, K] division — VPU divides are multi-cycle and this pass runs
+    # serially against the MXU in the fused kernels (BENCH_NOTES round-2b)
     if sym:
         absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
         scale = jnp.maximum(absmax / 127.0, 1e-6)
-        q = jnp.clip(jnp.round(x / scale), -128, 127)
+        q = jnp.clip(jnp.round(x * (1.0 / scale)), -128, 127)
         zp = jnp.zeros_like(scale)
     else:
         x_min = jnp.minimum(jnp.min(x, axis=-1, keepdims=True), 0.0)
         x_max = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), 0.0)
         scale = jnp.maximum((x_max - x_min) / 255.0, 1e-6)
-        zp = jnp.round(-x_min / scale) - 128.0
-        q = jnp.clip(jnp.round(x / scale) + zp, -128, 127)
+        inv = 1.0 / scale
+        zp = jnp.round(-x_min * inv) - 128.0
+        q = jnp.clip(jnp.round(x * inv) + zp, -128, 127)
     return q, scale, zp
 
 

@@ -64,6 +64,9 @@ class STDiTBlock(nn.Module):
             unfused x_m becomes dead code (kernels/fused_matmul.py
             ln_modulate_quantize). Engaged only on the plain fused-dynamic
             path (mirrors shared_prequant gating)."""
+            import os
+            if os.environ.get("VIDITQ_FUSE_PRODUCER", "1") != "1":
+                return None  # ablation switch (benchmarks/block_bisect.py)
             if qctx is None or qctx.mode != "quant" or self.sp_mesh is not None:
                 return None
             specs = [self.resolver(f"{self.prefix}.{n}") for n in spec_names]
@@ -83,21 +86,30 @@ class STDiTBlock(nn.Module):
                 inp, shift, scale, sym=s0.act.sym,
                 need_rowsum=not (s0.weight is not None and s0.weight.sym))
 
+        # kernel-fused residual epilogues are opt-in (VIDITQ_FUSE_EPILOGUE;
+        # measured a net loss on v5e — BENCH_NOTES.md round-2b); the
+        # default path keeps the plain external adds XLA fuses best
+        import os
+        use_epi = os.environ.get("VIDITQ_FUSE_EPILOGUE", "0") == "1"
+
         pre_attn = _ln_mod_prequant(x, shift_msa, scale_msa,
                                     ("attn.q", "attn.k", "attn.v"))
         x_m = t2i_modulate(LayerNorm(dtype=self.dtype, name="norm1")(x),
                            shift_msa, scale_msa)
-        # spatial branch: [B, (T S), C] -> [(B T), S, C]; the residual add
-        # x + gate * proj(attn) rides the proj matmul's epilogue (rows of x
-        # and x_s coincide), so the raw attention output never hits HBM
+        # spatial branch: [B, (T S), C] -> [(B T), S, C]
         x_s = x_m.reshape(B * self.d_t, self.d_s, C)
-        x = SelfAttention(
+        attn_mod = SelfAttention(
             C, self.num_heads, resolver=self.resolver,
             prefix=f"{self.prefix}.attn", dtype=self.dtype,
             token_layout="spatial", d_t=self.d_t, d_s=self.d_s,
-            sp_mesh=self.sp_mesh, name="attn")(
-                x_s, qctx, prequant=pre_attn,
-                epilogue=(x, gate_msa.reshape(B, C))).reshape(B, N, C)
+            sp_mesh=self.sp_mesh, name="attn")
+        if use_epi:
+            x = attn_mod(x_s, qctx, prequant=pre_attn,
+                         epilogue=(x, gate_msa.reshape(B, C))
+                         ).reshape(B, N, C)
+        else:
+            x_s = attn_mod(x_s, qctx, prequant=pre_attn)
+            x = x + gate_msa * x_s.reshape(B, N, C)
 
         # temporal branch: [B, (T S), C] -> [B, S, T, C]
         x_t = x.reshape(B, self.d_t, self.d_s, C).transpose(0, 2, 1, 3)
@@ -133,21 +145,29 @@ class STDiTBlock(nn.Module):
         x_t = x_t.transpose(0, 2, 1, 3)
         x = x + gate_msa * x_t.reshape(B, N, C)
 
-        # cross attention to prompt tokens (residual via proj epilogue)
-        x = CrossAttention(
+        # cross attention to prompt tokens
+        cross_mod = CrossAttention(
             C, self.num_heads, resolver=self.resolver,
             prefix=f"{self.prefix}.cross_attn", dtype=self.dtype,
-            name="cross_attn")(x, y, mask, qctx, epilogue=(x, None))
+            name="cross_attn")
+        if use_epi:
+            x = cross_mod(x, y, mask, qctx, epilogue=(x, None))
+        else:
+            x = x + cross_mod(x, y, mask, qctx)
 
-        # MLP (residual + gate via fc2 epilogue)
+        # MLP
         pre_mlp = _ln_mod_prequant(x, shift_mlp, scale_mlp, ("mlp.fc1",))
-        x = Mlp(
+        mlp_mod = Mlp(
             int(C * self.mlp_ratio), resolver=self.resolver,
-            prefix=f"{self.prefix}.mlp", dtype=self.dtype,
-            name="mlp")(t2i_modulate(
-                LayerNorm(dtype=self.dtype, name="norm2")(x),
-                shift_mlp, scale_mlp), qctx, prequant=pre_mlp,
-                epilogue=(x, gate_mlp.reshape(B, C)))
+            prefix=f"{self.prefix}.mlp", dtype=self.dtype, name="mlp")
+        x_mlp_in = t2i_modulate(
+            LayerNorm(dtype=self.dtype, name="norm2")(x),
+            shift_mlp, scale_mlp)
+        if use_epi:
+            x = mlp_mod(x_mlp_in, qctx, prequant=pre_mlp,
+                        epilogue=(x, gate_mlp.reshape(B, C)))
+        else:
+            x = x + gate_mlp * mlp_mod(x_mlp_in, qctx, prequant=pre_mlp)
         if qctx is not None and qctx.capture:
             self.sow("intermediates", "block_out", x)
         return x
