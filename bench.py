@@ -39,8 +39,10 @@ def main():
                     jnp.bfloat16)
     mask = jnp.ones((n_prompt, 120), jnp.int32)
 
-    plan = load_quant_config("configs/opensora/w8a8_dynamic.yaml")
-    nat_resolver = plan.with_backend("native").resolver()
+    # fused-sym + softmax int8 PV scoped to temporal/cross attention
+    # (the per-site winners; BENCH_NOTES round-2c)
+    plan = load_quant_config("configs/opensora/w8a8_tpu_fused_sm8.yaml")
+    nat_resolver = plan.resolver()
     # fused int8 Pallas dataflow, reference (asym) quantization semantics
     hyb_plan = load_quant_config("configs/opensora/w8a8_tpu_fused.yaml")
     hyb_resolver = hyb_plan.resolver()
@@ -156,12 +158,12 @@ def main():
         return min(ts) / n_steps
 
     t_fp = bench(fp_denoise, fp_vars, "bf16")
-    t_q = bench(q_denoise, q_vars, "w8a8")
+    t_q = bench(q_denoise, q_vars, "w8a8-fused-sm8")
     t_h = bench(h_denoise, h_vars, "w8a8-fused")
     t_s = bench(s_denoise, s_vars, "w8a8-fused-sym")
     best = min(t_q, t_h, t_s)
     speedup = t_fp / best
-    best_name = {t_q: "w8a8_dynamic", t_h: "w8a8_tpu_fused",
+    best_name = {t_q: "w8a8_tpu_fused_sm8", t_h: "w8a8_tpu_fused",
                  t_s: "w8a8_tpu_fused_sym"}[best]
     result = {
         "metric": "stdit_xl2_16x512x512_w8a8_best_denoise_speedup_vs_bf16",
@@ -170,7 +172,7 @@ def main():
         "vs_baseline": round(speedup / 2.5, 3),
         "detail": {
             "bf16_ms_per_denoise_step": round(t_fp * 1e3, 2),
-            "w8a8_full_ms_per_denoise_step": round(t_q * 1e3, 2),
+            "w8a8_tpu_fused_sm8_ms_per_denoise_step": round(t_q * 1e3, 2),
             "w8a8_tpu_fused_ms_per_denoise_step": round(t_h * 1e3, 2),
             "w8a8_tpu_fused_sym_ms_per_denoise_step": round(t_s * 1e3, 2),
             "best_config": best_name,
@@ -179,8 +181,11 @@ def main():
             "note": ("round-2: the v5e MXU delivers the full 2x int8 rate "
                      "(384 vs 183 TOPS measured); 'fused' runs every linear "
                      "as one Pallas quantize+int8-matmul+epilogue kernel "
-                     "with shared q/k/v quantize and a gelu+quantize "
-                     "fc1->fc2 int8 handoff; attention runs layout-native "
+                     "with LN+modulate+quantize producers, shared q/k/v "
+                     "quantize, a gelu+quantize fc1->fc2 int8 handoff and "
+                     "int8-emitting attention outputs; 'sm8' adds softmax "
+                     "int8 PV on the temporal/cross attentions; attention "
+                     "runs layout-native "
                      "Pallas kernels in both arms (BENCH_NOTES.md)"),
         },
     }

@@ -60,6 +60,10 @@ def main(arms):
     FUSED = dataclasses.replace(NAT, impl="fused")
     FUSED_S = dataclasses.replace(NATS, impl="fused")
     FUSED_SS = dataclasses.replace(FUSED_S, weight=W8S)
+    SM8 = QuantSpec(n_bits=8, granularity="tensor", always_zero=True,
+                    dynamic=True)
+    FUSED_ATTN8 = dataclasses.replace(FUSED_SS, attn_act=A8S, softmax=SM8)
+    FUSED_PV8 = dataclasses.replace(FUSED_SS, softmax=SM8)
     ARMS = {
         "bf16": None,
         "int8-asym": mk_resolver(NAT),
@@ -71,6 +75,12 @@ def main(arms):
         "fused-asym": mk_resolver(FUSED),
         "fused-sym": mk_resolver(FUSED_S),
         "fused-allsym": mk_resolver(FUSED_SS),
+        "fused-pv8": mk_resolver(FUSED_PV8),
+        "fused-attn8": mk_resolver(FUSED_ATTN8),
+        # softmax int8 PV scoped to the sites where it measured a win
+        # (temporal + cross; spatial stays bf16) — w8a8_tpu_fused_sm8.yaml
+        "fused-sm8-scoped": mk_resolver(
+            FUSED_SS, {"attn_temp": FUSED_PV8, "cross_attn": FUSED_PV8}),
     }
     arms = arms or list(ARMS)
 

@@ -97,3 +97,79 @@ def test_attention_bnhd_differentiable():
                                           seg_len=16) ** 2)
     g_seg = jax.grad(loss_seg)(q, k, v)
     assert np.isfinite(np.asarray(g_seg)).all()
+
+
+@pytest.mark.parametrize("int8_qk,int8_pv", [(False, True), (True, False),
+                                             (True, True)])
+def test_int8_attention_matches_oracle(int8_qk, int8_pv):
+    """Real-exec attention-internal quantizers (int8 QK^T / softmax int8 PV)
+    match the XLA oracle of the same quantization math and stay within 8-bit
+    error of fp attention."""
+    from viditq_tpu.kernels.attention import (attention_bnhd_xla,
+                                              attention_bnhd_xla_quant)
+    rng = np.random.default_rng(7)
+    B, N, H, D = 1, 128, 2, 72
+    mk = lambda n: jnp.asarray(rng.standard_normal((B, n, H, D)), jnp.float32)
+    q, k, v = mk(N), mk(N), mk(N)
+    want = attention_bnhd_xla_quant(q, k, v, D ** -0.5,
+                                    int8_qk=int8_qk, int8_pv=int8_pv)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_bnhd(q, k, v, D ** -0.5, block_q=128,
+                             int8_qk=int8_qk, int8_pv=int8_pv)
+    err = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert err < 0.01, err
+    fp = attention_bnhd_xla(q, k, v, D ** -0.5)
+    err_fp = float(jnp.linalg.norm(got - fp) / jnp.linalg.norm(fp))
+    assert err_fp < 0.03, err_fp  # 8-bit quantization noise bound
+
+
+def test_int8_attention_seg_and_mask():
+    from viditq_tpu.kernels.attention import attention_bnhd_xla_quant
+    rng = np.random.default_rng(8)
+    B, N, H, D = 1, 128, 2, 72
+    mk = lambda n: jnp.asarray(rng.standard_normal((B, n, H, D)), jnp.float32)
+    q, k, v = mk(N), mk(N), mk(N)
+    with pltpu.force_tpu_interpret_mode():
+        gs = attention_bnhd(q, k, v, D ** -0.5, seg_len=16, block_q=64,
+                            int8_qk=True, int8_pv=True)
+    ws = attention_bnhd_xla_quant(q, k, v, D ** -0.5, seg_len=16,
+                                  int8_qk=True, int8_pv=True)
+    assert float(jnp.linalg.norm(gs - ws) / jnp.linalg.norm(ws)) < 0.01
+    km, vm = mk(24), mk(24)
+    mask = jnp.asarray(rng.integers(0, 2, (B, 24)), jnp.int32).at[:, 0].set(1)
+    with pltpu.force_tpu_interpret_mode():
+        gm = attention_bnhd(q, km, vm, D ** -0.5, kv_mask=mask, block_q=128,
+                            int8_pv=True)
+    wm = attention_bnhd_xla_quant(q, km, vm, D ** -0.5, kv_mask=mask,
+                                  int8_pv=True)
+    assert float(jnp.linalg.norm(gm - wm) / jnp.linalg.norm(wm)) < 0.01
+
+
+def test_int8out_emission_matches_quantized_output():
+    """attention_bnhd_int8out's (codes, scales) dequantize to the regular
+    kernel output; rowsum matches the code sum."""
+    from viditq_tpu.kernels.attention import attention_bnhd_int8out
+    rng = np.random.default_rng(9)
+    B, N, H, D = 1, 128, 2, 72
+    C = H * D
+    mk = lambda n: jnp.asarray(rng.standard_normal((B, n, H, D)), jnp.float32)
+    q, k, v = mk(N), mk(N), mk(N)
+    with pltpu.force_tpu_interpret_mode():
+        ref = attention_bnhd(q, k, v, D ** -0.5, block_q=128)
+        codes, scales, rowsum = attention_bnhd_int8out(
+            q, k, v, D ** -0.5, block_q=128, need_rowsum=True)
+    deq = codes.astype(jnp.float32) * scales
+    ref2 = ref.reshape(B, N, C)
+    err = float(jnp.linalg.norm(deq - ref2) / jnp.linalg.norm(ref2))
+    assert err < 0.01, err  # 8-bit row quantization of the output
+    np.testing.assert_allclose(
+        np.asarray(rowsum[..., 0]),
+        np.asarray(jnp.sum(codes.astype(jnp.float32), axis=-1)), atol=0.5)
+    # int8_pv composes with emission
+    with pltpu.force_tpu_interpret_mode():
+        codes2, scales2, rs2 = attention_bnhd_int8out(
+            q, k, v, D ** -0.5, block_q=128, int8_pv=True)
+    assert rs2 is None
+    deq2 = codes2.astype(jnp.float32) * scales2
+    err2 = float(jnp.linalg.norm(deq2 - ref2) / jnp.linalg.norm(ref2))
+    assert err2 < 0.03, err2

@@ -38,22 +38,59 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
-                 head_dim: int, has_mask: bool):
-    if has_mask:
-        q_ref, k_ref, v_ref, m_ref, o_ref = refs
-        kv_bias = jnp.where(m_ref[0] != 0, 0.0, -jnp.inf)  # [1, M] f32
+                 head_dim: int, has_mask: bool, int8_qk: bool = False,
+                 int8_pv: bool = False, v_int8_in: bool = False,
+                 emit_int8: bool = False, need_rowsum: bool = False):
+    refs = list(refs)
+    q_ref = refs.pop(0)
+    k_ref = refs.pop(0)
+    v_ref = refs.pop(0)
+    # v arrives pre-quantized (int8 codes + per-channel scales) from a
+    # one-pass producer outside the kernel — halves the v VMEM blocks
+    # and removes the per-grid-step requantize
+    vs_ref = refs.pop(0) if v_int8_in else None
+    m_ref = refs.pop(0) if has_mask else None
+    if emit_int8:
+        # int8-emitting output: the proj linear consumes (codes, scales[,
+        # rowsum]) directly (int8_consumer_matmul) — the bf16 attention
+        # output never round-trips HBM
+        oq_ref = refs.pop(0)
+        os_ref = refs.pop(0)
+        ors_ref = refs.pop(0) if need_rowsum else None
+        oacc_ref = refs.pop(0)                      # f32 scratch [bq, C]
     else:
-        q_ref, k_ref, v_ref, o_ref = refs
+        o_ref = refs.pop(0)
+    if has_mask:
+        kv_bias = jnp.where(m_ref[0] != 0, 0.0, -jnp.inf)  # [1, M] f32
     d = head_dim
     for h in range(n_heads):
         q = q_ref[0, :, h * d:(h + 1) * d]
         k = k_ref[0, :, h * d:(h + 1) * d]
         v = v_ref[0, :, h * d:(h + 1) * d]
-        s = jax.lax.dot_general(
-            (q.astype(jnp.float32) * scale).astype(jnp.bfloat16),
-            k.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if int8_qk:
+            # real-exec form of the reference's act_quantizer_q/k (dynamic
+            # per-token symmetric int8, quant_block.py:181-236): the MXU
+            # runs int8 at 2x the bf16 rate; dequant is two broadcast
+            # multiplies on the scores
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                             1e-6)                      # [bq, 1]
+            ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1, keepdims=True),
+                             1e-6)                      # [bkv, 1]
+            qq = jnp.round(qf * (127.0 / qs)).astype(jnp.int8)
+            kq = jnp.round(kf * (127.0 / ks)).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qq, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            s = acc * (qs * (scale / (127.0 * 127.0)))
+            s = s * ks.reshape(1, -1)
+        else:
+            s = jax.lax.dot_general(
+                (q.astype(jnp.float32) * scale).astype(jnp.bfloat16),
+                k.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         if has_mask:
             s = s + kv_bias
         if seg_len > 0:
@@ -63,11 +100,46 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
             s = jnp.where(ri == ci, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+        r = jnp.sum(e, axis=-1, keepdims=True)
+        if int8_pv:
+            # real-exec softmax quantizer (always_zero semantics): after the
+            # max subtraction e has row-max 1, so the int8 codes are just
+            # round(e*127) — NO [bq, bkv] normalize division at all; the
+            # exact 1/(127*rowsum) renormalizer folds into the per-row
+            # output dequant. v runs per-channel int8 (scales factor out of
+            # the PV contraction; per-token v scales would not).
+            pq = jnp.round(e * 127.0).astype(jnp.int8)
+            if v_int8_in:
+                vq = v
+                vs = vs_ref[0, :, h * d:(h + 1) * d]    # [1, d]
+            else:
+                vf = v.astype(jnp.float32)
+                vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True),
+                                 1e-6)                  # [1, d]
+                vq = jnp.round(vf * (127.0 / vs)).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                pq, vq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            o = acc * (1.0 / (127.0 * 127.0) / r) * vs
+        else:
+            p = e / r
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if emit_int8:
+            oacc_ref[:, h * d:(h + 1) * d] = o
+        else:
+            o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+    if emit_int8:
+        of = oacc_ref[:]
+        smax = jnp.maximum(jnp.max(jnp.abs(of), axis=-1, keepdims=True),
+                           1e-6)
+        oscale = smax / 127.0
+        codes = jnp.clip(jnp.round(of * (127.0 / smax)), -128, 127)
+        oq_ref[0] = codes.astype(jnp.int8)
+        os_ref[0] = oscale
+        if need_rowsum:
+            ors_ref[0] = jnp.sum(codes, axis=-1, keepdims=True)
 
 
 def attention_bnhd_xla(q, k, v, scale: float, seg_len: int = 0,
@@ -96,20 +168,64 @@ def attention_bnhd_xla(q, k, v, scale: float, seg_len: int = 0,
                       preferred_element_type=q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _attention_bnhd(q, k, v, kv_mask, scale, seg_len, block_q):
-    return _attention_bnhd_impl(q, k, v, kv_mask, scale, seg_len, block_q)
+def attention_bnhd_xla_quant(q, k, v, scale: float, seg_len: int = 0,
+                             kv_mask: Optional[jnp.ndarray] = None,
+                             int8_qk: bool = False,
+                             int8_pv: bool = False) -> jnp.ndarray:
+    """XLA oracle of the int8 attention kernel's exact quantization math
+    (per-token sym q/k, round(e*127) softmax codes, per-channel v)."""
+    def rq(t, axis):
+        tf = t.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(tf), axis=axis, keepdims=True), 1e-6)
+        return jnp.round(tf * (127.0 / s)) * (s / 127.0)
+
+    B, N, H, D = q.shape
+    if int8_qk:
+        q = rq(q, -1)
+        k = rq(k, -1)
+    if not int8_pv:
+        return attention_bnhd_xla(q, k, v, scale, seg_len, kv_mask)
+    qh = q.transpose(0, 2, 1, 3).astype(jnp.float32)
+    kh = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+    vh = v.transpose(0, 2, 1, 3).astype(jnp.float32)
+    s = jnp.einsum("bhnd,bhmd->bhnm", qh * scale, kh)
+    if kv_mask is not None:
+        s = s + jnp.where(kv_mask[:, None, None, :] != 0, 0.0, -jnp.inf)
+    if seg_len > 0:
+        ri = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) // seg_len
+        ci = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3) // seg_len
+        s = jnp.where(ri == ci, s, -jnp.inf)
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    r = jnp.sum(e, axis=-1, keepdims=True)
+    pq = jnp.round(e * 127.0)
+    # per-channel v quant (axis 0 of each head's [M, D] block = token axis)
+    vqs = jnp.maximum(jnp.max(jnp.abs(vh), axis=2, keepdims=True), 1e-6)
+    vq = jnp.round(vh * (127.0 / vqs))
+    o = jnp.einsum("bhnm,bhmd->bhnd", pq, vq)
+    o = o * (1.0 / (127.0 * 127.0) / r) * vqs
+    return o.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
-def _attention_bnhd_fwd(q, k, v, kv_mask, scale, seg_len, block_q):
-    return (_attention_bnhd_impl(q, k, v, kv_mask, scale, seg_len, block_q),
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _attention_bnhd(q, k, v, kv_mask, scale, seg_len, block_q, int8_qk,
+                    int8_pv):
+    return _attention_bnhd_impl(q, k, v, kv_mask, scale, seg_len, block_q,
+                                int8_qk, int8_pv)
+
+
+def _attention_bnhd_fwd(q, k, v, kv_mask, scale, seg_len, block_q, int8_qk,
+                        int8_pv):
+    return (_attention_bnhd_impl(q, k, v, kv_mask, scale, seg_len, block_q,
+                                 int8_qk, int8_pv),
             (q, k, v, kv_mask))
 
 
-def _attention_bnhd_bwd(scale, seg_len, block_q, res, g):
+def _attention_bnhd_bwd(scale, seg_len, block_q, int8_qk, int8_pv, res, g):
     # backward recomputes through the (numerically equivalent) XLA path —
     # keeps the forward on the fast Pallas kernel while making QAT / block
-    # reconstruction differentiable through the attention
+    # reconstruction differentiable through the attention. For the int8
+    # modes this is the STE convention: gradients flow through the
+    # unquantized attention (round() is piecewise-constant).
     q, k, v, kv_mask = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_: attention_bnhd_xla(q_, k_, v_, scale, seg_len,
@@ -124,7 +240,9 @@ _attention_bnhd.defvjp(_attention_bnhd_fwd, _attention_bnhd_bwd)
 def attention_bnhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    scale: float, seg_len: int = 0,
                    kv_mask: Optional[jnp.ndarray] = None,
-                   block_q: Optional[int] = None) -> jnp.ndarray:
+                   block_q: Optional[int] = None,
+                   int8_qk: bool = False,
+                   int8_pv: bool = False) -> jnp.ndarray:
     """Softmax attention over [B, N, H, D] inputs -> [B, N, H, D].
 
     seg_len == 0: full attention per (b, h); k/v may have a different
@@ -137,16 +255,29 @@ def attention_bnhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     packed-varlen cross-attention masking (reference BlockDiagonalMask,
     blocks.py:300-304) for fixed-shape 0-padded prompts.
 
+    int8_qk / int8_pv: REAL int8 execution of the reference's attention-
+    internal quantizers (act_quantizer_{q,k} / softmax+v quantizers,
+    quant_block.py:181-236, which the reference only fake-quants):
+    per-token symmetric int8 q/k before QK^T, round(e*127) softmax codes
+    with the exact row-sum renormalizer folded into the output dequant,
+    per-channel int8 v. Both matmuls then run the MXU at the 2x int8 rate.
+
     Differentiable: the forward runs the Pallas kernel; gradients recompute
-    through `attention_bnhd_xla` via custom_vjp.
+    through `attention_bnhd_xla` via custom_vjp (STE through the int8
+    rounding).
     """
-    return _attention_bnhd(q, k, v, kv_mask, scale, seg_len, block_q)
+    return _attention_bnhd(q, k, v, kv_mask, scale, seg_len, block_q,
+                           int8_qk, int8_pv)
 
 
 def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          kv_mask: Optional[jnp.ndarray], scale: float,
                          seg_len: int = 0,
-                         block_q: Optional[int] = None) -> jnp.ndarray:
+                         block_q: Optional[int] = None,
+                         int8_qk: bool = False,
+                         int8_pv: bool = False,
+                         emit_int8: bool = False,
+                         need_rowsum: bool = False):
     B, N, H, D = q.shape
     M = k.shape[1]
     assert seg_len == 0 or M == N
@@ -154,6 +285,17 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q3 = q.reshape(B, N, C)
     k3 = k.reshape(B, M, C)
     v3 = v.reshape(B, M, C)
+    # int8 PV with a reused kv block (seg_len == 0: spatial/cross): quantize
+    # v per-(head-)channel ONCE outside the kernel (a single fused XLA pass)
+    # instead of per grid step per head in VMEM — and the kernel's v blocks
+    # become int8, halving their VMEM footprint
+    v_int8_in = int8_pv and seg_len == 0
+    vs3 = None
+    if v_int8_in:
+        vf = v3.astype(jnp.float32)
+        vsc = jnp.maximum(jnp.max(jnp.abs(vf), axis=1, keepdims=True), 1e-6)
+        v3 = jnp.round(vf * (127.0 / vsc)).astype(jnp.int8)
+        vs3 = vsc  # [B, 1, C]
     if seg_len > 0:
         if block_q is None:
             # VMEM: 4 distinct [bq, C] bf16 blocks x2 buffers + f32 scores;
@@ -163,11 +305,20 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     else:
         if block_q is None:
             block_q = min(N, 256)
+            if int8_qk and M * C * 2 * 4 > 8 * 1024 * 1024:
+                # int8 QK adds f32/int8 score intermediates to the kernel
+                # stack (s, e, qq, kq per head); at full-M kv blocks
+                # (spatial attention, M=1024 C=1152) bq=256 blows the 16MB
+                # scoped VMEM — halve the q block instead
+                block_q = min(N, 128)
     assert N % block_q == 0
     grid = (B, N // block_q)
     kernel = functools.partial(_attn_kernel, scale=scale,
                                seg_len=seg_len, n_heads=H, head_dim=D,
-                               has_mask=kv_mask is not None)
+                               has_mask=kv_mask is not None,
+                               int8_qk=int8_qk, int8_pv=int8_pv,
+                               v_int8_in=v_int8_in, emit_int8=emit_int8,
+                               need_rowsum=need_rowsum)
     # kv block: same rows as q for block-diagonal; full M otherwise
     bkv = block_q if seg_len > 0 else M
     kv_index = ((lambda b, i: (b, i, 0)) if seg_len > 0
@@ -178,23 +329,67 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         pl.BlockSpec((1, bkv, C), kv_index),
     ]
     operands = [q3, k3, v3]
+    if v_int8_in:
+        in_specs.append(pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)))
+        operands.append(vs3)
     if kv_mask is not None:
         in_specs.append(pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0)))
         operands.append(kv_mask.astype(jnp.int32).reshape(B, 1, M))
+    cost = pl.CostEstimate(
+        flops=4 * B * H * N * bkv * D,
+        bytes_accessed=4 * B * N * H * D * q.dtype.itemsize,
+        transcendentals=B * H * N * bkv)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"))
+    if emit_int8:
+        out_specs = [
+            pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((B, N, C), jnp.int8),
+                     jax.ShapeDtypeStruct((B, N, 1), jnp.float32)]
+        if need_rowsum:
+            out_specs.append(pl.BlockSpec((1, block_q, 1),
+                                          lambda b, i: (b, i, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((B, N, 1), jnp.float32))
+        outs = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((block_q, C), jnp.float32)],
+            compiler_params=params, cost_estimate=cost,
+        )(*operands)
+        codes, scales = outs[0], outs[1]
+        rowsum = outs[2] if need_rowsum else None
+        return codes, scales, rowsum
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * N * bkv * D,
-            bytes_accessed=4 * B * N * H * D * q.dtype.itemsize,
-            transcendentals=B * H * N * bkv),
+        compiler_params=params,
+        cost_estimate=cost,
     )(*operands)
     return out.reshape(B, N, H, D)
+
+
+def attention_bnhd_int8out(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           scale: float, seg_len: int = 0,
+                           kv_mask: Optional[jnp.ndarray] = None,
+                           block_q: Optional[int] = None,
+                           int8_qk: bool = False, int8_pv: bool = False,
+                           need_rowsum: bool = False):
+    """attention_bnhd that emits its output PRE-QUANTIZED: (int8 codes
+    [B, N, C], per-row scales [B, N, 1], rowsum [B, N, 1] | None).
+
+    The proj linear consumes the tuple directly (int8_consumer_matmul), so
+    the bf16 attention output never round-trips HBM and the proj skips its
+    in-kernel dynamic-quant pass. Symmetric row quantization (the fused-sym
+    plans); rowsum is emitted for asym proj weights. Inference-only — no
+    custom_vjp (the native int8 consumer path has no gradient either)."""
+    return _attention_bnhd_impl(q, k, v, kv_mask, scale, seg_len, block_q,
+                                int8_qk, int8_pv, emit_int8=True,
+                                need_rowsum=need_rowsum)
 
 
 def attention_ok(n: int, h: int, d: int, seg_len: int = 0,

@@ -184,6 +184,23 @@ def sdpa(q, k, v, scale: float, bias: Optional[jnp.ndarray] = None,
     return sdpa_xla(q, k, v, scale, bias)
 
 
+def attn_emit_int8_ok(pspec, qctx) -> bool:
+    """Whether the attention kernel should emit its output pre-quantized
+    for the proj linear (kernels/attention.py attention_bnhd_int8out):
+    requires the plain fused-dynamic-sym proj path (mirrors the
+    _ln_mod_prequant / shared_prequant gating) and is inference-only."""
+    if (qctx is None or qctx.mode != "quant" or qctx.capture
+            or pspec is None or pspec.backend != "native"
+            or pspec.impl != "fused" or pspec.act is None
+            or not pspec.act.dynamic or not pspec.act.sym
+            or pspec.act.n_bits != 8 or pspec.weight is None
+            or not pspec.act_quant or not pspec.weight_quant
+            or pspec.smooth_quant.enable or pspec.split):
+        return False
+    from viditq_tpu.kernels.fused_matmul import fused_available
+    return fused_available()
+
+
 class SelfAttention(nn.Module):
     """Separate-QKV multi-head self-attention (reference Attention,
     blocks.py:113-195, with separate_qkv=True as the quant flow requires,
@@ -257,8 +274,26 @@ class SelfAttention(nn.Module):
         attn_spec = specs[0].attn_act if specs[0] is not None else None
         sm_spec0 = specs[0].softmax if specs[0] is not None else None
         from viditq_tpu.kernels.attention import attention_bnhd, attention_ok
-        if (attn_spec is None and sm_spec0 is None
-                and attention_ok(N, H, D, self.seg_len)):
+        # attention-internal quantizers: when the plan's specs are exec-
+        # compatible (8-bit dynamic sym q/k, 8-bit softmax) and the layer
+        # runs the fused int8 dataflow, execute them for REAL inside the
+        # Pallas kernel (int8 MXU QK^T / PV) instead of fake-quanting
+        # through XLA — kernels/attention.py int8_qk/int8_pv
+        int8_qk = int8_pv = False
+        pallas_quant_ok = True
+        if qctx is not None and qctx.mode == "quant" and specs[0] is not None:
+            if attn_spec is not None:
+                if (specs[0].impl == "fused" and attn_spec.n_bits == 8
+                        and attn_spec.dynamic and attn_spec.sym):
+                    int8_qk = True
+                else:
+                    pallas_quant_ok = False
+            if sm_spec0 is not None:
+                if specs[0].impl == "fused" and sm_spec0.n_bits == 8:
+                    int8_pv = True
+                else:
+                    pallas_quant_ok = False
+        if pallas_quant_ok and attention_ok(N, H, D, self.seg_len):
             # layout-native path: q/k/v stay [B, N, H, D] (free reshapes of
             # the projection output); the kernel slices heads in VMEM —
             # no HBM transposes (kernels/attention.py)
@@ -268,10 +303,26 @@ class SelfAttention(nn.Module):
             if self.qk_norm:
                 q4 = AffineLayerNorm(dtype=self.dtype, name="q_norm")(q4)
                 k4 = AffineLayerNorm(dtype=self.dtype, name="k_norm")(k4)
+            pspec = self.resolver(f"{self.prefix}.proj")
+            if attn_emit_int8_ok(pspec, qctx):
+                # proj consumes the attention output pre-quantized straight
+                # from the kernel (no bf16 HBM round trip, consumer-rate
+                # int8 matmul)
+                from viditq_tpu.kernels.attention import attention_bnhd_int8out
+                codes, xs, xrs = attention_bnhd_int8out(
+                    q4, k4, v4, scale=D ** -0.5, seg_len=self.seg_len,
+                    int8_qk=int8_qk, int8_pv=int8_pv,
+                    need_rowsum=not pspec.weight.sym)
+                return QuantLinear(C, lspec=pspec, name="proj", **kw)(
+                    codes, qctx,
+                    prequant=(codes.reshape(-1, C), xs.reshape(-1, 1), None,
+                              None if xrs is None else xrs.reshape(-1, 1)),
+                    epilogue=epilogue)
             out = attention_bnhd(q4, k4, v4, scale=D ** -0.5,
-                                 seg_len=self.seg_len)
+                                 seg_len=self.seg_len,
+                                 int8_qk=int8_qk, int8_pv=int8_pv)
             out = out.reshape(B, N, C)
-            return QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
+            return QuantLinear(C, lspec=pspec,
                                name="proj", **kw)(out, qctx, epilogue=epilogue)
         if self.seg_len > 0:
             # fallback (CPU / odd shapes): unpack segments into the batch dim
@@ -427,20 +478,59 @@ class CrossAttention(nn.Module):
                    else jnp.ones((B, P), jnp.int32))
         from viditq_tpu.kernels.attention import (attention_bnhd,
                                                   attention_ok)
-        if attention_ok(N, H, D, m=P):
+        # real int8 execution of attention-internal quantizers (see
+        # SelfAttention) — specs ride on the q_linear layer spec
+        qspec = self.resolver(f"{self.prefix}.q_linear")
+        attn_spec = qspec.attn_act if qspec is not None else None
+        sm_spec = qspec.softmax if qspec is not None else None
+        int8_qk = int8_pv = False
+        pallas_quant_ok = True
+        if qctx is not None and qctx.mode == "quant" and qspec is not None:
+            if attn_spec is not None:
+                if (qspec.impl == "fused" and attn_spec.n_bits == 8
+                        and attn_spec.dynamic and attn_spec.sym):
+                    int8_qk = True
+                else:
+                    pallas_quant_ok = False
+            if sm_spec is not None:
+                if qspec.impl == "fused" and sm_spec.n_bits == 8:
+                    int8_pv = True
+                else:
+                    pallas_quant_ok = False
+        if pallas_quant_ok and attention_ok(N, H, D, m=P):
             # layout-native cross-attention: no [B,H,N,D] transposes, the
             # (small) prompt k/v stay VMEM-resident, padding masked in-
             # kernel (kernels/attention.py)
+            pspec = self.resolver(f"{self.prefix}.proj")
+            if attn_emit_int8_ok(pspec, qctx):
+                from viditq_tpu.kernels.attention import attention_bnhd_int8out
+                codes, xs, xrs = attention_bnhd_int8out(
+                    q.reshape(B, N, H, D), k.reshape(B, P, H, D),
+                    v.reshape(B, P, H, D), scale=D ** -0.5, kv_mask=kv_mask,
+                    int8_qk=int8_qk, int8_pv=int8_pv,
+                    need_rowsum=not pspec.weight.sym)
+                return QuantLinear(C, lspec=pspec, name="proj", **kw)(
+                    codes, qctx,
+                    prequant=(codes.reshape(-1, C), xs.reshape(-1, 1), None,
+                              None if xrs is None else xrs.reshape(-1, 1)),
+                    epilogue=epilogue)
             out = attention_bnhd(
                 q.reshape(B, N, H, D), k.reshape(B, P, H, D),
-                v.reshape(B, P, H, D), scale=D ** -0.5, kv_mask=kv_mask)
+                v.reshape(B, P, H, D), scale=D ** -0.5, kv_mask=kv_mask,
+                int8_qk=int8_qk, int8_pv=int8_pv)
             out = out.reshape(B, N, C)
-            out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
+            out = QuantLinear(C, lspec=pspec,
                               name="proj", **kw)(out, qctx, epilogue=epilogue)
             return out
         q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, P, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, P, H, D).transpose(0, 2, 1, 3)
+        if (attn_spec is not None and qctx is not None
+                and qctx.mode == "quant"):
+            from viditq_tpu.quant import core as qcore
+            q = qcore.fake_quant_dynamic(q, attn_spec)
+            k = qcore.fake_quant_dynamic(k, attn_spec)
+            v = qcore.fake_quant_dynamic(v, attn_spec)
         # pad prompt axis to a flash-friendly multiple of 128 (padded keys
         # are masked out; harmless for the XLA fallback too)
         P_pad = max(128, -(-P // 128) * 128)
@@ -449,7 +539,19 @@ class CrossAttention(nn.Module):
             k = jnp.pad(k, pad)
             v = jnp.pad(v, pad)
             kv_mask = jnp.pad(kv_mask, ((0, 0), (0, P_pad - P)))
-        out = sdpa(q, k, v, scale=D ** -0.5, kv_mask=kv_mask)
+        if (sm_spec is not None and qctx is not None
+                and qctx.mode == "quant"):
+            from viditq_tpu.quant import core as qcore
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * (D ** -0.5), k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + jnp.where(kv_mask[:, None, None, :] != 0,
+                                    0.0, -jnp.inf)
+            attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+            attn = qcore.fake_quant_dynamic(attn, sm_spec)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                             preferred_element_type=q.dtype)
+        else:
+            out = sdpa(q, k, v, scale=D ** -0.5, kv_mask=kv_mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.proj"),
                           name="proj", **kw)(out, qctx, epilogue=epilogue)

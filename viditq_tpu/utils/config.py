@@ -152,18 +152,33 @@ class QuantPlanConfig:
     weight_opt: Optional["OptimizationConfig"] = None
     act_opt: Optional["OptimizationConfig"] = None
 
+    # restrict the attention-internal quantizers to matching layer-name
+    # patterns (e.g. softmax int8 on the temporal/cross attentions only —
+    # where the int8 PV execution measured a win; BENCH_NOTES round-2c).
+    # Empty = apply wherever the spec is set.
+    softmax_scope: Tuple[str, ...] = ()
+    attn_act_scope: Tuple[str, ...] = ()
+
     def resolver(self, overrides=None):
         """Layer-name -> LayerQuantSpec resolver for model construction and
         offline calibration."""
-        from viditq_tpu.quant.naming import pattern_in
+        from viditq_tpu.quant.naming import any_pattern_in, pattern_in
         default = self.default_layer
         fp = self.fp_patterns
         backend_ov = self.backend_overrides
+        sm_scope = self.softmax_scope
+        aa_scope = self.attn_act_scope
 
         def resolve(name: str) -> Optional[LayerQuantSpec]:
             spec = resolve_layer_spec(name, default, fp, overrides)
             if spec is None:
                 return None
+            if (sm_scope and spec.softmax is not None
+                    and not any_pattern_in(name, sm_scope)):
+                spec = dataclasses.replace(spec, softmax=None)
+            if (aa_scope and spec.attn_act is not None
+                    and not any_pattern_in(name, aa_scope)):
+                spec = dataclasses.replace(spec, attn_act=None)
             for pat, mode in backend_ov:
                 if pattern_in(name, pat):
                     if mode == "weight_only":
@@ -242,6 +257,7 @@ def load_quant_config(path: str, part_fp: bool = True,
             n_bits=int(aa_cfg["n_bits"]),
             granularity=_granularity(aa_cfg.get("per_group", "token")),
             round_mode=aa_cfg.get("round_mode", "nearest_ste"),
+            sym=bool(aa_cfg.get("sym", False)),
             dynamic=True)
     default = LayerQuantSpec(weight=wspec, act=aspec, smooth_quant=smooth,
                              softmax=softmax_spec, attn_act=attn_act_spec)
@@ -271,10 +287,16 @@ def load_quant_config(path: str, part_fp: bool = True,
     backend_ov = tuple(
         (str(k), str(v))
         for k, v in (cfg.get("backend_overrides") or {}).items())
+    sm_scope = tuple((sm_cfg or {}).get("scope") or ()) \
+        if isinstance(sm_cfg, dict) else ()
+    aa_scope = tuple((aa_cfg or {}).get("scope") or ()) \
+        if isinstance(aa_cfg, dict) else ()
     return QuantPlanConfig(
         default_layer=default,
         fp_patterns=fp_patterns,
         backend_overrides=backend_ov,
+        softmax_scope=sm_scope,
+        attn_act_scope=aa_scope,
         model_id=model.get("model_id", "opensora"),
         model_type=model.get("model_type", "opensora"),
         cfg_split=bool(cfg.get("cfg_split", False)),
