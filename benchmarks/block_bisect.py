@@ -81,6 +81,23 @@ def main(arms):
         # (temporal + cross; spatial stays bf16) — w8a8_tpu_fused_sm8.yaml
         "fused-sm8-scoped": mk_resolver(
             FUSED_SS, {"attn_temp": FUSED_PV8, "cross_attn": FUSED_PV8}),
+        # static per-tensor act tables (reference w8a8_naive semantics):
+        # quantize is a pure XLA elementwise pass fused into producers;
+        # matmuls run the Pallas consumer kernel. TIMING arm (tables are
+        # left uncalibrated here).
+        "static-allsym": mk_resolver(dataclasses.replace(
+            FUSED_SS, act=QuantSpec(n_bits=8, granularity="tensor",
+                                    sym=True, dynamic=False))),
+        "static-allsym-sm8": mk_resolver(
+            dataclasses.replace(
+                FUSED_SS, act=QuantSpec(n_bits=8, granularity="tensor",
+                                        sym=True, dynamic=False)),
+            {"attn_temp": dataclasses.replace(
+                FUSED_PV8, act=QuantSpec(n_bits=8, granularity="tensor",
+                                         sym=True, dynamic=False)),
+             "cross_attn": dataclasses.replace(
+                FUSED_PV8, act=QuantSpec(n_bits=8, granularity="tensor",
+                                         sym=True, dynamic=False))}),
     }
     arms = arms or list(ARMS)
 
