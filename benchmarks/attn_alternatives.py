@@ -99,10 +99,18 @@ def main(sites):
         res = {}
         for aname, (fn, kw) in arms.items():
             def mk_fn(iters, fn=fn, kw=kw):
+                # k/v must DEPEND on the loop carry: with loop-constant k/v
+                # XLA hoists their [B,H,N,D] transposes out of the loop and
+                # the transposed-layout arms (xla-sdpa, flash) measure
+                # ~0.5-1 ms/iter too fast — which is exactly what made the
+                # first version of this shootout mislead the in-model
+                # dispatch (BENCH_NOTES round-2d)
                 @jax.jit
                 def f(q, k, v):
                     def body(i, q):
-                        o = fn(q, k, v, kw)
+                        kk = (k + q[:1, :1, :1, :1]).astype(k.dtype)
+                        vv = (v + q[:1, :1, :1, :1]).astype(v.dtype)
+                        o = fn(q, kk, vv, kw)
                         return (q + 0.001 * o).astype(q.dtype)
                     return jax.lax.fori_loop(0, iters, body, q)
                 return f

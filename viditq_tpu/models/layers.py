@@ -293,6 +293,12 @@ class SelfAttention(nn.Module):
                     int8_pv = True
                 else:
                     pallas_quant_ok = False
+        # Dispatch note: an isolated shootout (benchmarks/attn_alternatives
+        # .py) suggested the stock flash kernel beats this path for seg0
+        # sites, but IN-MODEL the flash dispatch regressed the block 1.5-3.5
+        # ms (BENCH_NOTES round-2d) — the shootout's loop-constant k/v let
+        # XLA hoist their [B,H,N,D] transposes out of the timing loop. The
+        # layout-native kernel stays the default wherever it applies.
         if pallas_quant_ok and attention_ok(N, H, D, self.seg_len):
             # layout-native path: q/k/v stay [B, N, H, D] (free reshapes of
             # the projection output); the kernel slices heads in VMEM —
@@ -497,6 +503,9 @@ class CrossAttention(nn.Module):
                     int8_pv = True
                 else:
                     pallas_quant_ok = False
+        # dispatch: layout-native kernel whenever it applies (see the
+        # SelfAttention dispatch note — isolated flash wins did not hold
+        # in-model)
         if pallas_quant_ok and attention_ok(N, H, D, m=P):
             # layout-native cross-attention: no [B,H,N,D] transposes, the
             # (small) prompt k/v stay VMEM-resident, padding masked in-
