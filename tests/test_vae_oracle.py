@@ -248,3 +248,142 @@ def test_t5_wrapper_matches_torch(tmp_path):
     got = np.asarray(fm(input_ids=ids, attention_mask=mask
                         ).last_hidden_state)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# temporal decoder (SVD-style) mirror
+# ---------------------------------------------------------------------------
+
+class TTemporalResnet(torch.nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm1 = torch.nn.GroupNorm(32, c, eps=1e-6)
+        self.conv1 = torch.nn.Conv3d(c, c, (3, 1, 1), padding=(1, 0, 0))
+        self.norm2 = torch.nn.GroupNorm(32, c, eps=1e-6)
+        self.conv2 = torch.nn.Conv3d(c, c, (3, 1, 1), padding=(1, 0, 0))
+
+    def forward(self, x):  # [B, C, T, H, W]
+        h = self.conv1(torch.nn.functional.silu(self.norm1(x)))
+        h = self.conv2(torch.nn.functional.silu(self.norm2(h)))
+        return x + h
+
+
+class TSpatioTemporal(torch.nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.spatial = TResnet(cin, cout)
+        self.temporal = TTemporalResnet(cout)
+        self.mix_factor = torch.nn.Parameter(torch.tensor([0.5]))
+
+    def forward(self, x, T):  # x [B*T, C, H, W]
+        h = self.spatial(x)
+        BT, C, H, W = h.shape
+        hv = h.reshape(BT // T, T, C, H, W).permute(0, 2, 1, 3, 4)
+        ht = self.temporal(hv)
+        a = torch.sigmoid(self.mix_factor)
+        out = a * hv + (1 - a) * ht
+        return out.permute(0, 2, 1, 3, 4).reshape(BT, C, H, W)
+
+
+class TTemporalDecoder(torch.nn.Module):
+    def __init__(self, chans=CH, layers=1, out_ch=3, latent=4):
+        super().__init__()
+        ch = chans[-1]
+        self.conv_in = torch.nn.Conv2d(latent, ch, 3, padding=1)
+        self.mid1 = TSpatioTemporal(ch, ch)
+        self.mid_attn = TAttn(ch)
+        self.mid2 = TSpatioTemporal(ch, ch)
+        rev = list(reversed(chans))
+        self.ups = torch.nn.ModuleList()
+        self.upsamples = torch.nn.ModuleList()
+        prev = ch
+        for i, c in enumerate(rev):
+            blocks = torch.nn.ModuleList()
+            for _ in range(layers + 1):
+                blocks.append(TSpatioTemporal(prev, c))
+                prev = c
+            self.ups.append(blocks)
+            if i < len(rev) - 1:
+                self.upsamples.append(torch.nn.Conv2d(c, c, 3, padding=1))
+        self.norm_out = torch.nn.GroupNorm(32, rev[-1], eps=1e-6)
+        self.conv_out = torch.nn.Conv2d(rev[-1], out_ch, 3, padding=1)
+        self.time_conv_out = torch.nn.Conv3d(out_ch, out_ch, (3, 1, 1),
+                                             padding=(1, 0, 0))
+
+    def forward(self, z, T):  # [B*T, latent, h, w]
+        h = self.conv_in(z)
+        h = self.mid2(self.mid_attn(self.mid1(h, T)), T)
+        for i, blocks in enumerate(self.ups):
+            for b in blocks:
+                h = b(h, T)
+            if i < len(self.ups) - 1:
+                h = torch.nn.functional.interpolate(h, scale_factor=2,
+                                                    mode="nearest")
+                h = self.upsamples[i](h)
+        h = self.conv_out(torch.nn.functional.silu(self.norm_out(h)))
+        BT, C, H, W = h.shape
+        hv = h.reshape(BT // T, T, C, H, W).permute(0, 2, 1, 3, 4)
+        hv = self.time_conv_out(hv)
+        return hv.permute(0, 2, 1, 3, 4).reshape(BT, C, H, W)
+
+
+def conv3d_p(m):
+    return {"kernel": m.weight.detach().numpy().transpose(2, 3, 4, 1, 0),
+            "bias": m.bias.detach().numpy()}
+
+
+def tres_p(m):
+    return {"norm1": gn_p(m.norm1), "conv1": conv3d_p(m.conv1),
+            "norm2": gn_p(m.norm2), "conv2": conv3d_p(m.conv2)}
+
+
+def st_p(m):
+    return {"spatial_res_block": resnet_p(m.spatial),
+            "temporal_res_block": tres_p(m.temporal),
+            "mix_factor": m.mix_factor.detach().numpy()}
+
+
+def temporal_decoder_params(t):
+    p = {"conv_in": conv_p(t.conv_in),
+         "mid_block_1": st_p(t.mid1), "mid_attn": attn_p(t.mid_attn),
+         "mid_block_2": st_p(t.mid2), "norm_out": gn_p(t.norm_out),
+         "conv_out": conv_p(t.conv_out),
+         "time_conv_out": conv3d_p(t.time_conv_out)}
+    for i, blocks in enumerate(t.ups):
+        for j, b in enumerate(blocks):
+            p[f"up_{i}_block_{j}"] = st_p(b)
+        if i < len(t.ups) - 1:
+            p[f"up_{i}_upsample"] = conv_p(t.upsamples[i])
+    return p
+
+
+@torch.no_grad()
+def test_temporal_decoder_matches_torch_mirror():
+    from viditq_tpu.models.vae import TemporalDecoder
+    torch.manual_seed(3)
+    T = 4
+    t = TTemporalDecoder().eval()
+    z = torch.randn(2 * T, 4, 4, 4)
+    want = t(z, T).numpy()
+    dec = TemporalDecoder(block_out_channels=CH, layers_per_block=1,
+                          num_frames=T, dtype=jnp.float32)
+    got = dec.apply({"params": temporal_decoder_params(t)},
+                    jnp.asarray(z.numpy().transpose(0, 2, 3, 1)))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_video_temporal_decoder_wrapper_shapes():
+    from viditq_tpu.models.vae import VideoAutoencoderKLTemporalDecoder
+    vae = VideoAutoencoderKLTemporalDecoder(
+        num_frames=2, block_out_channels=CH, layers_per_block=1)
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 4, 2, 4, 4)), jnp.float32)
+    vs = vae.init(jax.random.PRNGKey(0), z)
+    out = vae.apply(vs, z)
+    # tiny 2-level config upsamples once: 4 -> 8
+    assert out.shape == (1, 3, 2, 8, 8)
+    assert vae.get_latent_size([2, 32, 32]) == [2, 4, 4]
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        vae.apply(vs, z, method=vae.encode)

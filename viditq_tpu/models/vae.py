@@ -158,6 +158,142 @@ class AutoencoderKL(nn.Module):
         return self.decode(self.encode(x, rng))
 
 
+class TemporalResnetBlock(nn.Module):
+    """Temporal-only residual block: (3,1,1) convs over the frame axis
+    (diffusers TemporalResnetBlock as used by the SVD TemporalDecoder).
+
+    Input [B, T, H, W, C]."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = ((1, 1), (0, 0), (0, 0))
+        h = GroupNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 1, 1), padding=pad,
+                    dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm(dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 1, 1), padding=pad,
+                    dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class SpatioTemporalResBlock(nn.Module):
+    """Spatial ResnetBlock + temporal ResnetBlock blended with a learned
+    alpha (diffusers SpatioTemporalResBlock, merge_strategy='learned':
+    out = a*spatial + (1-a)*temporal, a = sigmoid(mix_factor)).
+
+    Input [B*T, H, W, C] with static num_frames."""
+
+    out_channels: int
+    num_frames: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ResnetBlock(self.out_channels, dtype=self.dtype,
+                        name="spatial_res_block")(x)
+        BT, H, W, C = h.shape
+        B = BT // self.num_frames
+        hv = h.reshape(B, self.num_frames, H, W, C)
+        ht = TemporalResnetBlock(C, dtype=self.dtype,
+                                 name="temporal_res_block")(hv)
+        mix = self.param("mix_factor", nn.initializers.constant(0.5), (1,),
+                         jnp.float32)
+        a = jax.nn.sigmoid(mix[0]).astype(h.dtype)
+        return (a * hv + (1.0 - a) * ht).reshape(BT, H, W, C)
+
+
+class TemporalDecoder(nn.Module):
+    """SVD-style temporal VAE decoder: the spatial SD decoder topology with
+    every resblock a SpatioTemporalResBlock, plus a (3,1,1) conv over
+    frames on the RGB output (diffusers TemporalDecoder; consumed by the
+    reference via AutoencoderKLTemporalDecoder, vae.py:61-83).
+
+    Input z [B*T, h, w, latent] NHWC; output [B*T, 8h, 8w, out]."""
+
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    out_channels: int = 3
+    num_frames: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        T = self.num_frames
+        ch = self.block_out_channels[-1]
+        h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(z)
+        h = SpatioTemporalResBlock(ch, T, dtype=self.dtype,
+                                   name="mid_block_1")(h)
+        h = AttnBlock(dtype=self.dtype, name="mid_attn")(h)
+        h = SpatioTemporalResBlock(ch, T, dtype=self.dtype,
+                                   name="mid_block_2")(h)
+        rev = list(reversed(self.block_out_channels))
+        for i, c in enumerate(rev):
+            for j in range(self.layers_per_block + 1):
+                h = SpatioTemporalResBlock(c, T, dtype=self.dtype,
+                                           name=f"up_{i}_block_{j}")(h)
+            if i < len(rev) - 1:
+                B2, H2, W2, C2 = h.shape
+                h = jax.image.resize(h, (B2, H2 * 2, W2 * 2, C2), "nearest")
+                h = nn.Conv(C2, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"up_{i}_upsample")(h)
+        h = nn.silu(GroupNorm(dtype=self.dtype, name="norm_out")(h))
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_out")(h)
+        BT, H2, W2, C2 = h.shape
+        hv = h.reshape(BT // T, T, H2, W2, C2)
+        hv = nn.Conv(C2, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                     dtype=self.dtype, name="time_conv_out")(hv)
+        return hv.reshape(BT, H2, W2, C2)
+
+
+class VideoAutoencoderKLTemporalDecoder(nn.Module):
+    """Reference VideoAutoencoderKLTemporalDecoder (vae.py:61-83): decode
+    latents [B, C, T, H, W] through the SVD temporal decoder; encode is
+    NotImplemented in the reference too."""
+
+    num_frames: int
+    latent_channels: int = 4
+    scaling_factor: float = 0.18215
+    patch_size: Tuple[int, int, int] = (1, 8, 8)
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.decoder = TemporalDecoder(
+            block_out_channels=self.block_out_channels,
+            layers_per_block=self.layers_per_block,
+            num_frames=self.num_frames, dtype=self.dtype)
+
+    def encode(self, x, rng=None):
+        raise NotImplementedError(
+            "the reference temporal-decoder VAE is decode-only (vae.py:69)")
+
+    def decode(self, z):
+        B, C, T = z.shape[:3]
+        assert T == self.num_frames, (T, self.num_frames)
+        flat = (z / self.scaling_factor).transpose(0, 2, 3, 4, 1).reshape(
+            B * T, *z.shape[3:], C).astype(self.dtype)
+        out = self.decoder(flat)
+        C2 = out.shape[-1]
+        return out.reshape(B, T, *out.shape[1:3], C2).transpose(0, 4, 1, 2, 3)
+
+    def __call__(self, z):
+        return self.decode(z)
+
+    def get_latent_size(self, input_size):
+        return [input_size[i] // self.patch_size[i] for i in range(3)]
+
+
 class VideoAutoencoderKL(nn.Module):
     """Frame-wise video wrapper (vae.py:10-59): [B, C, T, H, W] <->
     [(B T), C, H, W] with micro-batched encode/decode."""

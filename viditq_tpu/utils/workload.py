@@ -102,4 +102,9 @@ def build_vae(cfg: Dict[str, Any]):
     if kind == "VideoAutoencoderKL":
         return VideoAutoencoderKL(
             micro_batch_size=vcfg.get("micro_batch_size"))
+    if kind == "VideoAutoencoderKLTemporalDecoder":
+        # reference t2v vae.py:61-83 (SVD temporal decoder, decode-only)
+        from viditq_tpu.models.vae import VideoAutoencoderKLTemporalDecoder
+        num_frames = cfg.get("num_frames", 16)
+        return VideoAutoencoderKLTemporalDecoder(num_frames=num_frames)
     return AutoencoderKL()
