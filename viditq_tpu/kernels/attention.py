@@ -394,11 +394,19 @@ def attention_bnhd_int8out(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def attention_ok(n: int, h: int, d: int, seg_len: int = 0,
                  m: Optional[int] = None) -> bool:
-    """Whether attention_bnhd handles this shape on the current backend."""
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
+    """Whether attention_bnhd handles this shape on the current backend.
+
+    VIDITQ_FORCE_ATTN_KERNEL=1 bypasses the TPU check so CPU tests can
+    drive the model-level kernel dispatch under
+    pltpu.force_tpu_interpret_mode."""
+    import os
+    if os.environ.get("VIDITQ_FORCE_ATTN_KERNEL") == "1":
+        on_tpu = True
+    else:
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
     if not on_tpu:
         return False
     if h * d * 2 > 4096:  # VMEM budget on the full-(H,D) blocks
