@@ -73,3 +73,44 @@ def test_latte_alternating_blocks_quantized():
     q = variables["quant"]
     for i in range(4):
         assert "w_delta" in q[f"blocks_{i}"]["attn"]["q"]
+
+
+def test_latte_w4a8_timestep_aware_mp_sampling():
+    """Latte W4A8 with timestep-aware mixed-precision bit allocation —
+    the BASELINE.json 'Latte t2v W4A8 timestep-aware MP' config, driven
+    through the same mp_quant_sample path as STDiT."""
+    from viditq_tpu.pipelines.mixed_precision import mp_quant_sample
+    from viditq_tpu.samplers import IDDPM
+    from viditq_tpu.utils.config import QuantPlanConfig
+
+    W4 = QuantSpec(n_bits=4, granularity="channel", channel_axis=-1,
+                   round_mode="nearest", mixed_precision=(4, 8))
+    base = LayerQuantSpec(weight=W4, act=A8)
+    plan = QuantPlanConfig(default_layer=base, fp_patterns=FP,
+                           mixed_precision=(4, 8))
+
+    def model_ctor(res):
+        return Latte(input_size=(4, 8, 8), hidden_size=64, depth=2,
+                     num_heads=4, condition="text", caption_channels=32,
+                     dtype=jnp.float32, resolver=res)
+
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((1, 4, 4, 8, 8)), jnp.float32)
+    y_c = jnp.asarray(rng.standard_normal((1, 1, 8, 32)), jnp.float32)
+    y = jnp.concatenate([y_c, y_c * 0], axis=0)
+    mask = jnp.ones((1, 8), jnp.int32)
+
+    model = model_ctor(plan.resolver())
+    variables = dict(model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                                y[:1], mask, qctx=QuantCtx(mode="fp")))
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], plan.resolver())
+
+    sampler = IDDPM(num_sampling_steps=4, cfg_scale=4.0)
+    mp_weight = {"3-2": {"blocks_0.attn.q": 4, "blocks_1.mlp.fc1": 4},
+                 "1-0": {"blocks_0.attn.q": 8},
+                 "fp_layers": ["blocks_1.cross_attn.kv_linear"]}
+    out = mp_quant_sample(model_ctor, variables, sampler, z, y, mask, plan,
+                          mp_weight, None)
+    assert out.shape == z.shape
+    assert np.isfinite(np.asarray(out)).all()
