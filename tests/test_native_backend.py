@@ -265,3 +265,44 @@ def test_fused_impl_linear_matches_xla_native(monkeypatch):
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"sym_a={sym_a} sym_w={sym_w}")
+
+
+def test_native_pack_honors_adaround_alphas():
+    """Packed int codes must use AdaRound's LEARNED hard rounding
+    (floor + (alpha >= 0)), not nearest — otherwise the native backend
+    silently discards the reconstruction result (round-2 fix)."""
+    from flax.core import FrozenDict
+    from viditq_tpu.quant import core
+    from viditq_tpu.quant.qlinear import QuantLinear
+
+    WAD = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+                    round_mode="learned_hard_sigmoid")
+    spec = LayerQuantSpec(weight=WAD, act=A8, backend="native")
+    rng = np.random.default_rng(0)
+    lin = QuantLinear(16, lspec=spec, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 12)), jnp.float32)
+    vs = dict(lin.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    resolver = lambda n: spec
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"],
+                                          resolver)
+    # force a non-trivial alpha pattern: half the entries round the
+    # "wrong" way vs nearest
+    alpha = jnp.asarray(rng.standard_normal((12, 16)), jnp.float32)
+    q = dict(jax.tree_util.tree_map(lambda v: v, vs["quant"]))
+    q["w_alpha"] = alpha
+    vs["quant"] = q
+    vs["quant"] = pack_native_weights(vs["params"], vs["quant"], resolver)
+
+    kernel = np.asarray(vs["params"]["kernel"], np.float32)
+    delta = np.asarray(vs["quant"]["w_delta"])[WAD.bit_idx, 0]  # [1, F]
+    codes = np.asarray(vs["quant"]["w_int"][0], np.float32)
+    zp = np.asarray(vs["quant"]["w_zp"])[WAD.bit_idx, 0]
+    shift = 2.0 ** (WAD.n_bits - 1)
+    # expected: floor(w/d) + (alpha>=0), clipped, shifted into signed int8
+    scaled = kernel / delta
+    want = np.floor(scaled) + (np.asarray(alpha) >= 0)
+    want = np.clip(want + zp, 0, 2.0 ** WAD.n_bits - 1) - shift
+    np.testing.assert_array_equal(codes, want)
+    # and it must DIFFER from nearest rounding somewhere
+    nearest = np.clip(np.round(scaled) + zp, 0, 255) - shift
+    assert (codes != nearest).any()

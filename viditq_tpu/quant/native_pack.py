@@ -75,32 +75,61 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
             kernel = kernel.reshape(-1, kernel.shape[-1])
         wd_full = flat_q[layer_path + ("w_delta",)]
         wz_full = flat_q[layer_path + ("w_zp",)]
+        # AdaRound: pack with the LEARNED hard rounding (floor + (a >= 0)),
+        # not nearest — otherwise the native path silently discards the
+        # reconstruction result the simulate path honors (core._int_code
+        # learned_hard_sigmoid, soft_targets=False)
+        w_alpha = (flat_q.get(layer_path + ("w_alpha",))
+                   if wspec.round_mode == "learned_hard_sigmoid" else None)
+        if w_alpha is not None and w_alpha.ndim > kernel.ndim:
+            w_alpha = w_alpha.reshape(*kernel.shape)
         if kernel.ndim == 3:
             # scanned block stack: vmap the packing over the depth axis
             acts = flat_q.get(layer_path + ("act_scale",))
 
-            def pack_one(k, wd, wz, a=None):
+            def pack_one(k, wd, wz, a=None, al=None):
                 return _pack_layer(k, wd[wspec.bit_idx], wz[wspec.bit_idx],
-                                   wspec, smooth, a, pack4=pack4)
+                                   wspec, smooth, a, pack4=pack4,
+                                   w_alpha=al)
 
-            if acts is None:
-                packed = jax.vmap(pack_one)(kernel, wd_full, wz_full)
+            args = [kernel, wd_full, wz_full]
+            in_axes = [0, 0, 0]
+            kw = {}
+            if acts is not None:
+                args.append(acts)
+                in_axes.append(0)
             else:
-                packed = jax.vmap(pack_one)(kernel, wd_full, wz_full, acts)
+                args.append(None)
+                in_axes.append(None)
+            if w_alpha is not None:
+                args.append(w_alpha)
+                in_axes.append(0)
+            else:
+                args.append(None)
+                in_axes.append(None)
+            packed = jax.vmap(pack_one, in_axes=tuple(in_axes))(*args)
             flat_q[layer_path + ("w_int",)] = packed[0]
             flat_q[layer_path + ("w_colsum",)] = packed[1]
             continue
         act_scale = flat_q.get(layer_path + ("act_scale",))
         w_int, colsum = _pack_layer(kernel, wd_full[wspec.bit_idx],
                                     wz_full[wspec.bit_idx], wspec, smooth,
-                                    act_scale, pack4=pack4)
+                                    act_scale, pack4=pack4, w_alpha=w_alpha)
         flat_q[layer_path + ("w_int",)] = w_int
         flat_q[layer_path + ("w_colsum",)] = colsum
     return traverse_util.unflatten_dict(flat_q)
 
 
+def _round_codes(w_eff, d, w_alpha):
+    """nearest, or AdaRound's learned hard rounding when alphas exist."""
+    scaled = w_eff / d
+    if w_alpha is None:
+        return jnp.round(scaled)
+    return jnp.floor(scaled) + (w_alpha >= 0).astype(scaled.dtype)
+
+
 def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
-                pack4: bool = False):
+                pack4: bool = False, w_alpha=None):
     """Quantize one [C_in, F] kernel into per-timerange int slabs + column
     sums. w_delta/w_zp: [n_tr, 1, F]. Full-native slabs are signed int8
     (shifted codes); pack4 slabs hold two unsigned 4-bit codes per byte
@@ -124,12 +153,13 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
             # (n_levels = 2^(b-1)-1; clamp [-2^(b-1), 2^(b-1)-1] as in
             # base_quantizer.py:137-138)
             half = float(2 ** (wspec.n_bits - 1))
-            code = jnp.clip(jnp.round(w_eff / d), -half, half - 1)
+            code = jnp.clip(_round_codes(w_eff, d, w_alpha), -half, half - 1)
             slabs.append(code.astype(jnp.int8))
             colsums.append(jnp.sum(code, axis=0, keepdims=True)
                            .astype(jnp.float32))
             continue
-        code_u = jnp.clip(jnp.round(w_eff / d) + z, 0, n_levels - 1)
+        code_u = jnp.clip(_round_codes(w_eff, d, w_alpha) + z, 0,
+                          n_levels - 1)
         if pack4:
             cin = code_u.shape[0]
             if cin % 2:
