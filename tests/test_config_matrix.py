@@ -65,3 +65,22 @@ def test_plan_category_e2e(tmp_path, workload, plan):
               "--quant_ckpt", os.path.join(d, "quant_ckpt.npz")])
     out = np.load(os.path.join(d, "quant_samples.npz"))["samples"]
     assert np.isfinite(out).all()
+
+
+def test_sm8_plan_scopes_softmax_to_temporal_and_cross():
+    """The shipped TPU sm8 plan applies the softmax int8 quantizer ONLY to
+    the measured-win sites (attn_temp, cross_attn) — the spatial attention
+    stays bf16 (BENCH_NOTES round-2c)."""
+    from viditq_tpu.utils.config import load_quant_config
+    plan = load_quant_config("configs/opensora/w8a8_tpu_fused_sm8.yaml")
+    r = plan.resolver()
+    assert r("blocks.0.attn.q").softmax is None
+    assert r("blocks.0.attn_temp.q").softmax is not None
+    assert r("blocks.0.cross_attn.q_linear").softmax is not None
+    assert r("blocks.0.mlp.fc1").softmax is None
+    # attn8 = full reference semantics: quantizers everywhere
+    plan8 = load_quant_config("configs/opensora/w8a8_tpu_fused_attn8.yaml")
+    r8 = plan8.resolver()
+    s = r8("blocks.0.attn.q")
+    assert s.softmax is not None and s.attn_act is not None
+    assert s.attn_act.sym and s.attn_act.dynamic
