@@ -156,8 +156,9 @@ def test_int8out_emission_matches_quantized_output():
     q, k, v = mk(N), mk(N), mk(N)
     with pltpu.force_tpu_interpret_mode():
         ref = attention_bnhd(q, k, v, D ** -0.5, block_q=128)
-        codes, scales, rowsum = attention_bnhd_int8out(
+        codes, scales, zp, rowsum = attention_bnhd_int8out(
             q, k, v, D ** -0.5, block_q=128, need_rowsum=True)
+    assert zp is None
     deq = codes.astype(jnp.float32) * scales
     ref2 = ref.reshape(B, N, C)
     err = float(jnp.linalg.norm(deq - ref2) / jnp.linalg.norm(ref2))
@@ -167,9 +168,18 @@ def test_int8out_emission_matches_quantized_output():
         np.asarray(jnp.sum(codes.astype(jnp.float32), axis=-1)), atol=0.5)
     # int8_pv composes with emission
     with pltpu.force_tpu_interpret_mode():
-        codes2, scales2, rs2 = attention_bnhd_int8out(
+        codes2, scales2, zp2, rs2 = attention_bnhd_int8out(
             q, k, v, D ** -0.5, block_q=128, int8_pv=True)
-    assert rs2 is None
+    assert rs2 is None and zp2 is None
     deq2 = codes2.astype(jnp.float32) * scales2
     err2 = float(jnp.linalg.norm(deq2 - ref2) / jnp.linalg.norm(ref2))
     assert err2 < 0.03, err2
+    # asymmetric emission (reference dynamic per-token semantics)
+    with pltpu.force_tpu_interpret_mode():
+        codes3, scales3, zp3, rs3 = attention_bnhd_int8out(
+            q, k, v, D ** -0.5, block_q=128, emit_sym=False,
+            need_rowsum=True)
+    assert zp3 is not None and rs3 is not None
+    deq3 = (codes3.astype(jnp.float32) - zp3) * scales3
+    err3 = float(jnp.linalg.norm(deq3 - ref2) / jnp.linalg.norm(ref2))
+    assert err3 < 0.01, err3

@@ -47,11 +47,19 @@ def _build(module, x_args, resolver_spec, quant_pack=True):
     return vs
 
 
-@pytest.mark.parametrize("with_sm8", [False, True])
-def test_self_attention_kernel_dispatch_matches_fallback(with_sm8):
+A8A = QuantSpec(n_bits=8, granularity="token", round_mode="nearest_ste",
+                dynamic=True, sym=False)
+W8A = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+                round_mode="nearest", sym=False)
+
+
+@pytest.mark.parametrize("with_sm8,asym", [(False, False), (True, False),
+                                           (False, True)])
+def test_self_attention_kernel_dispatch_matches_fallback(with_sm8, asym):
     from viditq_tpu.models.layers import SelfAttention
-    base = LayerQuantSpec(weight=W8S, act=A8S, backend="native",
-                          impl="fused")
+    base = LayerQuantSpec(
+        weight=W8A if asym else W8S, act=A8A if asym else A8S,
+        backend="native", impl="fused")
     spec = dataclasses.replace(base, softmax=SM8) if with_sm8 else base
     C, H = 64, 2
     rng = np.random.default_rng(0)

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
                  head_dim: int, has_mask: bool, int8_qk: bool = False,
                  int8_pv: bool = False, v_int8_in: bool = False,
-                 emit_int8: bool = False, need_rowsum: bool = False):
+                 emit_int8: bool = False, emit_sym: bool = True,
+                 need_rowsum: bool = False):
     refs = list(refs)
     q_ref = refs.pop(0)
     k_ref = refs.pop(0)
@@ -52,10 +53,11 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
     m_ref = refs.pop(0) if has_mask else None
     if emit_int8:
         # int8-emitting output: the proj linear consumes (codes, scales[,
-        # rowsum]) directly (int8_consumer_matmul) — the bf16 attention
+        # zp, rowsum]) directly (int8_consumer_matmul) — the bf16 attention
         # output never round-trips HBM
         oq_ref = refs.pop(0)
         os_ref = refs.pop(0)
+        ozp_ref = None if emit_sym else refs.pop(0)
         ors_ref = refs.pop(0) if need_rowsum else None
         oacc_ref = refs.pop(0)                      # f32 scratch [bq, C]
     else:
@@ -131,11 +133,22 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
         else:
             o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
     if emit_int8:
+        # row quantize of the assembled output (reference dynamic per-token
+        # semantics — same math as fused_matmul._quantize_rows_f32)
         of = oacc_ref[:]
-        smax = jnp.maximum(jnp.max(jnp.abs(of), axis=-1, keepdims=True),
-                           1e-6)
-        oscale = smax / 127.0
-        codes = jnp.clip(jnp.round(of * (127.0 / smax)), -128, 127)
+        if emit_sym:
+            smax = jnp.maximum(jnp.max(jnp.abs(of), axis=-1, keepdims=True),
+                               1e-6)
+            oscale = smax / 127.0
+            codes = jnp.clip(jnp.round(of * (127.0 / smax)), -128, 127)
+        else:
+            o_min = jnp.minimum(jnp.min(of, axis=-1, keepdims=True), 0.0)
+            o_max = jnp.maximum(jnp.max(of, axis=-1, keepdims=True), 0.0)
+            oscale = jnp.maximum((o_max - o_min) / 255.0, 1e-6)
+            inv = 1.0 / oscale
+            zp = jnp.round(-o_min * inv) - 128.0
+            codes = jnp.clip(jnp.round(of * inv) + zp, -128, 127)
+            ozp_ref[0] = zp
         oq_ref[0] = codes.astype(jnp.int8)
         os_ref[0] = oscale
         if need_rowsum:
@@ -277,6 +290,7 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          int8_qk: bool = False,
                          int8_pv: bool = False,
                          emit_int8: bool = False,
+                         emit_sym: bool = True,
                          need_rowsum: bool = False):
     B, N, H, D = q.shape
     M = k.shape[1]
@@ -318,7 +332,7 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                has_mask=kv_mask is not None,
                                int8_qk=int8_qk, int8_pv=int8_pv,
                                v_int8_in=v_int8_in, emit_int8=emit_int8,
-                               need_rowsum=need_rowsum)
+                               emit_sym=emit_sym, need_rowsum=need_rowsum)
     # kv block: same rows as q for block-diagonal; full M otherwise
     bkv = block_q if seg_len > 0 else M
     kv_index = ((lambda b, i: (b, i, 0)) if seg_len > 0
@@ -342,25 +356,27 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel"))
     if emit_int8:
+        s1 = pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0))
         out_specs = [
-            pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
-        ]
+            pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0)), s1]
         out_shape = [jax.ShapeDtypeStruct((B, N, C), jnp.int8),
                      jax.ShapeDtypeStruct((B, N, 1), jnp.float32)]
-        if need_rowsum:
-            out_specs.append(pl.BlockSpec((1, block_q, 1),
-                                          lambda b, i: (b, i, 0)))
+        if not emit_sym:
+            out_specs.append(s1)
             out_shape.append(jax.ShapeDtypeStruct((B, N, 1), jnp.float32))
-        outs = pl.pallas_call(
+        if need_rowsum:
+            out_specs.append(s1)
+            out_shape.append(jax.ShapeDtypeStruct((B, N, 1), jnp.float32))
+        outs = list(pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((block_q, C), jnp.float32)],
             compiler_params=params, cost_estimate=cost,
-        )(*operands)
-        codes, scales = outs[0], outs[1]
-        rowsum = outs[2] if need_rowsum else None
-        return codes, scales, rowsum
+        )(*operands))
+        codes, scales = outs.pop(0), outs.pop(0)
+        zp = None if emit_sym else outs.pop(0)
+        rowsum = outs.pop(0) if need_rowsum else None
+        return codes, scales, zp, rowsum
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -378,18 +394,21 @@ def attention_bnhd_int8out(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            kv_mask: Optional[jnp.ndarray] = None,
                            block_q: Optional[int] = None,
                            int8_qk: bool = False, int8_pv: bool = False,
+                           emit_sym: bool = True,
                            need_rowsum: bool = False):
     """attention_bnhd that emits its output PRE-QUANTIZED: (int8 codes
-    [B, N, C], per-row scales [B, N, 1], rowsum [B, N, 1] | None).
+    [B, N, C], per-row scales [B, N, 1], zp [B, N, 1] | None,
+    rowsum [B, N, 1] | None).
 
     The proj linear consumes the tuple directly (int8_consumer_matmul), so
     the bf16 attention output never round-trips HBM and the proj skips its
-    in-kernel dynamic-quant pass. Symmetric row quantization (the fused-sym
-    plans); rowsum is emitted for asym proj weights. Inference-only — no
+    in-kernel dynamic-quant pass. emit_sym selects symmetric (sym plans) or
+    shifted-signed asymmetric (reference dynamic per-token semantics)
+    codes; rowsum is emitted for asym proj weights. Inference-only — no
     custom_vjp (the native int8 consumer path has no gradient either)."""
     return _attention_bnhd_impl(q, k, v, kv_mask, scale, seg_len, block_q,
                                 int8_qk, int8_pv, emit_int8=True,
-                                need_rowsum=need_rowsum)
+                                emit_sym=emit_sym, need_rowsum=need_rowsum)
 
 
 def attention_ok(n: int, h: int, d: int, seg_len: int = 0,

@@ -192,7 +192,7 @@ def attn_emit_int8_ok(pspec, qctx) -> bool:
     if (qctx is None or qctx.mode != "quant" or qctx.capture
             or pspec is None or pspec.backend != "native"
             or pspec.impl != "fused" or pspec.act is None
-            or not pspec.act.dynamic or not pspec.act.sym
+            or not pspec.act.dynamic
             or pspec.act.n_bits != 8 or pspec.weight is None
             or not pspec.act_quant or not pspec.weight_quant
             or pspec.smooth_quant.enable or pspec.split):
@@ -315,13 +315,15 @@ class SelfAttention(nn.Module):
                 # from the kernel (no bf16 HBM round trip, consumer-rate
                 # int8 matmul)
                 from viditq_tpu.kernels.attention import attention_bnhd_int8out
-                codes, xs, xrs = attention_bnhd_int8out(
+                codes, xs, xzp, xrs = attention_bnhd_int8out(
                     q4, k4, v4, scale=D ** -0.5, seg_len=self.seg_len,
                     int8_qk=int8_qk, int8_pv=int8_pv,
+                    emit_sym=pspec.act.sym,
                     need_rowsum=not pspec.weight.sym)
                 return QuantLinear(C, lspec=pspec, name="proj", **kw)(
                     codes, qctx,
-                    prequant=(codes.reshape(-1, C), xs.reshape(-1, 1), None,
+                    prequant=(codes.reshape(-1, C), xs.reshape(-1, 1),
+                              None if xzp is None else xzp.reshape(-1, 1),
                               None if xrs is None else xrs.reshape(-1, 1)),
                     epilogue=epilogue)
             out = attention_bnhd(q4, k4, v4, scale=D ** -0.5,
@@ -513,14 +515,16 @@ class CrossAttention(nn.Module):
             pspec = self.resolver(f"{self.prefix}.proj")
             if attn_emit_int8_ok(pspec, qctx):
                 from viditq_tpu.kernels.attention import attention_bnhd_int8out
-                codes, xs, xrs = attention_bnhd_int8out(
+                codes, xs, xzp, xrs = attention_bnhd_int8out(
                     q.reshape(B, N, H, D), k.reshape(B, P, H, D),
                     v.reshape(B, P, H, D), scale=D ** -0.5, kv_mask=kv_mask,
                     int8_qk=int8_qk, int8_pv=int8_pv,
+                    emit_sym=pspec.act.sym,
                     need_rowsum=not pspec.weight.sym)
                 return QuantLinear(C, lspec=pspec, name="proj", **kw)(
                     codes, qctx,
-                    prequant=(codes.reshape(-1, C), xs.reshape(-1, 1), None,
+                    prequant=(codes.reshape(-1, C), xs.reshape(-1, 1),
+                              None if xzp is None else xzp.reshape(-1, 1),
                               None if xrs is None else xrs.reshape(-1, 1)),
                     epilogue=epilogue)
             out = attention_bnhd(
