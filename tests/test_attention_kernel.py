@@ -133,7 +133,7 @@ def test_int8_attention_seg_and_mask():
         gs = attention_bnhd(q, k, v, D ** -0.5, seg_len=16, block_q=64,
                             int8_qk=True, int8_pv=True)
     ws = attention_bnhd_xla_quant(q, k, v, D ** -0.5, seg_len=16,
-                                  int8_qk=True, int8_pv=True)
+                                  int8_qk=True, int8_pv=True, v_block=64)
     assert float(jnp.linalg.norm(gs - ws) / jnp.linalg.norm(ws)) < 0.01
     km, vm = mk(24), mk(24)
     mask = jnp.asarray(rng.integers(0, 2, (B, 24)), jnp.int32).at[:, 0].set(1)

@@ -184,9 +184,14 @@ def attention_bnhd_xla(q, k, v, scale: float, seg_len: int = 0,
 def attention_bnhd_xla_quant(q, k, v, scale: float, seg_len: int = 0,
                              kv_mask: Optional[jnp.ndarray] = None,
                              int8_qk: bool = False,
-                             int8_pv: bool = False) -> jnp.ndarray:
+                             int8_pv: bool = False,
+                             v_block: Optional[int] = None) -> jnp.ndarray:
     """XLA oracle of the int8 attention kernel's exact quantization math
-    (per-token sym q/k, round(e*127) softmax codes, per-channel v)."""
+    (per-token sym q/k, round(e*127) softmax codes, per-channel v).
+
+    v_block: v-quantization group along the token axis — pass the kernel's
+    block_q for seg mode (where v is quantized per q-block in VMEM); seg0
+    mode quantizes v per full token axis (the external producer)."""
     def rq(t, axis):
         tf = t.astype(jnp.float32)
         s = jnp.maximum(jnp.max(jnp.abs(tf), axis=axis, keepdims=True), 1e-6)
@@ -211,11 +216,14 @@ def attention_bnhd_xla_quant(q, k, v, scale: float, seg_len: int = 0,
     e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
     r = jnp.sum(e, axis=-1, keepdims=True)
     pq = jnp.round(e * 127.0)
-    # per-channel v quant (axis 0 of each head's [M, D] block = token axis)
-    vqs = jnp.maximum(jnp.max(jnp.abs(vh), axis=2, keepdims=True), 1e-6)
-    vq = jnp.round(vh * (127.0 / vqs))
+    # per-channel v quant over v_block-token groups (axis 2 = token axis)
+    M = vh.shape[2]
+    vb = M if v_block is None else v_block
+    vg = vh.reshape(B, H, M // vb, vb, D)
+    vqs = jnp.maximum(jnp.max(jnp.abs(vg), axis=3, keepdims=True), 1e-6)
+    vq = (jnp.round(vg * (127.0 / vqs)) * (vqs / 127.0)).reshape(vh.shape)
     o = jnp.einsum("bhnm,bhmd->bhnd", pq, vq)
-    o = o * (1.0 / (127.0 * 127.0) / r) * vqs
+    o = o * (1.0 / 127.0 / r)
     return o.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
@@ -302,7 +310,11 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # int8 PV with a reused kv block (seg_len == 0: spatial/cross): quantize
     # v per-(head-)channel ONCE outside the kernel (a single fused XLA pass)
     # instead of per grid step per head in VMEM — and the kernel's v blocks
-    # become int8, halving their VMEM footprint
+    # become int8, halving their VMEM footprint. Block-diagonal (seg) mode
+    # keeps the in-kernel per-(q-block x channel) quantize: int8 v blocks
+    # measured SLOWER there (head slices of int8 VMEM blocks relayout worse
+    # than a register quantize — BENCH_NOTES round-2f); the oracle
+    # attention_bnhd_xla_quant mirrors this via its v_block parameter.
     v_int8_in = int8_pv and seg_len == 0
     vs3 = None
     if v_int8_in:
@@ -313,9 +325,16 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if seg_len > 0:
         if block_q is None:
             # VMEM: 4 distinct [bq, C] bf16 blocks x2 buffers + f32 scores;
-            # bq=512 at C=1152 is ~92KB over the 16MB limit
-            block_q = min(N, max(seg_len, 256))
-        assert block_q % seg_len == 0
+            # bq=512 at C=1152 is ~92KB over the 16MB limit. The block must
+            # pack whole segments AND divide N — walk down from the cap
+            # (seg_len itself always works since N % seg_len == 0).
+            cap = max(seg_len, 256)
+            block_q = next(
+                k * seg_len
+                for k in range(cap // seg_len, 0, -1)
+                if N % (k * seg_len) == 0)
+        assert block_q % seg_len == 0 and N % block_q == 0, \
+            (N, seg_len, block_q)
     else:
         if block_q is None:
             block_q = min(N, 256)
@@ -325,7 +344,10 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 # (spatial attention, M=1024 C=1152) bq=256 blows the 16MB
                 # scoped VMEM — halve the q block instead
                 block_q = min(N, 128)
-    assert N % block_q == 0
+            if N % block_q:
+                # attention_ok guarantees N % 128 == 0 only
+                block_q = 128
+    assert N % block_q == 0, (N, block_q)
     grid = (B, N // block_q)
     kernel = functools.partial(_attn_kernel, scale=scale,
                                seg_len=seg_len, n_heads=H, head_dim=D,

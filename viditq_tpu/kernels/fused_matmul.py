@@ -175,6 +175,8 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
         # the pipeline double-buffered
         block_m = min(block_m, 256)
     if gate is not None:
+        assert residual is not None, \
+            "gate is applied inside the residual epilogue; pass residual"
         # gate rows must not straddle an M-block
         rpg = M // gate.shape[0]
         while block_m > 8 and rpg % block_m:
@@ -334,19 +336,27 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
     if residual is not None:
         block_m = min(block_m, 256)
     if gate is not None:
+        assert residual is not None, \
+            "gate is applied inside the residual epilogue; pass residual"
         rpg = M // gate.shape[0]
         while block_m > 8 and rpg % block_m:
             block_m //= 2
     block_n = min(block_n, _round_up(N, 128))
     block_k = min(block_k, K)
-    assert K % block_k == 0, (K, block_k)
+    if K % block_k:
+        # K-splitting needs a divisor: take the largest divisor of K that
+        # fits the VMEM-motivated cap (every DiT K is highly composite)
+        block_k = next(d for d in range(block_k, 0, -1) if K % d == 0)
     n_k = K // block_k
     Mp, Np = _round_up(M, block_m), _round_up(N, block_n)
     zeros = lambda r, c: jnp.zeros((r, c), jnp.float32)
     if x_zp is None:
         x_zp = zeros(M, 1)
-        if x_rowsum is None:
-            x_rowsum = zeros(M, 1)
+    if x_rowsum is None:
+        # asym acts on sym weights: the kernel's zp branch multiplies
+        # xrs by w_zp == 0, so zero-fill is exact (and a None here would
+        # crash the pallas_call operand pytree)
+        x_rowsum = zeros(M, 1)
     if w_zp is None:
         w_zp = zeros(1, N)
     if w_colsum is None:

@@ -103,7 +103,11 @@ class Mlp(nn.Module):
                   and spec2.impl == "fused" and spec2.act is not None
                   and spec2.act.dynamic and spec2.act_quant
                   and spec2.weight_quant and not spec2.smooth_quant.enable
-                  and qctx is not None and qctx.mode == "quant")
+                  and qctx is not None and qctx.mode == "quant"
+                  # capture mode must see fc2's REAL (post-gelu) input and
+                  # its output sow — the prequant early-return would sow the
+                  # pre-gelu tensor as fc2's input and skip the output
+                  and not qctx.capture)
         if fused2:
             from viditq_tpu.kernels.fused_matmul import (fused_available,
                                                          quantize_rows_fused)
@@ -282,15 +286,24 @@ class SelfAttention(nn.Module):
         int8_qk = int8_pv = False
         pallas_quant_ok = True
         if qctx is not None and qctx.mode == "quant" and specs[0] is not None:
-            if attn_spec is not None:
-                if (specs[0].impl == "fused" and attn_spec.n_bits == 8
-                        and attn_spec.dynamic and attn_spec.sym):
-                    int8_qk = True
+            if sm_spec0 is not None:
+                # the kernel hard-codes always_zero dynamic 8-bit softmax
+                # codes (round(e*127)); any other softmax spec must run the
+                # fake-quant XLA path
+                if (specs[0].impl == "fused" and sm_spec0.n_bits == 8
+                        and sm_spec0.always_zero and sm_spec0.dynamic):
+                    int8_pv = True
                 else:
                     pallas_quant_ok = False
-            if sm_spec0 is not None:
-                if specs[0].impl == "fused" and sm_spec0.n_bits == 8:
-                    int8_pv = True
+            if attn_spec is not None:
+                # int8_qk covers q/k; the reference's act_quantizer_v rides
+                # with the int8 PV path (per-channel v), so exec requires
+                # BOTH quantizers — attn-only plans use the XLA fallback,
+                # which fake-quants q/k/v exactly per spec
+                if (specs[0].impl == "fused" and attn_spec.n_bits == 8
+                        and attn_spec.dynamic and attn_spec.sym
+                        and int8_pv):
+                    int8_qk = True
                 else:
                     pallas_quant_ok = False
         # Dispatch note: an isolated shootout (benchmarks/attn_alternatives
@@ -494,15 +507,19 @@ class CrossAttention(nn.Module):
         int8_qk = int8_pv = False
         pallas_quant_ok = True
         if qctx is not None and qctx.mode == "quant" and qspec is not None:
-            if attn_spec is not None:
-                if (qspec.impl == "fused" and attn_spec.n_bits == 8
-                        and attn_spec.dynamic and attn_spec.sym):
-                    int8_qk = True
+            if sm_spec is not None:
+                if (qspec.impl == "fused" and sm_spec.n_bits == 8
+                        and sm_spec.always_zero and sm_spec.dynamic):
+                    int8_pv = True
                 else:
                     pallas_quant_ok = False
-            if sm_spec is not None:
-                if qspec.impl == "fused" and sm_spec.n_bits == 8:
-                    int8_pv = True
+            if attn_spec is not None:
+                # see SelfAttention: q/k int8 exec requires the int8 PV
+                # path too (it carries the v quantizer)
+                if (qspec.impl == "fused" and attn_spec.n_bits == 8
+                        and attn_spec.dynamic and attn_spec.sym
+                        and int8_pv):
+                    int8_qk = True
                 else:
                     pallas_quant_ok = False
         # dispatch: layout-native kernel whenever it applies (see the
