@@ -53,13 +53,19 @@ W8A = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
                 round_mode="nearest", sym=False)
 
 
-@pytest.mark.parametrize("with_sm8,asym", [(False, False), (True, False),
-                                           (False, True)])
-def test_self_attention_kernel_dispatch_matches_fallback(with_sm8, asym):
+@pytest.mark.parametrize("with_sm8,wspec,aspec", [
+    (False, "W8S", "A8S"), (True, "W8S", "A8S"),
+    (False, "W8A", "A8A"),
+    # asym acts on SYM weights: the emission path passes zp without
+    # rowsum — regression case for the consumer operand crash (round-2f)
+    (False, "W8S", "A8A"),
+])
+def test_self_attention_kernel_dispatch_matches_fallback(with_sm8, wspec,
+                                                         aspec):
     from viditq_tpu.models.layers import SelfAttention
-    base = LayerQuantSpec(
-        weight=W8A if asym else W8S, act=A8A if asym else A8S,
-        backend="native", impl="fused")
+    W = {"W8S": W8S, "W8A": W8A}[wspec]
+    A = {"A8S": A8S, "A8A": A8A}[aspec]
+    base = LayerQuantSpec(weight=W, act=A, backend="native", impl="fused")
     spec = dataclasses.replace(base, softmax=SM8) if with_sm8 else base
     C, H = 64, 2
     rng = np.random.default_rng(0)
