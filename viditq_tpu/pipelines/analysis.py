@@ -315,7 +315,12 @@ def mp_overrides_for_range(mp_weight: Mapping[str, int],
         ab = (mp_act or {}).get(name)
         if wb is not None and spec.weight is not None:
             spec = dataclasses.replace(spec, weight=spec.weight.with_bits(wb))
-        if ab is not None and spec.act is not None and not spec.act.dynamic:
+        if ab is not None and spec.act is not None:
+            # dynamic acts switch bitwidth freely (qparams are computed
+            # online); static acts are validated against the calibrated
+            # bits_tuple by with_bits — the reference applies
+            # bitwidth_refactor to act quantizers unconditionally
+            # (quant_model.py:562-586)
             spec = dataclasses.replace(spec, act=spec.act.with_bits(ab))
         overrides[clean] = spec
     return overrides

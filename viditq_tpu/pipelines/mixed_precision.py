@@ -42,6 +42,23 @@ def mp_quant_sample(model_ctor, variables, sampler: IDDPM, z, y, mask,
     n = sampler.schedule.n_steps
     qf = default_qctx_factory(mode="quant", act_slot_map=act_slot_map)
 
+    # the weight ranges must TILE the sampler schedule: a gap would
+    # silently skip denoising steps, an overlap would denoise them twice
+    covered = []
+    for (hi, lo), _ in w_ranges:
+        covered.extend(range(min(hi, n - 1), lo - 1, -1))
+    if sorted(covered, reverse=True) != list(range(n - 1, -1, -1)):
+        raise ValueError(
+            f"mixed-precision step ranges {[r for r, _ in w_ranges]} do "
+            f"not tile the {n}-step sampler schedule (covered: "
+            f"{sorted(set(covered), reverse=True)})")
+    # act ranges are matched per weight range by exact (hi, lo) key
+    stray = set(a_ranges) - {r for r, _ in w_ranges}
+    if stray:
+        raise ValueError(
+            f"act mixed-precision ranges {sorted(stray)} have no matching "
+            f"weight range — their bit overrides would be silently dropped")
+
     for (hi, lo), w_bits in w_ranges:
         a_bits = a_ranges.get((hi, lo))
         overrides = mp_overrides_for_range(w_bits, a_bits, base)

@@ -72,6 +72,31 @@ def run_ptq(model, variables: Dict, calib_data: Dict, plan,
     lspec = plan.default_layer
     smooth = lspec.smooth_quant
 
+    # Phase gating must consider PER-LAYER resolved specs, not just the
+    # plan default — a resolver that enables smooth-quant or static acts
+    # only on an override shortlist still needs those calibration phases
+    # (the stats would otherwise stay at their zero/-1 sentinels).
+    from flax import traverse_util
+    from viditq_tpu.quant.calibrate import path_to_dotted
+    layer_specs = []
+    flat_probe = traverse_util.flatten_dict(variables.get("quant", {}))
+    seen = set()
+    for path in flat_probe:
+        if path[-1] in ("w_delta", "a_delta") and path[:-1] not in seen:
+            seen.add(path[:-1])
+            s = resolver(path_to_dotted(path[:-1]))
+            if s is not None:
+                layer_specs.append(s)
+    any_smooth_momentum = (
+        (smooth.enable and "momentum" in smooth.channel_wise_scale_type)
+        or any(s.smooth_quant.enable
+               and "momentum" in s.smooth_quant.channel_wise_scale_type
+               for s in layer_specs))
+    any_static_act = (
+        (lspec.act is not None and not lspec.act.dynamic and lspec.act_quant)
+        or any(s.act is not None and not s.act.dynamic and s.act_quant
+               for s in layer_specs))
+
     other = {k: v for k, v in variables.items()
              if k not in ("quant", "qstats")}
 
@@ -94,7 +119,7 @@ def run_ptq(model, variables: Dict, calib_data: Dict, plan,
 
     # Phase 1 — smooth-quant act_scale running stats over every calib step
     # (ptq.py:219-264). Batch over samples like the reference's chunked loop.
-    if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
+    if any_smooth_momentum:
         quant, qstats = variables["quant"], variables["qstats"]
         for s in step_idx:
             t_id = jnp.asarray(int(ts[s, 0]), jnp.int32)
@@ -117,7 +142,7 @@ def run_ptq(model, variables: Dict, calib_data: Dict, plan,
     aspec = lspec.act
     slot_map = None
     calib_ts = np.array([int(ts[s, 0]) for s in step_idx])
-    if aspec is not None and not aspec.dynamic:
+    if any_static_act:
         slot_full, sorted_ts = act_slot_map_from_ts(calib_ts)
         t_to_slot = {int(t): i for i, t in enumerate(sorted_ts)}
         quant, qstats = variables["quant"], variables["qstats"]

@@ -42,16 +42,29 @@ def add_native_slots(quant_vars: Dict, params: Dict,
         kernel = flat_p[layer_path + ("kernel",)]
         if kernel.ndim >= 4:  # conv layout [*k, C_in, F] -> 2D view
             kernel = kernel.reshape(-1, kernel.shape[-1])
-        n_tr = flat_q[layer_path + ("w_delta",)].shape[1]
+        # scanned block stacks carry a leading depth axis on every
+        # variable: kernel [D, C_in, F], w_delta [D, n_bw, n_tr, 1, F] —
+        # the timerange count sits one axis deeper and the slots must be
+        # laid out [D, n_tr, ...] to match the scan-lifted declaration
+        # (and pack_native_weights' vmap output)
+        scanned = kernel.ndim == 3
+        wd = flat_q[layer_path + ("w_delta",)]
+        n_tr = wd.shape[2] if scanned else wd.shape[1]
         pack4 = (weight_only and lspec.weight.n_bits == 4
                  and not lspec.weight.sym)
         rows = ((kernel.shape[-2] + 1) // 2 if pack4 else kernel.shape[-2])
-        shape = tuple(kernel.shape[:-2]) + (rows, kernel.shape[-1])
+        F = kernel.shape[-1]
+        if scanned:
+            D = kernel.shape[0]
+            int_shape = (D, n_tr, rows, F)
+            cs_shape = (D, n_tr, 1, F)
+        else:
+            int_shape = (n_tr, rows, F)
+            cs_shape = (n_tr, 1, F)
         if layer_path + ("w_int",) not in flat_q:
-            flat_q[layer_path + ("w_int",)] = jnp.zeros(
-                (n_tr,) + shape, jnp.int8)
+            flat_q[layer_path + ("w_int",)] = jnp.zeros(int_shape, jnp.int8)
             flat_q[layer_path + ("w_colsum",)] = jnp.zeros(
-                (n_tr, 1, kernel.shape[-1]), jnp.float32)
+                cs_shape, jnp.float32)
     return traverse_util.unflatten_dict(flat_q)
 
 

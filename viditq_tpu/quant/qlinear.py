@@ -246,6 +246,25 @@ class QuantLinear(nn.Module):
                     "quant", "w_alpha",
                     lambda: jnp.zeros((in_features, self.features), jnp.float32))
 
+        if lspec.backend == "native":
+            if smooth.enable and smooth.channel_wise_scale_type == "dynamic":
+                # native weight slabs are packed OFFLINE; a per-forward
+                # dynamic balancing scale cannot be folded into them — the
+                # output would silently be off by cs per channel (the
+                # momentum types fold the converged act_scale at pack time)
+                raise ValueError(
+                    "backend='native' requires a momentum smooth-quant "
+                    "scale type (packed weight slabs can't track per-"
+                    "forward dynamic channel balancing); use "
+                    "backend='simulate' for channel_wise_scale_type="
+                    "'dynamic'")
+            if lspec.split:
+                # q-diffusion channel splitting keeps two quantizer groups
+                # per layer — only the simulate path implements it
+                # (spec.py: 'Simulate backend only')
+                raise ValueError(
+                    "backend='native' does not implement q-diffusion "
+                    "channel split (split>0); use backend='simulate'")
         # full native: int8 act x int8 weight on the MXU
         native = (lspec.backend == "native" and w_q is not None
                   and aspec is not None and aspec.dynamic and lspec.act_quant)

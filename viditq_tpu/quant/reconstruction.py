@@ -76,8 +76,15 @@ def layer_reconstruction(kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
     params = {"alpha": alpha0}
     lrs = {"alpha": cfg.lr_alpha}
     a_zp0 = None
+    a_opt_spec = aspec
     if opt_act:
-        a_delta0, a_zp0 = core.compute_qparams(x2[None], aspec)
+        if aspec.granularity == "token":
+            # a learned per-token delta over ALL captured rows cannot be
+            # indexed per minibatch (shapes differ); learn a shared
+            # per-tensor step size instead (the reference's act-delta
+            # optimization learns one delta per quantizer too)
+            a_opt_spec = dataclasses.replace(aspec, granularity="tensor")
+        a_delta0, a_zp0 = core.compute_qparams(x2[None], a_opt_spec)
         params["a_delta"] = a_delta0
         lrs["a_delta"] = cfg.lr_delta
 
@@ -90,6 +97,12 @@ def layer_reconstruction(kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
     def quant_w_soft(alpha):
         floor = jnp.floor(kernel / w_delta)
         soft = core.adaround_soft_targets(alpha)
+        if wspec.sym:
+            # signed sym codes clamp to [-2^(b-1), 2^(b-1)-1]
+            # (core.fake_quant sym branch) — the asym [0, n_levels-1]
+            # clamp would zero every negative weight
+            code = jnp.clip(floor + soft, -n_levels - 1, n_levels)
+            return code * w_delta
         code = jnp.clip(floor + soft + w_zp, 0, n_levels - 1)
         return (code - w_zp) * w_delta
 
@@ -100,7 +113,8 @@ def layer_reconstruction(kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
             return core.fake_quant_dynamic(x[None], aspec)[0]
         if opt_act:
             # learnable step size, zero point fixed at its init value
-            return core.fake_quant(x[None], p["a_delta"], a_zp0, aspec)[0]
+            return core.fake_quant(x[None], p["a_delta"], a_zp0,
+                                   a_opt_spec)[0]
         d, z = core.compute_qparams(x[None], aspec)
         return core.fake_quant(x[None], d, z, aspec)[0]
 
@@ -218,6 +232,9 @@ def mlp_block_reconstruction(fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
         L = layers[name]
         floor = jnp.floor(L["kernel"] / L["delta"])
         soft = core.adaround_soft_targets(alpha)
+        if wspec.sym:
+            code = jnp.clip(floor + soft, -n_levels - 1, n_levels)
+            return code * L["delta"]
         code = jnp.clip(floor + soft + L["zp"], 0, n_levels - 1)
         return (code - L["zp"]) * L["delta"]
 
