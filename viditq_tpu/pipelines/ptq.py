@@ -161,10 +161,8 @@ def run_ptq(model, variables: Dict, calib_data: Dict, plan,
         variables["quant"] = calibrate.finalize_act_tables(
             variables["quant"], variables["qstats"], resolver)
         slot_map = slot_full
-    elif aspec is not None and smooth.enable:
-        # dynamic act + smooth quant still uses t_id -> timerange lookups at
-        # inference; no act tables needed.
-        pass
+    # (dynamic act + smooth quant needs no act tables — t_id -> timerange
+    # lookups happen at inference)
 
     return PTQResult(variables=variables, act_slot_map=slot_map,
                      calib_ts=calib_ts)

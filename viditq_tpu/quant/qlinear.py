@@ -353,7 +353,7 @@ class QuantLinear(nn.Module):
                 cur = _abs_max_per_channel(x)
                 old = jax.lax.dynamic_index_in_dim(
                     act_scale.value, tr_id, 0, keepdims=False)
-                inited = a_initialized = jax.lax.dynamic_index_in_dim(
+                inited = jax.lax.dynamic_index_in_dim(
                     sq_init.value, tr_id, 0, keepdims=False)
                 blended = jnp.where(
                     inited, old * smooth.momentum + cur * (1 - smooth.momentum),
