@@ -173,12 +173,12 @@ def sweep_alpha_for_layer(x: jnp.ndarray, kernel: jnp.ndarray,
     x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
     kernel = kernel.astype(jnp.float32)
     ref = x @ kernel
-    a_absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=0), 1e-5)
-    w_absmax = jnp.maximum(jnp.max(jnp.abs(kernel), axis=-1), 1e-12)
+    a_absmax = jnp.max(jnp.abs(x), axis=0)
+    w_absmax = jnp.max(jnp.abs(kernel), axis=-1)
     wspec, aspec = lspec.weight, lspec.act
 
     def loss_for(alpha: float) -> float:
-        cs = (a_absmax ** alpha) / (w_absmax ** (1 - alpha))
+        cs = core.smooth_quant_scale(a_absmax, w_absmax, alpha)
         xb = x / cs
         wb = kernel * cs[:, None]
         wd, wz = core.compute_qparams(wb, wspec)

@@ -80,9 +80,8 @@ def weight_qparams_for_layer(kernel: jnp.ndarray, lspec: LayerQuantSpec,
             # runtime layer computes weight qparams on the fly instead.
             return kernel
         alpha = smooth.alpha_for_range(tr)
-        w_absmax = jnp.maximum(jnp.max(jnp.abs(kernel), axis=-1), 1e-12)
-        a_absmax = jnp.maximum(act_scale[tr], 1e-5)
-        cs = (a_absmax ** alpha) / (w_absmax ** (1 - alpha))
+        cs = core.smooth_quant_scale(
+            act_scale[tr], jnp.max(jnp.abs(kernel), axis=-1), alpha)
         return kernel * cs[:, None]
 
     deltas, zps = [], []

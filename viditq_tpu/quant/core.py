@@ -357,3 +357,18 @@ def group_shape_of(x_shape: Tuple[int, ...], spec: QuantSpec) -> Tuple[int, ...]
         keep = len(x_shape) - 2
         return tuple(n if a == keep else 1 for a, n in enumerate(x_shape))
     raise ValueError(spec.granularity)
+
+
+def smooth_quant_scale(a_absmax: jnp.ndarray, w_absmax: jnp.ndarray,
+                       alpha) -> jnp.ndarray:
+    """Per-channel smooth-quant balancing scale
+    cs = a_max^alpha / w_max^(1-alpha) (quant_layer.py:108-140), with the
+    reference's clamps (act 1e-5, quant_layer.py:130-134; weight 1e-12)
+    applied uniformly. The SINGLE definition used by the runtime layer,
+    offline calibration, native packing and the alpha sweep — keep them
+    from diverging (a past divergence: the runtime's dynamic branch
+    skipped the act clamp, so a dead input channel gave cs=0 -> x/cs=inf).
+    """
+    a = jnp.maximum(a_absmax, 1e-5)
+    w = jnp.maximum(w_absmax, 1e-12)
+    return (a ** alpha) / (w ** (1 - alpha))

@@ -154,10 +154,11 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
     for tr in range(n_tr):
         w_eff = kernel
         if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
+            from viditq_tpu.quant import core as _core
             alpha = smooth.alpha_for_range(tr)
-            w_absmax = jnp.maximum(jnp.max(jnp.abs(kernel), axis=-1), 1e-12)
-            a_absmax = jnp.maximum(jnp.asarray(act_scale[tr]), 1e-5)
-            cs = (a_absmax ** alpha) / (w_absmax ** (1 - alpha))
+            cs = _core.smooth_quant_scale(
+                jnp.asarray(act_scale[tr]),
+                jnp.max(jnp.abs(kernel), axis=-1), alpha)
             w_eff = kernel * cs[:, None]
         d = jnp.asarray(w_delta[tr]).reshape(1, -1)
         z = jnp.asarray(w_zp[tr]).reshape(1, -1)

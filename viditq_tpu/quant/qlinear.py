@@ -376,8 +376,7 @@ class QuantLinear(nn.Module):
             else:
                 a_absmax = jax.lax.dynamic_index_in_dim(
                     act_scale.value, tr_id, 0, keepdims=False)
-                a_absmax = jnp.maximum(a_absmax, 1e-5)  # quant_layer.py:130-134
-            cs = (a_absmax ** alpha) / jnp.maximum(w_absmax, 1e-12) ** (1 - alpha)
+            cs = core.smooth_quant_scale(a_absmax, w_absmax, alpha)
             x = (x.astype(jnp.float32) / cs).astype(x.dtype)
 
         # ---- native int8 execution path ----
