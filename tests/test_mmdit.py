@@ -35,9 +35,9 @@ def test_mmdit_quantized_forward_and_sampling():
     t = jnp.asarray([500.0, 100.0])
     y = jnp.asarray(rng.standard_normal((2, 1, 8, 32)), jnp.float32)
     mask = jnp.ones((2, 8), jnp.int32)
-    variables = dict(model.init(jax.random.PRNGKey(0), x, t, y, None, mask,
+    variables = dict(model.init(jax.random.PRNGKey(0), x, t, y, mask, None,
                                 QuantCtx(mode="fp")))
-    out = model.apply(variables, x, t, y, None, mask, QuantCtx(mode="fp"))
+    out = model.apply(variables, x, t, y, mask, None, QuantCtx(mode="fp"))
     assert out.shape == (2, 4, 8, 8)
 
     variables["quant"] = calibrate_weight_tables(
@@ -45,7 +45,7 @@ def test_mmdit_quantized_forward_and_sampling():
     qv = variables["quant"]
     assert "w_delta" in qv["blocks_0"]["img_attn"]["q"]
     assert "w_delta" in qv["blocks_0"]["txt_mlp"]["fc1"]
-    out_q = model.apply(variables, x, t, y, None, mask,
+    out_q = model.apply(variables, x, t, y, mask, None,
                         QuantCtx(mode="quant", t_id=jnp.asarray(500)))
     assert np.isfinite(np.asarray(out_q)).all()
     rel = (np.linalg.norm(np.asarray(out_q - out))
@@ -58,7 +58,8 @@ def test_mmdit_quantized_forward_and_sampling():
     m1 = jnp.ones((2, 8), jnp.int32)
 
     def model_apply(xx, tt, yy, mm, qctx):
-        return model.apply(variables, xx, tt, yy, None, mm, qctx)
+        # zoo-convention positional binding — no y_pooled adapter needed
+        return model.apply(variables, xx, tt, yy, mm, qctx=qctx)
 
     from viditq_tpu.samplers.iddpm import default_qctx_factory
     samples, traj = jax.jit(

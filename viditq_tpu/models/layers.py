@@ -153,7 +153,11 @@ def _flash_ok(q, k) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
+    # the flash kernel asserts seq_len % block == 0; our block picks come
+    # from {512,256,128} / {1024,512,256,128}, so both lengths must be
+    # 128-multiples (e.g. MMDiT's joint N = 77 + 1024 = 1101 falls back)
     return (on_tpu and q.shape[-2] >= 128 and k.shape[-2] >= 128
+            and q.shape[-2] % 128 == 0 and k.shape[-2] % 128 == 0
             and q.dtype in (jnp.bfloat16, jnp.float32))
 
 
@@ -173,9 +177,11 @@ def sdpa(q, k, v, scale: float, bias: Optional[jnp.ndarray] = None,
             q_seg = jnp.ones((B, q.shape[-2]), jnp.int32)
             seg = fa.SegmentIds(q=q_seg, kv=kv_mask.astype(jnp.int32))
         # explicit block sizes — the kernel's defaults measured 200x slower
-        # at STDiT shapes (795ms vs 3.9ms, [32,16,1024,72] on v5e)
-        bq = min(512, q.shape[-2])
-        bk = min(1024, k.shape[-2])
+        # at STDiT shapes (795ms vs 3.9ms, [32,16,1024,72] on v5e). Blocks
+        # must DIVIDE the sequence lengths (the kernel asserts); _flash_ok
+        # guarantees both are 128-multiples, so 128 always divides.
+        bq = next(b for b in (512, 256, 128) if q.shape[-2] % b == 0)
+        bk = next(b for b in (1024, 512, 256, 128) if k.shape[-2] % b == 0)
         bs = fa.BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,

@@ -132,11 +132,15 @@ class MMDiT(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, timestep, y, y_pooled=None, mask=None,
+    def __call__(self, x, timestep, y, mask=None, y_pooled=None,
                  qctx: Optional[QuantCtx] = None):
         """x: [B, C, H, W]; y: [B, 1, L, C_cap] or [B, L, C_cap] text tokens;
         y_pooled: [B, C_pool] pooled embedding (zeros if None).
-        Returns the velocity field [B, C, H, W] (rectified flow)."""
+        Returns the velocity field [B, C, H, W] (rectified flow).
+
+        Argument order follows the zoo-wide (x, timestep, y, mask, ...)
+        convention so registry-built pipelines bind positionally without a
+        model-specific adapter."""
         B = x.shape[0]
         C = self.hidden_size
         h = x.shape[-2] // self.patch_size

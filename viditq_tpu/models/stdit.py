@@ -248,7 +248,11 @@ class STDiT(nn.Module):
         if y.ndim == 4:
             y = y.reshape(B, -1, C)
         if mask is not None:
-            if mask.shape[0] != B:
+            if mask.shape[0] > B:
+                # CFG-doubled [cond; null] mask on a cfg_split half-batch
+                # (iddpm.py sample: mask may be [n, L] or [2n, L])
+                mask = mask[:B]
+            elif mask.shape[0] != B:
                 mask = jnp.tile(mask, (B // mask.shape[0], 1))
             y = y * mask[..., None].astype(y.dtype)
 

@@ -103,8 +103,9 @@ def vb_terms(schedule: Schedule, model_out, x_start, x_t, t,
     _vb_terms_bpd with frozen mean — training_losses detaches the mean so
     the vb term only trains the variance head)."""
     eps, var_raw = _split_eps(model_out, in_channels)
-    if var_raw is None:
-        raise ValueError("vb term needs a learned-variance model output")
+    if var_raw.shape[1] == 0:
+        raise ValueError("vb term needs a learned-variance model output "
+                         "(2*in_channels output channels)")
     if stop_mean_grad:
         eps = jax.lax.stop_gradient(eps)
     true_mean, true_logvar = q_posterior_mean_logvar(schedule, x_start,
@@ -135,9 +136,18 @@ def training_losses_full(model_fn, x_start, t, noise, schedule: Schedule,
     tmap = jnp.asarray(schedule.timestep_map, jnp.int32)
     model_out = model_fn(x_t, tmap[t])
     eps, var_raw = _split_eps(model_out, in_channels)
+    # _split_eps returns a 0-channel slice (not None) for models that
+    # predict eps only (pred_sigma=False): vb terms need a learned
+    # variance, so gate on the channel count
+    has_var = var_raw.shape[1] > 0
     zeros = jnp.zeros((x_start.shape[0],), jnp.float32)
 
     if loss_type in ("kl", "rescaled_kl"):
+        if not has_var:
+            raise ValueError(
+                "kl/rescaled_kl losses need a learned-variance model "
+                "(model output channels == 2*in_channels); this model "
+                "predicts eps only")
         vb = vb_terms(schedule, model_out, x_start, x_t, t, in_channels,
                       stop_mean_grad=False)
         if loss_type == "rescaled_kl":
@@ -147,7 +157,7 @@ def training_losses_full(model_fn, x_start, t, noise, schedule: Schedule,
     mse = jnp.mean(((eps - noise) ** 2).reshape(x_start.shape[0], -1),
                    axis=-1)
     vb = zeros
-    if var_raw is not None:
+    if has_var:
         vb = vb_terms(schedule, model_out, x_start, x_t, t, in_channels)
         if loss_type == "rescaled_mse":
             # keep the vb term's relative weight when the MSE is rescaled

@@ -696,7 +696,7 @@ class DPMSolverSampler:
                  skip_type: str = "time_uniform",
                  algorithm_type: str = "dpmsolver++",
                  solver_type: str = "dpmsolver",
-                 lower_order_final: bool = True,
+                 lower_order_final="auto",
                  thresholding: bool = False,
                  denoise_to_zero: bool = False,
                  model_type: str = "noise"):
@@ -709,6 +709,13 @@ class DPMSolverSampler:
         self.skip_type = skip_type
         self.algorithm_type = algorithm_type
         self.solver_type = solver_type
+        # the two references DISAGREE here: t2i applies lower-order final
+        # steps unconditionally (dpm_solver_alpha.py:1236), the t2v solver
+        # only when steps < 10 (t2v dpms/dpm_solver.py:1419-1420). "auto"
+        # follows the t2v rule — the common multistep case at steps>=10
+        # keeps full order on the last updates; pass True/False to force.
+        if lower_order_final == "auto":
+            lower_order_final = num_sampling_steps < 10
         self.lower_order_final = lower_order_final
         self.thresholding = thresholding
         self.denoise_to_zero = denoise_to_zero

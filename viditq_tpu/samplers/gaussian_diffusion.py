@@ -118,9 +118,10 @@ def make_schedule(num_sampling_steps: Optional[int] = None,
     use = space_timesteps(diffusion_steps, timestep_respacing)
     base_acp = np.cumprod(1.0 - base_betas)
     last = 1.0
+    use_set = set(use)
     new_betas, tmap = [], []
     for i in range(diffusion_steps):
-        if i in set(use):
+        if i in use_set:
             new_betas.append(1 - base_acp[i] / last)
             last = base_acp[i]
             tmap.append(i)
