@@ -131,6 +131,38 @@ def test_pixart_kv_compress_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_pixart_sigma_sr_conv_is_quantizable():
+    """A plan naming blocks.N.attn.sr must actually quantize the Σ
+    KV-compress depthwise conv (the reference wraps every nn.Conv2d,
+    quant_model.py:73) — with a coarse 2-bit spec the quantized forward
+    must diverge from fp; disabling sr restores near-identity."""
+    import dataclasses
+    from viditq_tpu.quant import resolve_layer_spec
+    W2 = QuantSpec(n_bits=2, granularity="channel", channel_axis=-1,
+                   round_mode="nearest")
+    base = LayerQuantSpec(weight=W2, act=A8_DYN)
+
+    def res_sr_only(name):
+        if name.endswith(".sr"):
+            return base
+        return base.disabled()
+
+    model = tiny_pixart(kv_compress_sampling="conv", kv_compress_scale=2,
+                        kv_compress_layers=(1,), resolver=res_sr_only)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8)), jnp.float32)
+    t = jnp.asarray([10.0])
+    y = jnp.asarray(rng.standard_normal((1, 1, 8, 32)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, t, y, None,
+                           qctx=QuantCtx(mode="fp"))
+    out_fp = model.apply(variables, x, t, y, None, qctx=QuantCtx(mode="fp"))
+    out_q = model.apply(variables, x, t, y, None,
+                        qctx=QuantCtx(mode="quant"))
+    rel = (np.linalg.norm(np.asarray(out_q - out_fp))
+           / np.linalg.norm(np.asarray(out_fp)))
+    assert rel > 1e-4, rel  # the sr quantizer is actually applied
+
+
 def test_stdit_smooth_quant_end_to_end():
     sq = SmoothQuantSpec(enable=True, alpha=(0.11, 0.11),
                          timerange=((0, 500), (501, 1000)))

@@ -12,6 +12,7 @@ static 0-masking path for static quant, `stdit.py:288-301`).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional
 
@@ -194,6 +195,77 @@ def sdpa(q, k, v, scale: float, bias: Optional[jnp.ndarray] = None,
     return sdpa_xla(q, k, v, scale, bias)
 
 
+class DepthwiseQuantConv(nn.Module):
+    """Depthwise strided conv (the PixArt-Σ KV-compress `sr` layer,
+    PixArt_blocks.py:88-91) with fake-quant weight/act support — the
+    reference wraps every nn.Conv2d in QuantLayer (quant_model.py:73), so
+    a plan naming `blocks.N.attn.sr` must actually quantize it. Grouped
+    convs don't lower to the im2col dense pipeline (QuantConv), so this
+    runs simulate-semantics fake quant computed on the fly (the layer is
+    <0.01% of model FLOPs; no native backend). Param names/shapes match
+    nn.Conv(feature_group_count=dim), keeping checkpoints compatible."""
+
+    dim: int
+    ratio: int
+    lspec: Any = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, qctx: Optional[QuantCtx] = None):
+        r = self.ratio
+        kernel = self.param(
+            "kernel", nn.initializers.constant(1 / r ** 2),
+            (r, r, 1, self.dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.dim,), jnp.float32)
+        w = kernel
+        spec = self.lspec
+        if (spec is not None and qctx is not None and qctx.mode == "quant"):
+            from viditq_tpu.quant import core as qcore
+            if spec.weight is not None and spec.weight_quant:
+                w2 = w.reshape(-1, self.dim)
+                d, z = qcore.compute_qparams(w2, spec.weight)
+                w = qcore.fake_quant(w2, d, z, spec.weight).reshape(w.shape)
+            if spec.act is not None and spec.act_quant:
+                x = qcore.fake_quant_dynamic(x, spec.act)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), (r, r), "VALID",
+            dimension_numbers=dn, feature_group_count=self.dim)
+        return out + bias.astype(self.dtype)
+
+
+def attn_quant_exec_flags(spec, qctx):
+    """Resolve (int8_qk, int8_pv, pallas_ok) for the attention-internal
+    quantizers of one attention site — the SINGLE encoding of the Pallas
+    kernel's hard-coded contract (kernels/attention.py): softmax int8 PV
+    requires an 8-bit always_zero dynamic softmax spec; q/k int8 requires
+    an 8-bit dynamic sym attn_act spec AND the PV path (which carries the
+    reference's act_quantizer_v). Any other spec combination returns
+    pallas_ok=False so the site runs the fake-quant XLA fallback with the
+    exact reference semantics."""
+    int8_qk = int8_pv = False
+    pallas_ok = True
+    if qctx is None or qctx.mode != "quant" or spec is None:
+        return int8_qk, int8_pv, pallas_ok
+    sm = spec.softmax
+    aa = spec.attn_act
+    if sm is not None:
+        if (spec.impl == "fused" and sm.n_bits == 8
+                and sm.always_zero and sm.dynamic):
+            int8_pv = True
+        else:
+            pallas_ok = False
+    if aa is not None:
+        if (spec.impl == "fused" and aa.n_bits == 8
+                and aa.dynamic and aa.sym and int8_pv):
+            int8_qk = True
+        else:
+            pallas_ok = False
+    return int8_qk, int8_pv, pallas_ok
+
+
 def attn_emit_int8_ok(pspec, qctx) -> bool:
     """Whether the attention kernel should emit its output pre-quantized
     for the proj linear (kernels/attention.py attention_bnhd_int8out):
@@ -289,29 +361,8 @@ class SelfAttention(nn.Module):
         # runs the fused int8 dataflow, execute them for REAL inside the
         # Pallas kernel (int8 MXU QK^T / PV) instead of fake-quanting
         # through XLA — kernels/attention.py int8_qk/int8_pv
-        int8_qk = int8_pv = False
-        pallas_quant_ok = True
-        if qctx is not None and qctx.mode == "quant" and specs[0] is not None:
-            if sm_spec0 is not None:
-                # the kernel hard-codes always_zero dynamic 8-bit softmax
-                # codes (round(e*127)); any other softmax spec must run the
-                # fake-quant XLA path
-                if (specs[0].impl == "fused" and sm_spec0.n_bits == 8
-                        and sm_spec0.always_zero and sm_spec0.dynamic):
-                    int8_pv = True
-                else:
-                    pallas_quant_ok = False
-            if attn_spec is not None:
-                # int8_qk covers q/k; the reference's act_quantizer_v rides
-                # with the int8 PV path (per-channel v), so exec requires
-                # BOTH quantizers — attn-only plans use the XLA fallback,
-                # which fake-quants q/k/v exactly per spec
-                if (specs[0].impl == "fused" and attn_spec.n_bits == 8
-                        and attn_spec.dynamic and attn_spec.sym
-                        and int8_pv):
-                    int8_qk = True
-                else:
-                    pallas_quant_ok = False
+        int8_qk, int8_pv, pallas_quant_ok = attn_quant_exec_flags(
+            specs[0], qctx)
         # Dispatch note: an isolated shootout (benchmarks/attn_alternatives
         # .py) suggested the stock flash kernel beats this path for seg0
         # sites, but IN-MODEL the flash dispatch regressed the block 1.5-3.5
@@ -452,11 +503,10 @@ class KVCompressSelfAttention(nn.Module):
             sr_conv = sr_norm = None
             if self.sampling == "conv":
                 r = self.sr_ratio
-                sr_conv = nn.Conv(
-                    self.dim, kernel_size=(r, r), strides=(r, r),
-                    feature_group_count=self.dim, name="sr",
-                    dtype=self.dtype,
-                    kernel_init=nn.initializers.constant(1 / r ** 2))
+                sr_conv = DepthwiseQuantConv(
+                    self.dim, r, lspec=self.resolver(f"{self.prefix}.sr"),
+                    name="sr", dtype=self.dtype)
+                sr_conv = functools.partial(sr_conv, qctx=qctx)
                 sr_norm = AffineLayerNorm(dtype=self.dtype, name="norm")
             k = self._downsample(k, h, w, sr_conv, sr_norm)
             v = self._downsample(v, h, w, sr_conv, sr_norm)
@@ -510,24 +560,8 @@ class CrossAttention(nn.Module):
         qspec = self.resolver(f"{self.prefix}.q_linear")
         attn_spec = qspec.attn_act if qspec is not None else None
         sm_spec = qspec.softmax if qspec is not None else None
-        int8_qk = int8_pv = False
-        pallas_quant_ok = True
-        if qctx is not None and qctx.mode == "quant" and qspec is not None:
-            if sm_spec is not None:
-                if (qspec.impl == "fused" and sm_spec.n_bits == 8
-                        and sm_spec.always_zero and sm_spec.dynamic):
-                    int8_pv = True
-                else:
-                    pallas_quant_ok = False
-            if attn_spec is not None:
-                # see SelfAttention: q/k int8 exec requires the int8 PV
-                # path too (it carries the v quantizer)
-                if (qspec.impl == "fused" and attn_spec.n_bits == 8
-                        and attn_spec.dynamic and attn_spec.sym
-                        and int8_pv):
-                    int8_qk = True
-                else:
-                    pallas_quant_ok = False
+        int8_qk, int8_pv, pallas_quant_ok = attn_quant_exec_flags(
+            qspec, qctx)
         # dispatch: layout-native kernel whenever it applies (see the
         # SelfAttention dispatch note — isolated flash wins did not hold
         # in-model)
