@@ -319,6 +319,111 @@ def _install_stubs():
         sys.modules["colossalai.checkpoint_io"]
 
 
+def _install_qdiff_diffusers_stubs():
+    """Extra diffusers submodule stand-ins needed by qdiff/models/
+    quant_block.py (diffusers==0.24 internals). Fresh classes (never
+    `object`) so isinstance checks in the reference stay selective."""
+    import torch.nn as nn
+
+    df = sys.modules.get("diffusers") or _module("diffusers")
+    sys.modules["diffusers"] = df
+    if getattr(df, "_viditq_qdiff_stub", False):
+        return
+    df._viditq_qdiff_stub = True
+
+    utils = _module("diffusers.utils")
+    utils.USE_PEFT_BACKEND = False
+    utils.deprecate = lambda *a, **k: None
+    utils.logging = types.SimpleNamespace(
+        get_logger=lambda *a, **k: __import__("logging").getLogger("stub"))
+    iu = _module("diffusers.utils.import_utils")
+    iu.is_xformers_available = lambda: False
+    tu = _module("diffusers.utils.torch_utils")
+    tu.maybe_allow_in_graph = lambda cls: cls
+    utils.import_utils = iu
+    utils.torch_utils = tu
+
+    models = sys.modules.get("diffusers.models") or _module("diffusers.models")
+    acts = _module("diffusers.models.activations")
+    acts.get_activation = lambda name: nn.GELU()
+
+    class GEGLU(nn.Module):
+        pass
+
+    class GELU(nn.Module):
+        pass
+
+    class ApproximateGELU(nn.Module):
+        pass
+
+    acts.GEGLU, acts.GELU, acts.ApproximateGELU = GEGLU, GELU, ApproximateGELU
+    emb = _module("diffusers.models.embeddings")
+
+    class SinusoidalPositionalEmbedding(nn.Module):
+        pass
+
+    emb.SinusoidalPositionalEmbedding = SinusoidalPositionalEmbedding
+    resnet = _module("diffusers.models.resnet")
+    for nm in ("ResnetBlock2D", "Upsample2D", "Downsample2D"):
+        setattr(resnet, nm, type(nm, (nn.Module,), {}))
+    attention = _module("diffusers.models.attention")
+    attention.BasicTransformerBlock = type("BasicTransformerBlock",
+                                           (nn.Module,), {})
+    ap = _module("diffusers.models.attention_processor")
+    # star-imported: QuantAttention's signature annotates `attn: Attention`
+    ap.Attention = type("Attention", (nn.Module,), {})
+    ap.SpatialNorm = type("SpatialNorm", (nn.Module,), {})
+    for nm in ("AttentionProcessor", "AttnProcessor", "AttnProcessor2_0",
+               "AttnAddedKVProcessor", "AttnAddedKVProcessor2_0",
+               "CustomDiffusionAttnProcessor",
+               "CustomDiffusionAttnProcessor2_0",
+               "CustomDiffusionXFormersAttnProcessor",
+               "LoRAAttnAddedKVProcessor", "LoRAAttnProcessor",
+               "LoRAAttnProcessor2_0", "LoRAXFormersAttnProcessor",
+               "SlicedAttnAddedKVProcessor", "SlicedAttnProcessor",
+               "XFormersAttnAddedKVProcessor", "XFormersAttnProcessor"):
+        setattr(ap, nm, type(nm, (), {}))
+    lora = _module("diffusers.models.lora")
+    lora.LoRACompatibleConv = type("LoRACompatibleConv", (nn.Module,), {})
+    lora.LoRACompatibleLinear = type("LoRACompatibleLinear", (nn.Module,), {})
+    norm = _module("diffusers.models.normalization")
+    for nm in ("AdaGroupNorm", "AdaLayerNorm", "AdaLayerNormZero"):
+        setattr(norm, nm, type(nm, (nn.Module,), {}))
+
+    models.activations = acts
+    models.embeddings = emb
+    models.resnet = resnet
+    models.attention = attention
+    models.attention_processor = ap
+    models.lora = lora
+    models.normalization = norm
+    df.utils = utils
+    df.models = models
+    for name, mod in (
+            ("diffusers.utils", utils),
+            ("diffusers.utils.import_utils", iu),
+            ("diffusers.utils.torch_utils", tu),
+            ("diffusers.models", models),
+            ("diffusers.models.activations", acts),
+            ("diffusers.models.embeddings", emb),
+            ("diffusers.models.resnet", resnet),
+            ("diffusers.models.attention", attention),
+            ("diffusers.models.attention_processor", ap),
+            ("diffusers.models.lora", lora),
+            ("diffusers.models.normalization", norm)):
+        sys.modules[name] = mod
+
+
+def load_qdiff():
+    """Import the reference quantization library (qdiff.models.quant_model
+    + friends) from the read-only mount — the PTQ-driver oracle."""
+    _install_stubs()
+    _install_qdiff_diffusers_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    return importlib.import_module("qdiff.models.quant_model")
+
+
 def load_stdit_module():
     """Import the reference STDiT (t2v/opensora/models/stdit/stdit.py)."""
     _install_stubs()

@@ -27,6 +27,22 @@ from typing import Optional
 import numpy as np
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS for CLI runs. The environment's TPU plugin
+    registers itself via sitecustomize and re-pins the platform AFTER
+    jax's env parsing, so the documented `JAX_PLATFORMS=cpu viditq ...`
+    recipe (verify skill) silently ran tiny flows over the tunneled TPU —
+    latency-bound at thousands of micro-dispatches. config.update wins
+    over the plugin's pin."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def _common(parser):
     parser.add_argument("--config", required=True,
                         help="python workload config (16x512x512.py style)")
@@ -454,6 +470,7 @@ def cmd_calibrate_ptqd_k(args):
 
 
 def main(argv=None):
+    _apply_platform_env()
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir",

