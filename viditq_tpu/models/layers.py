@@ -326,7 +326,7 @@ class SelfAttention(nn.Module):
         H = self.num_heads
         D = C // H
         kw = dict(dtype=self.dtype, token_layout=self.token_layout,
-                  d_t=self.d_t, d_s=self.d_s)
+                  d_t=self.d_t, d_s=self.d_s, seg_len=self.seg_len)
         specs = [self.resolver(f"{self.prefix}.{n}") for n in ("q", "k", "v")]
         pre = prequant
         if (pre is None and qctx is not None and qctx.mode == "quant"
@@ -548,8 +548,14 @@ class CrossAttention(nn.Module):
         q = QuantLinear(C, lspec=self.resolver(f"{self.prefix}.q_linear"),
                         name="q_linear", **kw)(x, qctx)
         cond = cond.reshape(B, P, cond.shape[-1]) if cond.ndim == 4 else cond
+        # token_layout='cross_kv': STATIC act tables quantize the dense
+        # [B, P, C] view; DYNAMIC act quant uses the reference's
+        # xformers-packed [1, B*P, C] view (per-(batch, prompt) scales,
+        # stdit_quant_layer.py:266-279)
         kv = QuantLinear(2 * C, lspec=self.resolver(f"{self.prefix}.kv_linear"),
-                         name="kv_linear", **kw)(cond, qctx)
+                         name="kv_linear", stat_layout="packed_prompt",
+                         token_layout="cross_kv", n_prompt=P,
+                         **kw)(cond, qctx)
         k, v = jnp.split(kv, 2, axis=-1)
         kv_mask = (mask.astype(jnp.int32) if mask is not None
                    else jnp.ones((B, P), jnp.int32))

@@ -160,8 +160,13 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
                 jnp.asarray(act_scale[tr]),
                 jnp.max(jnp.abs(kernel), axis=-1), alpha)
             w_eff = kernel * cs[:, None]
-        d = jnp.asarray(w_delta[tr]).reshape(1, -1)
-        z = jnp.asarray(w_zp[tr]).reshape(1, -1)
+        # frozen_tr0_weights (reference runtime semantics): every tr slab's
+        # codes use TIMERANGE-0's qparams — the per-tr tables are saved but
+        # never read by the reference forward (base_quantizer.py:126-134);
+        # qlinear._selw dequantizes with the same frozen scale/zp
+        w_tr = 0 if (smooth.enable and smooth.frozen_tr0_weights) else tr
+        d = jnp.asarray(w_delta[w_tr]).reshape(1, -1)
+        z = jnp.asarray(w_zp[w_tr]).reshape(1, -1)
         if wspec.sym:
             # symmetric weights: signed codes, no zero point, no shift
             # (n_levels = 2^(b-1)-1; clamp [-2^(b-1), 2^(b-1)-1] as in

@@ -134,10 +134,27 @@ class QuantLinear(nn.Module):
     d_t: int = 1          # temporal tokens (spatial/temporal layouts)
     d_s: int = 1          # spatial tokens
     n_prompt: int = 120   # prompt tokens (cross_kv layout)
+    # Reference call-site layout for layout-SENSITIVE statistics (the
+    # smooth-quant stat max(dim=-2).mean(dim=0), quant_layer.py:120). Our
+    # packed temporal attention feeds [B, (S T), C] where the reference
+    # feeds [(B S), T, C] — identical per-token scale sets, different
+    # max/mean decomposition. seg_len>0 restores the reference view by
+    # splitting the token axis; stat_layout='packed_prompt' restores the
+    # reference's [1, B*P, C] xformers-packed prompt view from dense
+    # [B, P, C] (blocks.py:283-301).
+    seg_len: int = 0
+    stat_layout: Optional[str] = None
     kernel_init: Any = nn.initializers.xavier_uniform()
     bias_init: Any = nn.initializers.zeros_init()
 
-    def _to_token_view(self, x):
+    def _to_token_view(self, x, dynamic: bool = False):
+        """[B, n_token, C] view for token-wise act quantization. Token-wise
+        scales are pooled per token POSITION over (batch x channels)
+        (base_quantizer.py:177-185: x.permute([1,0,2]).reshape([n_token,-1])),
+        so the batch split of this view is semantic. cross_kv DYNAMIC
+        quantization runs on the reference's xformers-packed [1, B*P, C]
+        view — per-(batch, prompt) scales — while the static table path
+        reshapes to [B, P, C] (stdit_quant_layer.py:266-279)."""
         if self.token_layout == "spatial":
             b = x.shape[0] // self.d_t
             return x.reshape(b, self.d_t * self.d_s, x.shape[-1])
@@ -145,12 +162,28 @@ class QuantLinear(nn.Module):
             b = x.shape[0] // self.d_s
             return x.reshape(b, self.d_s * self.d_t, x.shape[-1])
         if self.token_layout == "cross_kv":
-            b = x.shape[1] // self.n_prompt
+            if dynamic:
+                return x.reshape(1, -1, x.shape[-1])
+            # static tables: the dense [B, P, C] view (our models feed the
+            # kv linear dense prompts; a packed [1, B*P, C] input is
+            # unpacked back to batch rows)
+            if x.shape[-2] == self.n_prompt:
+                return x
+            b = x.shape[-2] // self.n_prompt
             return x.reshape(b, self.n_prompt, x.shape[-1])
         return x
 
     def _from_token_view(self, x, orig_shape):
         return x.reshape(orig_shape)
+
+    def _to_stat_view(self, x):
+        """Reference call-site layout for smooth-quant stats (see the
+        seg_len/stat_layout field note)."""
+        if self.seg_len > 0:
+            return x.reshape(-1, self.seg_len, x.shape[-1])
+        if self.stat_layout == "packed_prompt":
+            return x.reshape(1, -1, x.shape[-1])
+        return x
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qctx: Optional[QuantCtx] = None,
@@ -206,6 +239,11 @@ class QuantLinear(nn.Module):
         fused_epi = epilogue is not None and self._epilogue_fusable(qctx)
         out = self._quant_core(x, kernel, bias, qctx, prequant,
                                epilogue if fused_epi else None)
+        if (qctx is not None and qctx.capture and qctx.mode != "fp"
+                and not fused_epi):
+            # pre-residual output (the fp-mode sow lives in _quant_core) —
+            # comparable to the reference QuantLayer forward-hook output
+            self.sow("intermediates", "output", out)
         if epilogue is not None and not fused_epi:
             res, gate = epilogue
             if gate is not None:
@@ -350,7 +388,7 @@ class QuantLinear(nn.Module):
         # ---- smooth-quant stat accumulation pass ----
         if mode == "sq_stat":
             if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
-                cur = _abs_max_per_channel(x)
+                cur = _abs_max_per_channel(self._to_stat_view(x))
                 old = jax.lax.dynamic_index_in_dim(
                     act_scale.value, tr_id, 0, keepdims=False)
                 inited = jax.lax.dynamic_index_in_dim(
@@ -372,7 +410,7 @@ class QuantLinear(nn.Module):
             alpha = alphas[tr_id]
             w_absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=-1)
             if smooth.channel_wise_scale_type == "dynamic":
-                a_absmax = _abs_max_per_channel(x)
+                a_absmax = _abs_max_per_channel(self._to_stat_view(x))
             else:
                 a_absmax = jax.lax.dynamic_index_in_dim(
                     act_scale.value, tr_id, 0, keepdims=False)
@@ -396,14 +434,23 @@ class QuantLinear(nn.Module):
                     return v[0]
                 return jax.lax.dynamic_index_in_dim(v, tr_id, 0, False)
 
+            def _selw(v):
+                # weight-TABLE selection: frozen at timerange 0 under the
+                # reference's runtime semantics (base_quantizer.py:126-134;
+                # SmoothQuantSpec.frozen_tr0_weights) — the int slabs stay
+                # per-tr (cs(tr) changes the codes) but their scale/zp don't
+                if n_tr > 1 and smooth.enable and smooth.frozen_tr0_weights:
+                    return v[0]
+                return _sel(v)
+
             # asym weight codes are stored shifted into signed int8; sym
             # codes are natively signed with zero point 0
             shift = 0.0 if wspec.sym else float(2 ** (wspec.n_bits - 1))
             packed = {
                 "w_q": _sel(w_int.value),
                 "w_colsum": _sel(w_colsum.value).reshape(1, -1),
-                "w_scale": _sel(w_q[0].value[wspec.bit_idx]).reshape(1, -1),
-                "w_zp": (_sel(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
+                "w_scale": _selw(w_q[0].value[wspec.bit_idx]).reshape(1, -1),
+                "w_zp": (_selw(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
                          - shift),
             }
             if prequant is not None:
@@ -452,12 +499,21 @@ class QuantLinear(nn.Module):
                     return v[0]
                 return jax.lax.dynamic_index_in_dim(v, tr_id, 0, False)
 
+            def _selw(v):
+                # weight-TABLE selection: frozen at timerange 0 under the
+                # reference's runtime semantics (base_quantizer.py:126-134;
+                # SmoothQuantSpec.frozen_tr0_weights) — the int slabs stay
+                # per-tr (cs(tr) changes the codes) but their scale/zp don't
+                if n_tr > 1 and smooth.enable and smooth.frozen_tr0_weights:
+                    return v[0]
+                return _sel(v)
+
             shift_w = 0.0 if wspec.sym else float(2 ** (wspec.n_bits - 1))
             packed = {
                 "w_q": _sel(w_int.value),
                 "w_colsum": _sel(w_colsum.value).reshape(1, -1),
-                "w_scale": _sel(w_q[0].value[wspec.bit_idx]).reshape(1, -1),
-                "w_zp": (_sel(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
+                "w_scale": _selw(w_q[0].value[wspec.bit_idx]).reshape(1, -1),
+                "w_zp": (_selw(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
                          - shift_w),
             }
             # per-token act params from the calibrated table slot
@@ -516,8 +572,17 @@ class QuantLinear(nn.Module):
                     return v[0]
                 return jax.lax.dynamic_index_in_dim(v, tr_id, 0, False)
 
-            d = _sel(w_q[0].value[wspec.bit_idx]).reshape(1, -1)
-            z = _sel(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
+            def _selw(v):
+                # weight-TABLE selection: frozen at timerange 0 under the
+                # reference's runtime semantics (base_quantizer.py:126-134;
+                # SmoothQuantSpec.frozen_tr0_weights) — the int slabs stay
+                # per-tr (cs(tr) changes the codes) but their scale/zp don't
+                if n_tr > 1 and smooth.enable and smooth.frozen_tr0_weights:
+                    return v[0]
+                return _sel(v)
+
+            d = _selw(w_q[0].value[wspec.bit_idx]).reshape(1, -1)
+            z = _selw(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
             stored = _sel(w_int.value)
             if pack4:
                 # two unsigned 4-bit codes per byte, row-interleaved
@@ -559,7 +624,7 @@ class QuantLinear(nn.Module):
         # ---- activation quantization ----
         if aspec is not None and lspec.act_quant:
             orig_shape = x.shape
-            xv = self._to_token_view(x)
+            xv = self._to_token_view(x, dynamic=aspec.dynamic)
             if aspec.dynamic:
                 xv = core.fake_quant_dynamic(xv, aspec)
             elif mode == "a_calib":
@@ -598,6 +663,13 @@ class QuantLinear(nn.Module):
                 # qparams are computed on the fly (matches the reference's
                 # per-forward lazy weight init under dynamic CB).
                 d, z = core.compute_qparams(w_eff, wspec)
+            elif smooth.enable and smooth.frozen_tr0_weights:
+                # reference runtime semantics: w*cs(tr) is quantized with
+                # TIMERANGE-0's tables at every timerange (the per-tr tables
+                # are saved but never re-read — base_quantizer.py:126-134;
+                # SmoothQuantSpec.frozen_tr0_weights)
+                d = w_q[0].value[wspec.bit_idx, 0]
+                z = w_q[1].value[wspec.bit_idx, 0]
             else:
                 d = jax.lax.dynamic_index_in_dim(
                     w_q[0].value[wspec.bit_idx], tr_id, 0, False)

@@ -129,7 +129,19 @@ class SmoothQuantSpec:
     alpha: Tuple[float, ...] = (0.5,)
     # Inclusive [start, end] diffusion-timestep ranges that must tile [0,1000]
     # (reference asserts contiguity, quant_layer.py:85-89).
-    timerange: Tuple[Tuple[int, int], ...] = ((0, 1000),)
+    timerange: Tuple[Tuple[int, int], ...] = ((0, 1000,),)
+    # Reference-faithful runtime weight-table selection. The reference
+    # computes and SAVES per-timerange weight qparams (delta_list[bit, tr]),
+    # but its runtime forward never re-indexes them: `self.delta` is
+    # assigned `delta_list[bit_idx, 0]` during the init forwards
+    # (base_quantizer.py:126-127) and BaseQuantizer.forward (:134) uses that
+    # frozen buffer ever after — so at inference the weight w*cs(tr) is
+    # quantized with TIMERANGE-0's qparams for every timerange (verified
+    # bit-exact against the reference driver in
+    # tests/test_ptq_driver_parity.py). True mirrors that; False uses the
+    # per-timerange tables the reference saves but never reads (the
+    # self-consistent "corrected" semantics).
+    frozen_tr0_weights: bool = True
 
     def __post_init__(self):
         if not self.enable:

@@ -83,7 +83,13 @@ def parse_smooth_spec(cfg: Dict[str, Any]) -> SmoothQuantSpec:
         channel_wise_scale_type=sq.get("channel_wise_scale_type",
                                        "momentum_act_max"),
         momentum=float(sq.get("momentum", 0.95)),
-        alpha=alpha, timerange=timerange)
+        alpha=alpha, timerange=timerange,
+        # extension key (not in the reference YAML schema): opt INTO the
+        # self-consistent per-timerange weight tables; the default mirrors
+        # the reference runtime, which freezes the weight qparams at
+        # timerange 0 (SmoothQuantSpec.frozen_tr0_weights)
+        frozen_tr0_weights=not bool(sq.get("corrected_tr_weight_tables",
+                                           False)))
 
 
 @dataclasses.dataclass(frozen=True)
