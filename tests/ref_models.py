@@ -424,15 +424,15 @@ def load_qdiff():
     return importlib.import_module("qdiff.models.quant_model")
 
 
-def load_stdit_module():
-    """Import the reference STDiT (t2v/opensora/models/stdit/stdit.py)."""
+def _seed_opensora_env():
+    """sys.path + opensora.datasets pre-seed shared by the t2v model
+    loaders: the datasets package's transitive imports pull the full
+    qdiff->diffusers chain, irrelevant for model parity."""
     _install_stubs()
     if REF_T2V not in sys.path:
         sys.path.insert(0, REF_T2V)
     if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)  # qdiff (forward's mask-type check)
-    # pre-seed opensora.datasets: its transitive imports pull the full
-    # qdiff->diffusers chain, irrelevant for model parity
+        sys.path.insert(0, REF_ROOT)  # qdiff (stdit forward's mask check)
     if "opensora.datasets" not in sys.modules:
         ds = _module("opensora.datasets")
         for name in ("DatasetFromCSV", "get_transforms_image",
@@ -441,6 +441,11 @@ def load_stdit_module():
             setattr(ds, name, object)
         ds.__all__ = []
         sys.modules["opensora.datasets"] = ds
+
+
+def load_stdit_module():
+    """Import the reference STDiT (t2v/opensora/models/stdit/stdit.py)."""
+    _seed_opensora_env()
     return importlib.import_module("opensora.models.stdit.stdit")
 
 
@@ -453,7 +458,12 @@ def load_pixart_module():
 
 
 def load_dit_module():
-    _install_stubs()
-    if REF_T2V not in sys.path:
-        sys.path.insert(0, REF_T2V)
+    _seed_opensora_env()
     return importlib.import_module("opensora.models.dit.dit")
+
+
+def load_latte_module():
+    """Import the reference Latte (t2v/opensora/models/latte/latte.py —
+    DiT subclass with alternating spatial/temporal blocks)."""
+    load_dit_module()  # latte imports `from opensora.models.dit import DiT`
+    return importlib.import_module("opensora.models.latte.latte")

@@ -75,7 +75,8 @@ _COMMON_RENAMES = {
     "ar_embedder.mlp.2": "ar_embedder.fc2",
 }
 
-_SKIP_KEYS = ("pos_embed", "pos_embed_temporal")  # recomputed constants
+# recomputed constants (sincos position tables, dit.py:122-123)
+_SKIP_KEYS = ("pos_embed", "pos_embed_temporal", "pos_embed_spatial")
 
 
 def _flax_path(torch_key: str) -> Optional[tuple]:
@@ -89,6 +90,16 @@ def _flax_path(torch_key: str) -> Optional[tuple]:
     # blocks.N.x -> blocks_N.x
     if parts[0] == "blocks" and parts[1].isdigit():
         parts = [f"blocks_{parts[1]}"] + parts[2:]
+    # DiT-family adaLN-Zero heads: Sequential(SiLU, Linear) -> adaLN_linear
+    # (dit.py:66, blocks.py:373)
+    for i, p in enumerate(parts):
+        if p == "adaLN_modulation":
+            parts = parts[:i] + ["adaLN_linear"] + parts[i + 2:]
+            break
+    # LabelEmbedder nn.Embedding table (blocks.py:455) -> 'embedding' param,
+    # NOT a linear kernel (no transpose)
+    if parts[-2:] == ["embedding_table", "weight"]:
+        return tuple(parts[:-2] + ["embedding"])
     leaf = parts[-1]
     if leaf == "weight":
         parts[-1] = "kernel"
