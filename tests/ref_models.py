@@ -462,6 +462,14 @@ def load_dit_module():
     return importlib.import_module("opensora.models.dit.dit")
 
 
+def load_iddpm_module():
+    """Import the reference IDDPM scheduler package
+    (t2v/opensora/schedulers/iddpm: SpacedDiffusion + gaussian_diffusion +
+    respace) — the ddim/p_sample loop oracle."""
+    _seed_opensora_env()
+    return importlib.import_module("opensora.schedulers.iddpm")
+
+
 def load_latte_module():
     """Import the reference Latte (t2v/opensora/models/latte/latte.py —
     DiT subclass with alternating spatial/temporal blocks)."""

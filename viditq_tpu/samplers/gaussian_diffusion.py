@@ -200,9 +200,14 @@ def ddim_sample_loop(model_fn: ModelFn, z: jnp.ndarray, schedule: Schedule,
 
 def p_sample_loop(model_fn: ModelFn, z: jnp.ndarray, schedule: Schedule,
                   rng: jnp.ndarray, in_channels: int = 4,
-                  capture_trajectory: bool = False):
+                  capture_trajectory: bool = False,
+                  noise_fn: Optional[Callable] = None):
     """Ancestral sampling with LEARNED_RANGE variance
-    (gaussian_diffusion.py p_sample_loop + p_mean_variance)."""
+    (gaussian_diffusion.py p_sample_loop + p_mean_variance).
+
+    noise_fn(x, i) -> noise overrides the Gaussian draw — deterministic
+    reproducible sampling, and the hook the oracle-parity tests use to run
+    the reference loop and this scan on an identical noise sequence."""
     n = schedule.n_steps
     tmap = jnp.asarray(schedule.timestep_map, jnp.int32)
     B = z.shape[0]
@@ -223,8 +228,9 @@ def p_sample_loop(model_fn: ModelFn, z: jnp.ndarray, schedule: Schedule,
         pred_xstart = sr * x - srm1 * eps
         mean = (_extract(schedule.posterior_mean_coef1, i, nd) * pred_xstart
                 + _extract(schedule.posterior_mean_coef2, i, nd) * x)
-        noise = jax.random.normal(jax.random.fold_in(rng, i), x.shape,
-                                  jnp.float32)
+        noise = (noise_fn(x, i) if noise_fn is not None
+                 else jax.random.normal(jax.random.fold_in(rng, i), x.shape,
+                                        jnp.float32))
         nonzero = jnp.where(i > 0, 1.0, 0.0)
         sample = mean + nonzero * jnp.exp(0.5 * log_var) * noise
         out = (x, t_orig) if capture_trajectory else None
