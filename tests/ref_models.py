@@ -457,6 +457,15 @@ def load_pixart_module():
     return importlib.import_module("diffusion.model.nets.PixArt")
 
 
+def load_edm_module():
+    """Import the reference EDM sampler (t2i/diffusion/model/edm_sample.py:
+    Karras Algorithm-2 Heun loop)."""
+    _install_stubs()
+    if REF_T2I not in sys.path:
+        sys.path.insert(0, REF_T2I)
+    return importlib.import_module("diffusion.model.edm_sample")
+
+
 def load_dit_module():
     _seed_opensora_env()
     return importlib.import_module("opensora.models.dit.dit")
