@@ -15,6 +15,9 @@ from viditq_tpu.quant import (
     LayerQuantSpec, QuantSpec, QuantCtx, calibrate_weight_tables,
     resolve_layer_spec)
 from viditq_tpu.utils.config import QuantPlanConfig
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 W8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
                round_mode="nearest")

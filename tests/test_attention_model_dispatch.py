@@ -18,6 +18,8 @@ from jax.experimental.pallas import tpu as pltpu
 from viditq_tpu.quant import LayerQuantSpec, QuantSpec, QuantCtx
 from viditq_tpu.quant.spec import QuantSpec as QS
 
+pytestmark = pytest.mark.heavy
+
 W8S = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
                 round_mode="nearest", sym=True)
 A8S = QuantSpec(n_bits=8, granularity="token", round_mode="nearest_ste",

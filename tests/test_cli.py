@@ -9,6 +9,8 @@ import pytest
 
 from viditq_tpu import cli
 
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def outdir(tmp_path_factory):

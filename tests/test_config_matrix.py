@@ -53,6 +53,7 @@ E2E_CASES = [
 
 @pytest.mark.parametrize("workload,plan", E2E_CASES,
                          ids=[p.split("/")[-1] for _, p in E2E_CASES])
+@pytest.mark.heavy
 def test_plan_category_e2e(tmp_path, workload, plan):
     d = str(tmp_path)
     common = ["--config", workload, "--save_dir", d, "--num_samples", "1"]

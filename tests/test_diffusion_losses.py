@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 REF_UTILS = "/root/reference/t2v/opensora/schedulers/iddpm/diffusion_utils.py"
 
 

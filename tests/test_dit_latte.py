@@ -5,9 +5,13 @@ import jax
 import jax.numpy as jnp
 
 from viditq_tpu.models import DiT, Latte
+import pytest
+
 from viditq_tpu.quant import (
     LayerQuantSpec, QuantSpec, QuantCtx, calibrate_weight_tables,
     resolve_layer_spec)
+
+pytestmark = pytest.mark.heavy
 
 W8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
                round_mode="nearest")

@@ -14,8 +14,8 @@ import os
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists("/root/reference/t2v"), reason="reference not mounted")
+pytestmark = [pytest.mark.heavy, pytest.mark.skipif(
+    not os.path.exists("/root/reference/t2v"), reason="reference not mounted")]
 
 
 DIT_KW = dict(input_size=(4, 8, 8), in_channels=4, patch_size=(1, 2, 2),

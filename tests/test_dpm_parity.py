@@ -15,8 +15,8 @@ import pytest
 
 REF = "/root/reference/t2i/diffusion/model/dpm_solver_alpha.py"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(REF),
-                                reason="reference not mounted")
+pytestmark = [pytest.mark.heavy, pytest.mark.skipif(not os.path.exists(REF),
+                                reason="reference not mounted")]
 
 
 def load_ref():

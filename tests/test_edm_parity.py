@@ -14,8 +14,8 @@ import os
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists("/root/reference/t2i"), reason="reference not mounted")
+pytestmark = [pytest.mark.heavy, pytest.mark.skipif(
+    not os.path.exists("/root/reference/t2i"), reason="reference not mounted")]
 
 SHAPE = (2, 4, 8, 8)
 C = 4

@@ -25,8 +25,8 @@ import os
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists("/root/reference/t2v"), reason="reference not mounted")
+pytestmark = [pytest.mark.heavy, pytest.mark.skipif(
+    not os.path.exists("/root/reference/t2v"), reason="reference not mounted")]
 
 SHAPE = (2, 4, 2, 4, 4)  # [B, C, T, H, W]
 C = 4

@@ -5,9 +5,13 @@ import jax
 import jax.numpy as jnp
 
 from viditq_tpu.models.mmdit import MMDiT, rectified_flow_sample
+import pytest
+
 from viditq_tpu.quant import (
     LayerQuantSpec, QuantSpec, QuantCtx, calibrate_weight_tables,
     resolve_layer_spec)
+
+pytestmark = pytest.mark.heavy
 
 W4 = QuantSpec(n_bits=4, granularity="channel", channel_axis=-1,
                round_mode="nearest")

@@ -24,8 +24,8 @@ def _randomize(model, seed=7):
         for p in model.parameters():
             p.add_(torch.randn(p.shape, generator=g) * 0.02)
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists("/root/reference/t2v"), reason="reference not mounted")
+pytestmark = [pytest.mark.heavy, pytest.mark.skipif(
+    not os.path.exists("/root/reference/t2v"), reason="reference not mounted")]
 
 
 STDIT_KW = dict(input_size=(4, 8, 8), in_channels=4, patch_size=(1, 2, 2),

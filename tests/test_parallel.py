@@ -11,6 +11,8 @@ from viditq_tpu.parallel.ulysses import ulysses_attention, sp_split
 from viditq_tpu.models.layers import sdpa
 from jax.sharding import PartitionSpec as P
 
+pytestmark = pytest.mark.heavy
+
 
 def test_devices_available():
     assert len(jax.devices()) == 8

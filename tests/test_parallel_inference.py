@@ -12,6 +12,9 @@ from viditq_tpu.quant import (
     resolve_layer_spec)
 from viditq_tpu.samplers import IDDPM
 from viditq_tpu.samplers.iddpm import default_qctx_factory
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 W8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
                round_mode="nearest")

@@ -14,6 +14,8 @@ from viditq_tpu.samplers import IDDPM, DPMSolverSampler
 from viditq_tpu.utils.config import load_quant_config
 from viditq_tpu.quant import QuantCtx
 
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def pixart_setup():

@@ -36,8 +36,8 @@ import os
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists("/root/reference/qdiff"), reason="reference not mounted")
+pytestmark = [pytest.mark.heavy, pytest.mark.skipif(
+    not os.path.exists("/root/reference/qdiff"), reason="reference not mounted")]
 
 REF_CFG = "/root/reference/t2v/configs/quant/opensora"
 

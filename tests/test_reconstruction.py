@@ -9,6 +9,9 @@ from viditq_tpu.quant import core
 from viditq_tpu.quant.reconstruction import (
     ReconConfig, capture_layer_io, layer_reconstruction, model_reconstruction)
 from viditq_tpu.quant.spec import LayerQuantSpec, QuantSpec
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 
 def test_layer_reconstruction_beats_nearest():

@@ -15,8 +15,8 @@ import pytest
 
 REF = "/root/reference/qdiff/quantizer/base_quantizer.py"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(REF),
-                                reason="reference not mounted")
+pytestmark = [pytest.mark.heavy, pytest.mark.skipif(not os.path.exists(REF),
+                                reason="reference not mounted")]
 
 
 class _Cfg(dict):

@@ -5,6 +5,9 @@ import jax
 import jax.numpy as jnp
 
 from viditq_tpu.models.vae import AutoencoderKL, VideoAutoencoderKL
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 
 def test_autoencoder_roundtrip_shapes():

@@ -18,6 +18,8 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.heavy
+
 CH = (32, 32)  # tiny but GroupNorm(32)-compatible
 
 

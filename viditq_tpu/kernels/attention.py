@@ -138,9 +138,13 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
             o = acc * (1.0 / (127.0 * 127.0) / r) * vs
         else:
             # reciprocal-multiply normalize: one [bq, 1] reciprocal + a
-            # broadcast multiply instead of a [bq, bkv] VPU divide. (Fully
-            # deferring the normalize past the PV dot measured +3.5MB of
-            # Mosaic stack at the spatial shape — over the 16MB VMEM.)
+            # broadcast multiply instead of a [bq, bkv] VPU divide.
+            # Deferring the normalize past the PV dot (o * 1/r on [bq, d])
+            # was re-measured in round 3 with a bf16 e: still +3.5MB Mosaic
+            # stack over the 16MB VMEM at the spatial shape, and at
+            # block_q=128 (where it compiles) it measured SLOWER than this
+            # eager form (14.2 vs 13.3 ms/block sm8 arm) — BENCH_NOTES
+            # round-3.
             p = e * (1.0 / r)
             o = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -278,6 +282,8 @@ def select_block_q(n: int, seg_len: int,
         assert block_q % seg_len == 0 and n % block_q == 0, \
             (n, seg_len, block_q)
     elif block_q is None:
+        # 256 measured best at the spatial site (round-3 sweep: 128 costs
+        # +2.3 ms/block across arms; 512 exceeds VMEM by 2.44MB on-chip)
         block_q = min(n, 256)
         if n % block_q:
             block_q = 128
