@@ -190,3 +190,80 @@ def test_partial_and_until_resolvers():
     r2 = analysis.quantize_until_resolver(base, names, k=3)
     on2 = [n for n in names if r2(n).weight_quant]
     assert on2 == names[:3]
+
+
+def test_uniform_windows_matches_reference_split():
+    # get_sensitivity.py:480,727-731 with n=20, split=4
+    assert analysis.uniform_windows(20, 4) == [(19, 15), (14, 10),
+                                               (9, 5), (4, 0)]
+    assert analysis.uniform_windows(4, 2) == [(3, 2), (1, 0)]
+
+
+def test_block_group_sensitivity_and_mp_closed_loop():
+    """block x group x window scan (reference block_group_wise_quant) ->
+    reshape -> generate_mp_config -> mp_quant_sample: the closed loop the
+    reference only runs offline through metric.ipynb."""
+    base = LayerQuantSpec(weight=QuantSpec(n_bits=3, granularity="channel",
+                                           channel_axis=-1,
+                                           round_mode="nearest"), act=A8)
+    z, y, mask = inputs()
+    sampler = IDDPM(num_sampling_steps=4, cfg_scale=4.0)
+    ref_model = tiny_model()
+    variables = ref_model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                               y[:1], mask, QuantCtx(mode="fp"))
+    params = variables["params"]
+
+    def fp_apply(x, t, yy, mm, qctx=None):
+        return ref_model.apply({"params": params}, x, t, yy, mm)
+
+    def make_q_apply(resolver):
+        model = tiny_model(resolver)
+        vs = dict(model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                             y[:1], mask, QuantCtx(mode="fp")))
+        vs["params"] = params
+        if "quant" in vs:
+            vs["quant"] = calibrate_weight_tables(params, vs["quant"],
+                                                  resolver)
+
+        def q_apply(x, t, yy, mm, qctx):
+            return model.apply(vs, x, t, yy, mm, qctx)
+        return q_apply
+
+    from viditq_tpu.samplers.iddpm import default_qctx_factory
+    qf = default_qctx_factory("quant")
+    scores = analysis.block_group_sensitivity(
+        sampler, fp_apply, make_q_apply, z, y, mask, base, n_blocks=2,
+        qctx_factory=qf, groups=("attn", "mlp"), bits=(3,),
+        split_timestep=2, fp_patterns=FP)
+    # 1 bit x 2 windows x 2 blocks x 2 groups
+    assert len(scores) == 8
+    assert set(scores) == {
+        f"bit3/{w}/blocks.{j}.{g}"
+        for w in ("3-2", "1-0") for j in (0, 1) for g in ("attn", "mlp")}
+    assert all(np.isfinite(v) and v > 0 for v in scores.values())
+
+    # ---- closed loop: scores -> MP config -> load -> sample ----
+    by_range = analysis.block_group_to_range_scores(scores, bit=3)
+    assert set(by_range) == {"3-2", "1-0"}
+    assert len(by_range["3-2"]) == 4
+    mp_cfg = analysis.generate_mp_config(by_range, bits_low=4, bits_high=8,
+                                         high_fraction=0.25)
+    # every block.group got a bit in every range
+    assert all(set(mp_cfg[r]) == set(by_range[r]) for r in by_range)
+
+    plan = QuantPlanConfig(default_layer=LayerQuantSpec(weight=W4, act=A8),
+                           fp_patterns=FP, mixed_precision=(4, 8))
+    mp_model = tiny_model(plan.resolver())
+    mp_vars = dict(mp_model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                                 y[:1], mask, QuantCtx(mode="fp")))
+    mp_vars["params"] = params
+    mp_vars["quant"] = calibrate_weight_tables(params, mp_vars["quant"],
+                                               plan.resolver())
+
+    def model_ctor(resolver):
+        return tiny_model(resolver)
+
+    out = mp_quant_sample(model_ctor, mp_vars, sampler, z, y, mask, plan,
+                          mp_weight_cfg=mp_cfg, mp_act_cfg=None)
+    assert out.shape == z.shape
+    assert bool(jnp.all(jnp.isfinite(out)))

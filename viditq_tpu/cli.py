@@ -347,10 +347,46 @@ def cmd_get_sensitivity(args):
                               sampler_type=args.sampler_type,
                               qctx_factory=default_qctx_factory("quant"))
 
-    targets = (args.targets.split(",") if args.targets
-               else list(analysis.QUANT_GROUPS))
-    scores = analysis.sensitivity_scan(run_with_resolver, base, targets,
-                                       fp_patterns=plan.fp_patterns)
+    if getattr(args, "block_group_wise_quant", False):
+        # block x group x timestep-window mode (reference
+        # get_sensitivity.py block_group_wise_quant)
+        from viditq_tpu.quant import calibrate_weight_tables
+
+        fp_model = workload.build_model(cfg, resolver=None)
+        fp_vs = _init_variables(fp_model, args, z, y, mask)
+        params_holder["p"] = fp_vs["params"]
+
+        def fp_apply(x, t, yy, mm, qctx=None):
+            return fp_model.apply(fp_vs, x, t, yy, mm)
+
+        def make_q_apply(resolver):
+            model = workload.build_model(cfg, resolver=resolver)
+            vs = _init_variables(model, args, z, y, mask)
+            vs["params"] = params_holder["p"]
+            if "quant" in vs:
+                vs["quant"] = jax.jit(functools.partial(
+                    calibrate_weight_tables, resolve=resolver))(
+                        vs["params"], vs["quant"])
+
+            def q_apply(x, t, yy, mm, qctx):
+                return model.apply(vs, x, t, yy, mm, qctx=qctx)
+            return q_apply
+
+        groups = (args.targets.split(",") if args.targets
+                  else list(analysis.QUANT_GROUPS))
+        bits = ([int(b) for b in args.block_group_bits.split(",")]
+                if args.block_group_bits else [4, 6, 8])
+        scores = analysis.block_group_sensitivity(
+            sampler, fp_apply, make_q_apply, z, y, mask, base,
+            n_blocks=fp_model.depth,
+            qctx_factory=default_qctx_factory("quant"), groups=groups,
+            bits=bits, split_timestep=args.split_timestep,
+            fp_patterns=plan.fp_patterns)
+    else:
+        targets = (args.targets.split(",") if args.targets
+                   else list(analysis.QUANT_GROUPS))
+        scores = analysis.sensitivity_scan(run_with_resolver, base, targets,
+                                           fp_patterns=plan.fp_patterns)
     os.makedirs(args.save_dir, exist_ok=True)
     out = os.path.join(args.save_dir, "sensitivity.json")
     with open(out, "w") as f:
@@ -503,7 +539,8 @@ def main(argv=None):
         ("quant-generate-mp",
          functools.partial(cmd_quant_generate, mp=True), True,
          ("--time_mp_config_weight", "--time_mp_config_act")),
-        ("get-sensitivity", cmd_get_sensitivity, True, ("--targets",)),
+        ("get-sensitivity", cmd_get_sensitivity, True,
+         ("--targets", "--block_group_bits")),
         ("sweep-alpha", cmd_sweep_alpha, True, ()),
         ("smooth-quant-list", cmd_smooth_quant_list, True, ()),
     ]:
@@ -514,6 +551,12 @@ def main(argv=None):
             _quant_args(s)
         for e in extra:
             s.add_argument(e, default=None)
+        if name == "get-sensitivity":
+            s.add_argument("--block_group_wise_quant", action="store_true",
+                           help="block x group x timestep-window mode "
+                                "(reference get_sensitivity.py "
+                                "block_group_wise_quant)")
+            s.add_argument("--split_timestep", type=int, default=4)
         if name == "smooth-quant-list":
             s.add_argument("--threshold", type=float, default=10.0)
         s.set_defaults(fn=fn)

@@ -109,6 +109,26 @@ def sensitivity_scan(run_with_resolver: Callable, base: LayerQuantSpec,
     return scores
 
 
+def _segmented_sample(sampler, fp_apply, q_apply, z, y, mask, hi, lo,
+                      qctx_factory):
+    """One generation that runs q_apply inside spaced-step window [lo, hi]
+    and fp_apply outside it (the reference's mid-loop quant-state flips,
+    gaussian_diffusion.py:691-738, as segmented scans)."""
+    import jax.numpy as jnp
+    n = sampler.schedule.n_steps
+    x2 = jnp.concatenate([z, z], axis=0)
+    if hi < n - 1:
+        x2 = sampler.denoise_range(fp_apply, x2, y, mask,
+                                   list(range(n - 1, hi, -1)))
+    x2 = sampler.denoise_range(q_apply, x2, y, mask,
+                               list(range(hi, lo - 1, -1)),
+                               qctx_factory=qctx_factory)
+    if lo > 0:
+        x2 = sampler.denoise_range(fp_apply, x2, y, mask,
+                                   list(range(lo - 1, -1, -1)))
+    return jnp.split(x2, 2, axis=0)[0]
+
+
 def timestep_window_sensitivity(sampler, fp_apply, q_apply, z, y, mask,
                                 windows, qctx_factory,
                                 fp_reference=None) -> Dict[str, float]:
@@ -118,27 +138,102 @@ def timestep_window_sensitivity(sampler, fp_apply, q_apply, z, y, mask,
 
     windows: [(hi_step, lo_step)] over sampler steps, descending.
     """
-    import jax.numpy as jnp
-    n = sampler.schedule.n_steps
     if fp_reference is None:
         fp_reference = sampler.sample(fp_apply, z, y, mask,
                                       sampler_type="ddim")
     scores = {}
     for hi, lo in windows:
-        x2 = jnp.concatenate([z, z], axis=0)
-        # FP segment above the window
-        if hi < n - 1:
-            x2 = sampler.denoise_range(fp_apply, x2, y, mask,
-                                       list(range(n - 1, hi, -1)))
-        x2 = sampler.denoise_range(q_apply, x2, y, mask,
-                                   list(range(hi, lo - 1, -1)),
-                                   qctx_factory=qctx_factory)
-        if lo > 0:
-            x2 = sampler.denoise_range(fp_apply, x2, y, mask,
-                                       list(range(lo - 1, -1, -1)))
-        out = jnp.split(x2, 2, axis=0)[0]
+        out = _segmented_sample(sampler, fp_apply, q_apply, z, y, mask,
+                                hi, lo, qctx_factory)
         scores[f"{hi}-{lo}"] = frame_mse(out, fp_reference)
     return scores
+
+
+def uniform_windows(n_steps: int, split_timestep: int = 4) -> List[Tuple[int, int]]:
+    """The reference block_group mode's uniform timestep split
+    (get_sensitivity.py:480,727-731: quant_time_list = [i*n//split], window
+    = [qtl[k], qtl[k]+n//split-1]), returned descending."""
+    qtl = [i * n_steps // split_timestep for i in range(split_timestep)]
+    size = n_steps // split_timestep
+    return [(qtl[k] + size - 1, qtl[k])
+            for k in range(split_timestep - 1, -1, -1)]
+
+
+def spec_with_bits(base: LayerQuantSpec, n_bits: int) -> LayerQuantSpec:
+    """Reset both weight and act to one bit-width (reference set_layer_bit
+    'reset' pairs, get_sensitivity.py:469-470)."""
+    w = (dataclasses.replace(base.weight, n_bits=n_bits)
+         if base.weight is not None else None)
+    a = (dataclasses.replace(base.act, n_bits=n_bits)
+         if base.act is not None else None)
+    return dataclasses.replace(base, weight=w, act=a)
+
+
+def block_group_resolver(base: LayerQuantSpec, block_idx: int, group: str,
+                         fp_patterns: Sequence[str] = ()):
+    """Quantize ONLY layers inside block `block_idx` matching `group`
+    (reference get_sensitivity.py:491-501: selected_layers =
+    'model.blocks.{j}.' in name AND group_name in name)."""
+    def resolve(name: str) -> Optional[LayerQuantSpec]:
+        if (pattern_in(name, f"blocks.{block_idx}")
+                and pattern_in(name, group)
+                and not any(pattern_in(name, p) for p in fp_patterns)):
+            return base
+        return base.disabled()
+    return resolve
+
+
+def block_group_sensitivity(sampler, fp_apply, make_q_apply, z, y, mask,
+                            base: LayerQuantSpec, n_blocks: int,
+                            qctx_factory, groups: Sequence[str] = ("attn",),
+                            bits: Sequence[int] = (8,),
+                            split_timestep: int = 4,
+                            fp_patterns: Sequence[str] = (),
+                            fp_reference=None) -> Dict[str, float]:
+    """block x group x timestep-window sensitivity (the reference's
+    block_group_wise_quant mode, get_sensitivity.py:467-521 outer loop over
+    bits, :727-741 windowed variant; gaussian_diffusion.py:728-738): for
+    each (bit, window, block, group), quantize ONLY that block's group
+    layers at that bit-width inside the timestep window, everything else
+    FP, generate, and score frame-MSE vs the FP generation.
+
+    make_q_apply(resolver) -> apply fn with that static quant layout
+    (replaces the reference's mutable set_layer_quant/set_layer_bit calls).
+    Returns {"bit{b}/{hi}-{lo}/blocks.{j}.{group}": mse}.
+    """
+    if fp_reference is None:
+        fp_reference = sampler.sample(fp_apply, z, y, mask,
+                                      sampler_type="ddim")
+    windows = uniform_windows(sampler.schedule.n_steps, split_timestep)
+    scores: Dict[str, float] = {}
+    for b in bits:
+        spec_b = spec_with_bits(base, b)
+        for j in range(n_blocks):
+            for g in groups:
+                q_apply = make_q_apply(
+                    block_group_resolver(spec_b, j, g, fp_patterns))
+                for hi, lo in windows:
+                    out = _segmented_sample(sampler, fp_apply, q_apply,
+                                            z, y, mask, hi, lo,
+                                            qctx_factory)
+                    key = f"bit{b}/{hi}-{lo}/blocks.{j}.{g}"
+                    scores[key] = frame_mse(out, fp_reference)
+    return scores
+
+
+def block_group_to_range_scores(scores: Mapping[str, float],
+                                bit: Optional[int] = None
+                                ) -> Dict[str, Dict[str, float]]:
+    """Reshape block_group_sensitivity output into the
+    {range: {layer_pattern: score}} form `generate_mp_config` consumes —
+    the closed loop the reference runs offline through metric.ipynb."""
+    out: Dict[str, Dict[str, float]] = {}
+    for key, v in scores.items():
+        bpart, rng_key, layer = key.split("/")
+        if bit is not None and bpart != f"bit{bit}":
+            continue
+        out.setdefault(rng_key, {})[layer] = v
+    return out
 
 
 # ---------------- sweep alpha ----------------
