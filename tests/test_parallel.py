@@ -119,3 +119,25 @@ def test_qat_step_reduces_loss_through_ste():
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses).all()
+
+
+def test_ulysses_pallas_kernel_composition(monkeypatch):
+    """shard_map + layout-native Pallas attention (interpret mode): the
+    SP path's per-shard attention runs the same attention_bnhd kernel as
+    single-chip (ulysses.py _local_attn dispatch) and must match sdpa —
+    round-2 VERDICT next #6."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setenv("VIDITQ_FORCE_ATTN_KERNEL", "1")
+    mesh = make_mesh(dp=1, sp=2, tp=1, devices=jax.devices()[:2])
+    rng = np.random.default_rng(1)
+    B, N, H, D = 2, 256, 8, 64  # attention_ok: N%128==0, H_local*D*2<=4096
+    q = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = ulysses_attention(q, k, v, mesh)
+    want = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), D ** -0.5).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)

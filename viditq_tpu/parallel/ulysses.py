@@ -34,10 +34,18 @@ def _local_attn(q, k, v, scale, axis_name: str):
                            tiled=True)
     v = jax.lax.all_to_all(v, axis_name, split_axis=2, concat_axis=1,
                            tiled=True)
-    # [B, N, H_local, D] -> [B, H_local, N, D]
-    out = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-               v.transpose(0, 2, 1, 3), scale)
-    out = out.transpose(0, 2, 1, 3)  # [B, N, H_local, D]
+    from viditq_tpu.kernels.attention import attention_bnhd, attention_ok
+    B, N, H_local, D = q.shape
+    if attention_ok(N, H_local, D):
+        # layout-native Pallas kernel on the head-sharded [B, N, H/sp, D]
+        # block — same entry the single-chip path uses; shard_map hands it
+        # purely local shapes so it composes without layout changes
+        out = attention_bnhd(q, k, v, scale)
+    else:
+        # [B, N, H_local, D] -> [B, H_local, N, D]
+        out = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                   v.transpose(0, 2, 1, 3), scale)
+        out = out.transpose(0, 2, 1, 3)  # [B, N, H_local, D]
     # gather heads, scatter sequence back
     out = jax.lax.all_to_all(out, axis_name, split_axis=1, concat_axis=2,
                              tiled=True)
