@@ -1,0 +1,352 @@
+"""TPU measurements for the remaining BASELINE.md configs (round-2 VERDICT
+next #3). One arm per invocation; each prints ONE JSON line with same-run
+bf16 baseline, quant ms/step (or ms/forward), speedup, and rel err.
+
+Arms:
+  w4a8      STDiT-XL/2 16x512x512 e2e ddim-20 CFG, W4A8 fused-native
+            (first on-chip exercise of 4-bit weight codes through the int8
+            MXU dataflow; plus the pack4 weight-only memory figure)
+  t20mp     STDiT-XL/2 e2e with the t20 timestep-MP plan
+            (configs/opensora/mixed_precision/t20_*.yaml) — measures the
+            segmented-scan machinery (5 ranges x separate jitted scans)
+            against the same-run single-plan arm
+  sigma1024 PixArt-Sigma XL-2 1024x1024 (latent 128) with conv KV
+            compression sr=2 on blocks 14-27, single CFG forward B=2,
+            bf16 vs W4A8 fused
+  latte     Latte-XL/2 16x256x256, W4A8 timestep-MP e2e ddim-20 vs bf16
+
+Usage: python benchmarks/bench_configs.py [w4a8|t20mp|sigma1024|latte ...]
+"""
+
+import json
+import os
+import sys
+sys.path.insert(0, "/root/repo")
+import time
+
+import numpy as np
+
+# VIDITQ_BENCH_TINY=1: shrink shapes/steps so the arm LOGIC smoke-runs on
+# CPU (numbers meaningless) — used before spending TPU time on compiles.
+TINY = os.environ.get("VIDITQ_BENCH_TINY") == "1"
+
+
+def _timer(n_warm=1, reps=3):
+    def bench(f, *args):
+        f(*args).block_until_ready()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            f(*args).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+    return bench
+
+
+def _build_variables(model, resolver, init_args, jax, jnp):
+    """Random-param init + weight-table calibration + native packing, all
+    jitted (constant-folding the calibration is pathologically slow)."""
+    from viditq_tpu.quant import QuantCtx, calibrate_weight_tables
+    from viditq_tpu.quant.native_pack import pack_native_weights
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), *init_args,
+                           QuantCtx(mode="fp")))
+
+    @jax.jit
+    def build(key):
+        leaves, treedef = jax.tree.flatten(dict(shapes))
+        keys = jax.random.split(key, len(leaves))
+        vals = [(jax.random.normal(k, s.shape, s.dtype) * 0.02
+                 if jnp.issubdtype(s.dtype, jnp.floating)
+                 else jnp.zeros(s.shape, s.dtype))
+                for k, s in zip(keys, leaves)]
+        variables = jax.tree.unflatten(treedef, vals)
+        if resolver is not None and "quant" in variables:
+            q = calibrate_weight_tables(variables["params"],
+                                        variables["quant"], resolver)
+            q = pack_native_weights(variables["params"], q, resolver)
+            variables = {"params": variables["params"], "quant": q}
+        else:
+            variables = {"params": variables["params"]}
+        return variables
+
+    out = build(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    return out
+
+
+def arm_w4a8():
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.models import STDiT_XL_2
+    from viditq_tpu.samplers import IDDPM
+    from viditq_tpu.samplers.iddpm import default_qctx_factory
+    from viditq_tpu.utils.config import load_quant_config
+
+    latent = (4, 8, 8) if TINY else (16, 64, 64)
+    n_steps = 2 if TINY else 20
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 4, *latent)) * 0.5, jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((2, 1, 120, 4096)) * 0.1,
+                    jnp.bfloat16)
+    mask = jnp.ones((1, 120), jnp.int32)
+
+    plan = load_quant_config("configs/opensora/w4a8_tpu_fused.yaml")
+    res = plan.resolver()
+    model_fp = STDiT_XL_2(input_size=latent, scan_blocks=True)
+    model_q = STDiT_XL_2(input_size=latent, resolver=res, scan_blocks=True)
+    init_args = (jnp.concatenate([z, z]), jnp.zeros((2,)), y, mask)
+    fp_vars = _build_variables(model_fp, None, init_args, jax, jnp)
+    q_vars = _build_variables(model_q, res, init_args, jax, jnp)
+    q_vars = {"params": fp_vars["params"], "quant": q_vars["quant"]}
+    # repack against the shared params so rel-err is vs the same weights
+    from viditq_tpu.quant import calibrate_weight_tables
+    from viditq_tpu.quant.native_pack import pack_native_weights
+
+    @jax.jit
+    def recal(p, q):
+        q = jax.tree.map(jnp.zeros_like, q)
+        q = calibrate_weight_tables(p, q, res)
+        return pack_native_weights(p, q, res)
+    q_vars["quant"] = recal(q_vars["params"], q_vars["quant"])
+
+    sampler = IDDPM(num_sampling_steps=n_steps, cfg_scale=4.0)
+    qf = default_qctx_factory("quant")
+
+    @jax.jit
+    def fp_denoise(vs, z):
+        return sampler.sample(lambda x, t, yy, mm, qctx:
+                              model_fp.apply(vs, x, t, yy, mm),
+                              z, y, mask, sampler_type="ddim")
+
+    @jax.jit
+    def q_denoise(vs, z):
+        return sampler.sample(lambda x, t, yy, mm, qctx:
+                              model_q.apply(vs, x, t, yy, mm, qctx),
+                              z, y, mask, sampler_type="ddim",
+                              qctx_factory=qf)
+
+    bench = _timer()
+    t_fp = bench(fp_denoise, fp_vars, z) / n_steps
+    t_q = bench(q_denoise, q_vars, z) / n_steps
+    out_fp = fp_denoise(fp_vars, z)
+    out_q = q_denoise(q_vars, z)
+    rel = float(jnp.linalg.norm((out_q - out_fp).astype(jnp.float32))
+                / jnp.linalg.norm(out_fp.astype(jnp.float32)))
+    print(json.dumps({
+        "arm": "w4a8_native_stdit_xl2_16x512x512",
+        "bf16_ms_per_step": round(t_fp * 1e3, 2),
+        "w4a8_ms_per_step": round(t_q * 1e3, 2),
+        "speedup": round(t_fp / t_q, 3),
+        "rel_err_vs_bf16": round(rel, 4),
+        "weight_mem_reduction_x": 4,
+    }))
+
+
+def arm_t20mp():
+    import yaml
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.models import STDiT_XL_2
+    from viditq_tpu.pipelines.mixed_precision import mp_quant_sample
+    from viditq_tpu.samplers import IDDPM
+    from viditq_tpu.utils.config import load_quant_config
+
+    latent = (4, 8, 8) if TINY else (16, 64, 64)
+    n_steps = 20  # the t20 plan tiles exactly 20 steps
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 4, *latent)) * 0.5, jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((2, 1, 120, 4096)) * 0.1,
+                    jnp.bfloat16)
+    mask = jnp.ones((1, 120), jnp.int32)
+
+    plan = load_quant_config("configs/opensora/w4a8_timestep_aware_cb.yaml")
+    # MP needs both bits calibrated; the plan already carries
+    # mixed_precision (4, 8) tables
+    res = plan.resolver()
+
+    def model_ctor(r):
+        return STDiT_XL_2(input_size=latent, resolver=r, scan_blocks=True)
+
+    model = model_ctor(res)
+    init_args = (jnp.concatenate([z, z]), jnp.zeros((2,)), y, mask)
+    variables = _build_variables(model, res, init_args, jax, jnp)
+
+    with open("configs/opensora/mixed_precision/t20_weight_4_mp.yaml") as f:
+        mp_w = yaml.safe_load(f)
+    with open("configs/opensora/mixed_precision/t20_act_8_mp.yaml") as f:
+        mp_a = yaml.safe_load(f)
+
+    sampler = IDDPM(num_sampling_steps=n_steps, cfg_scale=4.0)
+    model_fp = STDiT_XL_2(input_size=latent, scan_blocks=True)
+    fp_vars = {"params": variables["params"]}
+
+    @jax.jit
+    def fp_denoise(vs, z):
+        return sampler.sample(lambda x, t, yy, mm, qctx:
+                              model_fp.apply(vs, x, t, yy, mm),
+                              z, y, mask, sampler_type="ddim")
+
+    def mp_run(z):
+        return mp_quant_sample(model_ctor, variables, sampler, z, y, mask,
+                               plan, mp_w, mp_a)
+
+    bench = _timer()
+    t_fp = bench(fp_denoise, fp_vars, z) / n_steps
+    # mp_quant_sample drives several jitted segment scans; time wall-clock
+    mp_run(z).block_until_ready()   # compile all segments
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mp_run(z).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    t_mp = min(ts) / n_steps
+    print(json.dumps({
+        "arm": "t20_timestep_mp_stdit_xl2_16x512x512",
+        "bf16_ms_per_step": round(t_fp * 1e3, 2),
+        "t20mp_ms_per_step": round(t_mp * 1e3, 2),
+        "speedup": round(t_fp / t_mp, 3),
+        "n_ranges": len([k for k in mp_w if k != "fp_layers"]),
+    }))
+
+
+def arm_sigma1024():
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.models import PixArtMS_XL_2
+    from viditq_tpu.quant import QuantCtx
+    from viditq_tpu.utils.config import load_quant_config
+
+    plan = load_quant_config("configs/pixart_sigma/w4a8_tpu_fused.yaml") \
+        if __import__("os").path.exists(
+            "configs/pixart_sigma/w4a8_tpu_fused.yaml") \
+        else load_quant_config("configs/opensora/w4a8_tpu_fused.yaml")
+    res = plan.resolver()
+    size = 16 if TINY else 128
+    kw = dict(input_size=size, caption_channels=4096, model_max_length=300,
+              kv_compress_sampling="conv", kv_compress_scale=2,
+              kv_compress_layers=tuple(range(14, 28)), scan_blocks=True)
+    model_fp = PixArtMS_XL_2(**kw)
+    model_q = PixArtMS_XL_2(resolver=res, **kw)
+
+    rng = np.random.default_rng(0)
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, 4, size, size)) * 0.5,
+                    jnp.bfloat16)
+    t = jnp.asarray([500.0] * B, jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, 1, 300, 4096)) * 0.1,
+                    jnp.bfloat16)
+    mask = jnp.ones((B, 300), jnp.int32)
+    init_args = (x, t, y, mask)
+    fp_vars = _build_variables(model_fp, None, init_args, jax, jnp)
+    q_vars = _build_variables(model_q, res, init_args, jax, jnp)
+
+    qctx = QuantCtx(mode="quant", t_id=jnp.asarray(500, jnp.int32))
+
+    @jax.jit
+    def fp_fwd(vs, x):
+        return model_fp.apply(vs, x, t, y, mask)
+
+    @jax.jit
+    def q_fwd(vs, x):
+        return model_q.apply(vs, x, t, y, mask, qctx)
+
+    bench = _timer()
+    t_fp = bench(fp_fwd, fp_vars, x)
+    t_q = bench(q_fwd, q_vars, x)
+    print(json.dumps({
+        "arm": "pixart_sigma_1024_kvcompress_w4a8",
+        "bf16_ms_per_fwd": round(t_fp * 1e3, 2),
+        "w4a8_ms_per_fwd": round(t_q * 1e3, 2),
+        "speedup": round(t_fp / t_q, 3),
+    }))
+
+
+def arm_latte():
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.models import Latte_XL_2
+    from viditq_tpu.pipelines.mixed_precision import mp_quant_sample
+    from viditq_tpu.pipelines.analysis import (block_group_to_range_scores,
+                                               generate_mp_config)  # noqa
+    from viditq_tpu.samplers import IDDPM
+    from viditq_tpu.utils.config import load_quant_config
+
+    latent = (4, 8, 8) if TINY else (16, 32, 32)
+    n_steps = 20  # mp_w tiles 20 steps
+    plan = load_quant_config("configs/opensora/w4a8_timestep_aware_cb.yaml")
+    res = plan.resolver()
+
+    def model_ctor(r):
+        return Latte_XL_2(input_size=latent, condition="text",
+                          caption_channels=4096, resolver=r)
+
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 4, *latent)) * 0.5, jnp.bfloat16)
+    y_c = jnp.asarray(rng.standard_normal((1, 1, 1, 4096)) * 0.1,
+                      jnp.bfloat16)
+    y = jnp.concatenate([y_c, y_c * 0], axis=0)
+    mask = None
+
+    model = model_ctor(res)
+    init_args = (z, jnp.zeros((1,)), y[:1])
+    variables = _build_variables(model, res, init_args, jax, jnp)
+
+    # uniform 4-range MP: attn 4-bit, mlp 8-bit in the middle ranges,
+    # everything 8-bit at the ends (a t20-style allocation for Latte)
+    names_a = [f"blocks_{i}.attn" for i in range(28)]
+    names_m = [f"blocks_{i}.mlp" for i in range(28)]
+    mp_w = {"fp_layers": []}
+    for rng_key, attn_bits in (("19-15", 8), ("14-10", 4), ("9-5", 4),
+                               ("4-0", 8)):
+        mp_w[rng_key] = {**{n: attn_bits for n in names_a},
+                         **{n: 8 for n in names_m}}
+
+    sampler = IDDPM(num_sampling_steps=n_steps, cfg_scale=4.0)
+    model_fp = Latte_XL_2(input_size=latent, condition="text",
+                          caption_channels=4096)
+    fp_vars = {"params": variables["params"]}
+
+    @jax.jit
+    def fp_denoise(vs, z):
+        return sampler.sample(lambda x, t, yy, mm, qctx:
+                              model_fp.apply(vs, x, t, yy),
+                              z, y, mask, sampler_type="ddim")
+
+    def mp_run(z):
+        return mp_quant_sample(model_ctor, variables, sampler, z, y, mask,
+                               plan, mp_w, None)
+
+    bench = _timer()
+    t_fp = bench(fp_denoise, fp_vars, z) / n_steps
+    mp_run(z).block_until_ready()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mp_run(z).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    t_mp = min(ts) / n_steps
+    print(json.dumps({
+        "arm": "latte_xl2_16x256x256_w4a8_timestep_mp",
+        "bf16_ms_per_step": round(t_fp * 1e3, 2),
+        "w4a8mp_ms_per_step": round(t_mp * 1e3, 2),
+        "speedup": round(t_fp / t_mp, 3),
+    }))
+
+
+ARMS = {"w4a8": arm_w4a8, "t20mp": arm_t20mp, "sigma1024": arm_sigma1024,
+        "latte": arm_latte}
+
+
+def main(names):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    for n in names or list(ARMS):
+        print(f"=== {n} ===", file=sys.stderr, flush=True)
+        ARMS[n]()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
