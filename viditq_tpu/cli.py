@@ -474,9 +474,12 @@ def cmd_extract_features(args):
 
 
 def cmd_train(args):
-    """Reference t2v/scripts/train.py (synthetic-data smoke by default;
-    wire DatasetFromCSV + batch_iterator for real data)."""
-    from viditq_tpu.pipelines.train import train_loop
+    """Reference t2v/scripts/train.py: synthetic-data smoke by default;
+    --data_path drives the epoch-structured resumable loop over a CSV
+    dataset with on-the-fly VAE encoding (train.py:93-120,218-224)."""
+    import jax
+    from viditq_tpu.pipelines.train import (make_encode_batch, train_entry,
+                                            train_loop)
     from viditq_tpu.parallel.mesh import make_mesh
     from viditq_tpu.utils import workload
     cfg = workload.load_py_config(args.config)
@@ -488,11 +491,32 @@ def cmd_train(args):
     mesh = None
     if args.dp * args.sp * args.tp > 1:
         mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp)
-    out = train_loop(model, None, latent_shape=(4, *ls),
-                     caption_shape=cap_shape, num_steps=args.num_steps,
-                     lr=args.lr, ckpt_every=args.ckpt_every,
-                     save_dir=args.save_dir, mesh=mesh)
-    print(f"trained {args.num_steps} steps; final loss "
+    kw = dict(latent_shape=(4, *ls), caption_shape=cap_shape,
+              lr=args.lr, ckpt_every=args.ckpt_every,
+              save_dir=args.save_dir, mesh=mesh,
+              grad_accum=args.grad_accum, grad_clip=args.grad_clip,
+              warmup_steps=args.warmup_steps)
+    if args.data_path:
+        from viditq_tpu.data.datasets import DatasetFromCSV
+        num_frames = cfg.get("num_frames")
+        dataset = DatasetFromCSV(args.data_path, num_frames=num_frames,
+                                 image_size=tuple(cfg.get("image_size",
+                                                          (256, 256))))
+        vae, vae_vars = None, None
+        if not args.no_vae:
+            vae = workload.build_vae(cfg)
+            sample = jax.numpy.asarray(dataset[0]["video"])[None]
+            vae_vars = vae.init(jax.random.PRNGKey(0), sample,
+                                method=vae.encode)
+        out = train_entry(model, dataset, epochs=args.epochs,
+                          batch_size=args.batch_size,
+                          encode_batch=make_encode_batch(
+                              vae, vae_vars, null_caption_shape=cap_shape),
+                          resume_from=args.resume_from, **kw)
+    else:
+        out = train_loop(model, None, num_steps=args.num_steps,
+                         resume_from=args.resume_from, **kw)
+    print(f"trained; final loss "
           f"{out['losses'][-1] if out['losses'] else float('nan'):.4f}")
 
 
@@ -587,6 +611,17 @@ def main(argv=None):
     s.add_argument("--dp", type=int, default=1)
     s.add_argument("--sp", type=int, default=1)
     s.add_argument("--tp", type=int, default=1)
+    s.add_argument("--data_path", default=None,
+                   help="CSV dataset (path,text rows); omit for synthetic")
+    s.add_argument("--epochs", type=int, default=1)
+    s.add_argument("--batch_size", type=int, default=2)
+    s.add_argument("--grad_accum", type=int, default=1)
+    s.add_argument("--grad_clip", type=float, default=0.0)
+    s.add_argument("--warmup_steps", type=int, default=0)
+    s.add_argument("--resume_from", default=None,
+                   help="train_state_*.msgpack checkpoint to resume")
+    s.add_argument("--no_vae", action="store_true",
+                   help="feed pixel batches directly (tiny-latent smoke)")
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("calibrate-ptqd-k")

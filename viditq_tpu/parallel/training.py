@@ -23,10 +23,23 @@ from viditq_tpu.samplers.gaussian_diffusion import Schedule, training_losses
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
-                   ema_decay: float = 0.9999) -> optax.GradientTransformation:
-    """HybridAdam-equivalent (train.py:150-156) as optax adamw."""
+                   ema_decay: float = 0.9999, grad_clip: float = 0.0,
+                   warmup_steps: int = 0) -> optax.GradientTransformation:
+    """HybridAdam-equivalent (train.py:150-156) as optax adamw.
+
+    grad_clip mirrors the reference ZeRO plugin's max_norm
+    (train.py:70-75); warmup is linear 0->lr over warmup_steps (the
+    reference runs lr_scheduler=None, so 0 disables it)."""
     del ema_decay
-    return optax.adamw(lr, weight_decay=weight_decay)
+    # keep the opt_state STRUCTURE invariant to grad_clip/warmup choices
+    # (a checkpoint saved with clipping must restore into a run without,
+    # utils/ckpt.load_train_state templates): always chain a clip (inf =
+    # no-op) and always use a schedule (constant when no warmup)
+    schedule = (optax.linear_schedule(0.0, lr, warmup_steps)
+                if warmup_steps else optax.constant_schedule(lr))
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip if grad_clip else float("inf")),
+        optax.adamw(schedule, weight_decay=weight_decay))
 
 
 def update_ema(ema_params, params, decay: float = 0.9999):
@@ -39,7 +52,8 @@ def make_train_step(model, schedule: Schedule,
                     optimizer: optax.GradientTransformation,
                     in_channels: int = 4, ema_decay: float = 0.9999,
                     loss_type: str = "mse",
-                    schedule_sampler: Optional[str] = None):
+                    schedule_sampler: Optional[str] = None,
+                    grad_accum: int = 1):
     """Returns train_step(params, ema, opt_state, batch, rng) ->
     (params, ema, opt_state, loss).
 
@@ -49,6 +63,11 @@ def make_train_step(model, schedule: Schedule,
     loss_type: 'mse' (fast path) | 'rescaled_mse' | 'kl' | 'rescaled_kl'
     (the reference training_losses loss types; non-mse adds the
     variational-bound term training the variance head).
+    grad_accum: split the batch into grad_accum microbatches scanned
+    inside the jitted step, averaging gradients before one optimizer
+    update (B must divide evenly). The reference has no accumulation
+    (ZeRO backward per batch); on TPU it trades peak activation memory
+    for scan steps without touching semantics.
     schedule_sampler: None/'uniform' keeps the batch's t;
     'loss-second-moment' returns a step with signature
     (params, ema, opt_state, batch, rng, sampler_state) ->
@@ -69,6 +88,8 @@ def make_train_step(model, schedule: Schedule,
         return terms["loss"], terms
 
     if schedule_sampler == "loss-second-moment":
+        assert grad_accum == 1, \
+            "grad_accum is not supported with loss-second-moment sampling"
         from viditq_tpu.samplers.diffusion_losses import (
             LossSecondMomentResampler)
         resampler = LossSecondMomentResampler(schedule.n_steps)
@@ -95,14 +116,40 @@ def make_train_step(model, schedule: Schedule,
         train_step_ls.init_sampler_state = resampler.init
         return train_step_ls
 
-    def train_step(params, ema, opt_state, batch, rng):
+    def batch_grads(params, batch, rng):
         noise = jax.random.normal(rng, batch["x0"].shape, jnp.float32)
 
         def loss_fn(p):
             losses, _ = per_sample_loss(p, batch, batch["t"], noise)
             return jnp.mean(losses)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return jax.value_and_grad(loss_fn)(params)
+
+    def train_step(params, ema, opt_state, batch, rng):
+        if grad_accum == 1:
+            loss, grads = batch_grads(params, batch, rng)
+        else:
+            def split(v):
+                assert v.shape[0] % grad_accum == 0, (
+                    f"batch {v.shape[0]} not divisible by "
+                    f"grad_accum {grad_accum}")
+                return v.reshape((grad_accum, v.shape[0] // grad_accum)
+                                 + v.shape[1:])
+
+            micro = jax.tree.map(split, batch)
+            rngs = jax.random.split(rng, grad_accum)
+
+            def body(carry, inp):
+                g_acc, l_acc = carry
+                mb, mrng = inp
+                l, g = batch_grads(params, mb, mrng)
+                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+            init = (jax.tree.map(jnp.zeros_like, params),
+                    jnp.zeros((), jnp.float32))
+            (g_sum, l_sum), _ = jax.lax.scan(body, init, (micro, rngs))
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+            loss = l_sum / grad_accum
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         ema = update_ema(ema, params, ema_decay)

@@ -18,6 +18,7 @@ import os
 import pickle
 from typing import Dict, Mapping, Optional
 
+import jax
 import numpy as np
 from flax import serialization, traverse_util
 
@@ -186,6 +187,40 @@ def save_params(path: str, params: Dict):
 def load_params(path: str, template: Dict) -> Dict:
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+def save_train_state(path: str, params: Dict, ema: Dict, opt_state,
+                     meta: Optional[Dict] = None):
+    """Full resumable training checkpoint (role of the reference booster
+    `save` in ckpt_utils.py: model + ema + optimizer + epoch/step/sampler
+    counters, train.py:243-257): one msgpack tree + a JSON meta sidecar
+    `<path>.meta.json` holding the python-side counters."""
+    import json
+
+    state = {"params": jax.tree.map(np.asarray, params),
+             "ema": jax.tree.map(np.asarray, ema),
+             "opt_state": jax.tree.map(np.asarray, opt_state)}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta or {}, f)
+
+
+def load_train_state(path: str, params_template: Dict,
+                     opt_state_template) -> tuple:
+    """Returns (params, ema, opt_state, meta). Templates supply the pytree
+    structure (build them with model.init + optimizer.init)."""
+    import json
+
+    target = {"params": params_template, "ema": params_template,
+              "opt_state": opt_state_template}
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(target, f.read())
+    meta = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    return state["params"], state["ema"], state["opt_state"], meta
 
 
 def save_quant_ckpt(path: str, quant_vars: Dict, meta: Optional[Dict] = None):
