@@ -13,6 +13,7 @@ pure-torch equivalents:
 
 import importlib
 import importlib.machinery
+import os
 import sys
 import types
 
@@ -484,3 +485,16 @@ def load_latte_module():
     DiT subclass with alternating spatial/temporal blocks)."""
     load_dit_module()  # latte imports `from opensora.models.dit import DiT`
     return importlib.import_module("opensora.models.latte.latte")
+
+
+def load_video_transforms_module():
+    """Import the reference video transform zoo
+    (t2v/opensora/datasets/video_transforms.py — pure torch, no stubs
+    needed) directly from the read-only mount."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_video_transforms",
+        os.path.join(REF_T2V, "opensora/datasets/video_transforms.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod

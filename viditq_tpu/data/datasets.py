@@ -45,20 +45,25 @@ def load_image(path: str, size: Tuple[int, int]) -> np.ndarray:
     return normalize(center_crop_resize(img, size)).transpose(2, 0, 1)
 
 
-def load_video(path: str, num_frames: int, size: Tuple[int, int],
-               frame_interval: int = 1) -> np.ndarray:
-    """-> [C, T, H, W]. Accepts a .npz (key 'video' [T,H,W,C] uint8) or a
-    directory of frame images."""
+def load_raw_frames(path: str) -> np.ndarray:
+    """-> [T, H, W, C] uint8. Accepts a .npz (key 'video') or a directory
+    of frame images (the formats `save_sample` writes; mp4 decode needs
+    codecs this image lacks)."""
     if path.endswith(".npz"):
-        frames = np.load(path)["video"]
-    elif os.path.isdir(path):
+        return np.load(path)["video"]
+    if os.path.isdir(path):
         from PIL import Image
         names = sorted(os.listdir(path))
-        frames = np.stack([np.asarray(Image.open(os.path.join(path, n))
-                                      .convert("RGB")) for n in names])
-    else:
-        raise ValueError(f"unsupported video source {path} "
-                         "(mp4 decode unavailable; use frames dir or npz)")
+        return np.stack([np.asarray(Image.open(os.path.join(path, n))
+                                    .convert("RGB")) for n in names])
+    raise ValueError(f"unsupported video source {path} "
+                     "(mp4 decode unavailable; use frames dir or npz)")
+
+
+def load_video(path: str, num_frames: int, size: Tuple[int, int],
+               frame_interval: int = 1) -> np.ndarray:
+    """-> [C, T, H, W]."""
+    frames = load_raw_frames(path)
     idx = np.arange(0, len(frames), frame_interval)[:num_frames]
     if len(idx) < num_frames:  # loop-pad short clips
         idx = np.resize(idx, num_frames)
@@ -67,17 +72,29 @@ def load_video(path: str, num_frames: int, size: Tuple[int, int],
 
 
 class DatasetFromCSV:
-    """CSV of `path,text[,label]` rows (reference datasets.py:38-115)."""
+    """CSV of `path,text[,label]` rows (reference datasets.py:38-115).
+
+    transform=None keeps the built-in center-crop-resize + normalize
+    path; passing a transform (e.g. transforms.get_transforms_video)
+    reproduces the reference getitem: TemporalRandomCrop window ->
+    linspace frame indices -> transform([T, H, W, C] raw) -> [T, C, H, W]
+    -> CTHW (datasets.py:74-102)."""
 
     def __init__(self, csv_path: str, num_frames: Optional[int] = None,
                  image_size: Tuple[int, int] = (256, 256),
-                 frame_interval: int = 1, root: str = ""):
+                 frame_interval: int = 1, root: str = "",
+                 transform=None, temporal_sample=None):
         with open(csv_path) as f:
             self.rows = [r for r in csv.reader(f) if r]
         self.num_frames = num_frames
         self.image_size = image_size
         self.frame_interval = frame_interval
         self.root = root
+        self.transform = transform
+        if transform is not None and num_frames and temporal_sample is None:
+            from viditq_tpu.data.transforms import TemporalRandomCrop
+            temporal_sample = TemporalRandomCrop(num_frames * frame_interval)
+        self.temporal_sample = temporal_sample
 
     def __len__(self):
         return len(self.rows)
@@ -86,6 +103,20 @@ class DatasetFromCSV:
         row = self.rows[i]
         path = os.path.join(self.root, row[0])
         text = row[1] if len(row) > 1 else ""
+        if self.transform is not None:
+            if self.num_frames:
+                raw = load_raw_frames(path)
+                begin, end = (self.temporal_sample(len(raw))
+                              if self.temporal_sample else (0, len(raw)))
+                assert end - begin >= self.num_frames, \
+                    f"{path} has not enough frames"
+                idx = np.linspace(begin, end - 1, self.num_frames, dtype=int)
+                clip = self.transform(raw[idx])          # [T, C, H, W]
+            else:
+                from PIL import Image
+                img = np.asarray(Image.open(path).convert("RGB"))
+                clip = self.transform(img)               # [1, C, H, W]
+            return {"video": clip.transpose(1, 0, 2, 3), "text": text}
         if self.num_frames is None:
             x = load_image(path, self.image_size)
         else:
