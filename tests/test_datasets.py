@@ -63,3 +63,44 @@ def test_batch_iterator(tmp_path):
     assert len(batches) == 2
     assert batches[0]["video"].shape == (2, 3, 2, 8, 8)
     assert batches[0]["text"] == ["clip 0", "clip 1"]
+
+
+def test_prepare_dataloader_matches_serial(tmp_path):
+    from viditq_tpu.data.datasets import prepare_dataloader
+    frames = np.random.default_rng(3).integers(0, 255, (4, 8, 8, 3),
+                                               np.uint8)
+    vids = []
+    for i in range(6):
+        p = tmp_path / f"v{i}.npz"
+        np.savez(p, video=frames + i)
+        vids.append(p)
+    csv_path = tmp_path / "d.csv"
+    csv_path.write_text("\n".join(f"{v},clip {i}" for i, v in
+                                  enumerate(vids)))
+    ds = DatasetFromCSV(str(csv_path), num_frames=2, image_size=(8, 8))
+    serial = list(batch_iterator(ds, StatefulSampler(len(ds), shuffle=False),
+                                 2))
+    parallel = list(prepare_dataloader(ds,
+                                       StatefulSampler(len(ds),
+                                                       shuffle=False),
+                                       2, num_workers=3))
+    assert len(parallel) == len(serial) == 3
+    for a, b in zip(parallel, serial):
+        np.testing.assert_array_equal(a["video"], b["video"])
+        assert a["text"] == b["text"]
+
+
+def test_prepare_dataloader_propagates_errors(tmp_path):
+    from viditq_tpu.data.datasets import prepare_dataloader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        list(prepare_dataloader(Bad(), StatefulSampler(4, shuffle=False),
+                                2, num_workers=2))

@@ -209,6 +209,20 @@ def cmd_ptq(args):
     logger = setup_logger(args.save_dir, "ptq_run")
     log_invocation(logger, args)
     cfg, plan, resolver, model, sampler = _setup(args, quant=True)
+    # snapshot the quant plan beside the outputs for reproducibility
+    # (reference ptq.py:41-47 copies the YAML + qdiff tree; ptq.py:135-148
+    # rewrites --smooth_quant_alpha into the copy)
+    os.makedirs(args.save_dir, exist_ok=True)
+    with open(args.ptq_config) as f:
+        plan_yaml = __import__("yaml").safe_load(f)
+    if getattr(args, "smooth_quant_alpha", None) is not None:
+        sq = (plan_yaml.get("quant", {}).get("activation", {})
+              .get("quantizer", {}).get("smooth_quant"))
+        if sq:
+            sq["alpha"] = args.smooth_quant_alpha
+    with open(os.path.join(args.save_dir, "quant_config_snapshot.yaml"),
+              "w") as f:
+        __import__("yaml").safe_dump(plan_yaml, f, sort_keys=False)
     data = np.load(args.calib_data)
     calib = {"xs": data["xs"], "ts": data["ts"], "y": data["y"],
              "mask": data["mask"] if data["mask"].size else None}

@@ -177,14 +177,61 @@ class StatefulSampler:
         self.start_index = 0
 
 
+def _collate(batch):
+    return {k: np.stack([b[k] for b in batch])
+            if not isinstance(batch[0][k], str)
+            else [b[k] for b in batch] for k in batch[0]}
+
+
 def batch_iterator(dataset, sampler: StatefulSampler, batch_size: int):
     """Minimal prepare_dataloader (datasets/utils.py:64) replacement."""
     batch = []
     for idx in sampler:
         batch.append(dataset[int(idx)])
         if len(batch) == batch_size:
-            out = {k: np.stack([b[k] for b in batch])
-                   if not isinstance(batch[0][k], str)
-                   else [b[k] for b in batch] for k in batch[0]}
-            yield out
+            yield _collate(batch)
             batch = []
+
+
+def prepare_dataloader(dataset, sampler: StatefulSampler, batch_size: int,
+                       num_workers: int = 0, prefetch: int = 2):
+    """Worker-parallel, prefetching loader (reference prepare_dataloader,
+    datasets/utils.py:64-85: torch DataLoader with num_workers + pinned
+    memory). TPU idiom: item loads run in a thread pool and `prefetch`
+    collated batches are staged ahead by a producer thread, overlapping
+    host-side decode/transform with device compute. num_workers=0 falls
+    back to the serial batch_iterator."""
+    if num_workers <= 0:
+        yield from batch_iterator(dataset, sampler, batch_size)
+        return
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+    _END = object()
+
+    def produce():
+        try:
+            with ThreadPoolExecutor(num_workers) as pool:
+                batch_idx = []
+                for idx in sampler:
+                    batch_idx.append(int(idx))
+                    if len(batch_idx) == batch_size:
+                        items = list(pool.map(dataset.__getitem__,
+                                              batch_idx))
+                        q.put(_collate(items))
+                        batch_idx = []
+            q.put(_END)
+        except BaseException as e:  # surface loader errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        out = q.get()
+        if out is _END:
+            break
+        if isinstance(out, BaseException):
+            raise out
+        yield out
