@@ -145,9 +145,17 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
             # block_q=128 (where it compiles) it measured SLOWER than this
             # eager form (14.2 vs 13.3 ms/block sm8 arm) — BENCH_NOTES
             # round-3.
-            p = e * (1.0 / r)
+            import os as _os
+            if _os.environ.get("VIDITQ_ATTN_BF16P") == "1":
+                # bisect arm: cast e to bf16 BEFORE the normalize multiply
+                # so the [bq, bkv] VPU mult runs at half bandwidth (row
+                # stats m/r stay f32) — round-2 VERDICT #1b second half
+                p = (e.astype(jnp.bfloat16)
+                     * (1.0 / r).astype(jnp.bfloat16))
+            else:
+                p = (e * (1.0 / r)).astype(v.dtype)
             o = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                p, v.astype(p.dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         if emit_int8:
             oacc_ref[:, h * d:(h + 1) * d] = o
