@@ -179,6 +179,12 @@ def main():
             "denoise_steps_per_sec": round(1.0 / best, 3),
             "weight_mem_reduction_x": 4,
             "serving_batch_speedup": {"B4": 1.357, "B8": 1.347},
+            # generation-quality gates (tiny-e2e rel err vs FP; BENCH_NOTES
+            # round-3d + tests/test_quality_gates.py — plan semantics are
+            # backend-independent)
+            "quality_rel_err_vs_fp": {"w8a8_tpu_fused": 0.0095,
+                                      "w8a8_tpu_fused_sym": 0.0119,
+                                      "w8a8_tpu_fused_sm8": 0.0119},
             "sampler": f"ddim-{n_steps} cfg2x", "latent": list(latent),
             "note": ("round-2: the v5e MXU delivers the full 2x int8 rate "
                      "(384 vs 183 TOPS measured); 'fused' runs every linear "
