@@ -226,12 +226,29 @@ class STDiT(nn.Module):
 
     @nn.compact
     def __call__(self, x, timestep, y, mask=None,
-                 qctx: Optional[QuantCtx] = None):
+                 qctx: Optional[QuantCtx] = None, stage: str = "all",
+                 x_tokens=None):
         """x: [B, C, T, H, W]; timestep: [B]; y: [B, 1, L, C_cap] or
         [B, L, C_cap]; mask: [B, L] or [B0, L] with B = 2*B0 (CFG doubling,
-        stdit.py:282-297). Returns [B, C_out, T, H, W]."""
+        stdit.py:282-297). Returns [B, C_out, T, H, W].
+
+        stage: 'all' (default) is the full forward; 'embed' stops before
+        the block stack and returns (x_tokens, t0, y, mask, tpe); 'final'
+        takes the block-stack output via x_tokens and runs the head. The
+        split lets parallel/pipeline.py run the block stack
+        pipeline-parallel while the (cheap) embed/final parts stay
+        GSPMD-replicated."""
         B = x.shape[0]
         T, S, C = self.num_temporal, self.num_spatial, self.hidden_size
+
+        if stage == "final":
+            t = TimestepEmbedder(C, dtype=self.dtype,
+                                 name="t_embedder")(timestep)
+            out = T2IFinalLayer(int(np.prod(self.patch_size)),
+                                self.out_channels, resolver=self.resolver,
+                                dtype=self.dtype,
+                                name="final_layer")(x_tokens, t, qctx)
+            return self.unpatchify(out).astype(jnp.float32)
 
         x = PatchEmbed3D(self.patch_size, C, resolver=self.resolver,
                          dtype=self.dtype,
@@ -258,6 +275,8 @@ class STDiT(nn.Module):
 
         tpe = (None if self.no_temporal_pos_emb
                else jnp.asarray(self.temporal_pos_embed(), self.dtype))
+        if stage == "embed":
+            return x, t0, y, mask, tpe
         if qctx is not None and qctx.capture:
             # shared per-batch block context for block reconstruction
             self.sow("intermediates", "block_ctx_y", y)

@@ -21,14 +21,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = 1, sp: int = 1, tp: int = 1,
+def make_mesh(dp: int = 1, sp: int = 1, tp: int = 1, pp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    need = dp * sp * tp
+    need = dp * sp * tp * pp
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    arr = np.asarray(devices[:need]).reshape(dp, sp, tp)
-    return Mesh(arr, ("dp", "sp", "tp"))
+    arr = np.asarray(devices[:need]).reshape(dp, sp, tp, pp)
+    return Mesh(arr, ("dp", "sp", "tp", "pp"))
 
 
 def param_sharding_rules(path_str: str) -> P:
