@@ -141,3 +141,67 @@ def test_ulysses_pallas_kernel_composition(monkeypatch):
                 v.transpose(0, 2, 1, 3), D ** -0.5).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_ring_attention_matches_sdpa():
+    """parallel/ring.py: k/v ring rotation + online softmax == sdpa, with
+    an sp size LARGER than the head count (ulysses can't run this)."""
+    mesh = make_mesh(dp=1, sp=8, tp=1)
+    from viditq_tpu.parallel.ring import ring_attention
+    rng = np.random.default_rng(0)
+    B, N, H, D = 2, 64, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+    out = ring_attention(q, k, v, mesh)
+    want = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), D ** -0.5).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_stdit_model_level_ring_sp():
+    """STDiT sp_mode='auto' with heads NOT divisible by sp: the ring path
+    engages (ulysses would bail to local attention) and matches the
+    non-parallel model."""
+    import jax.numpy as jnp
+    from viditq_tpu.models import STDiT
+    mesh = make_mesh(dp=1, sp=4, tp=1, devices=jax.devices()[:4])
+    kw = dict(input_size=(4, 16, 16), in_channels=4, patch_size=(1, 2, 2),
+              hidden_size=64, depth=2, num_heads=2, caption_channels=32,
+              model_max_length=8, dtype=jnp.float32)
+    base = STDiT(**kw)
+    spm = STDiT(sp_mesh=mesh, **kw)  # heads=2, sp=4 -> auto picks ring
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 16, 16)), jnp.float32)
+    t = jnp.asarray([500.0, 100.0])
+    y = jnp.asarray(rng.standard_normal((2, 1, 8, 32)), jnp.float32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    variables = base.init(jax.random.PRNGKey(0), x, t, y, mask)
+    out_base = base.apply(variables, x, t, y, mask)
+    out_sp = spm.apply(variables, x, t, y, mask)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_base),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_stdit_forced_ring_matches_ulysses():
+    """sp_mode='ring' forced on a ulysses-compatible config: both modes
+    equal the base model."""
+    import jax.numpy as jnp
+    from viditq_tpu.models import STDiT
+    mesh = make_mesh(dp=1, sp=4, tp=1, devices=jax.devices()[:4])
+    kw = dict(input_size=(4, 16, 16), in_channels=4, patch_size=(1, 2, 2),
+              hidden_size=64, depth=2, num_heads=4, caption_channels=32,
+              model_max_length=8, dtype=jnp.float32)
+    base = STDiT(**kw)
+    ring = STDiT(sp_mesh=mesh, sp_mode="ring", **kw)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 16, 16)), jnp.float32)
+    t = jnp.asarray([500.0, 100.0])
+    y = jnp.asarray(rng.standard_normal((2, 1, 8, 32)), jnp.float32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    variables = base.init(jax.random.PRNGKey(0), x, t, y, mask)
+    out_base = base.apply(variables, x, t, y, mask)
+    out_ring = ring.apply(variables, x, t, y, mask)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_base),
+                               rtol=5e-4, atol=5e-4)

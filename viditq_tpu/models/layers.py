@@ -312,6 +312,10 @@ class SelfAttention(nn.Module):
     # attention runs via all-to-all head-scatter/seq-gather (the reference's
     # SeqParallelAttention, blocks.py:198-274)
     sp_mesh: Any = None
+    # 'ulysses' | 'ring' | 'auto': auto picks ulysses when H divides the
+    # sp axis and falls back to ring attention (parallel/ring.py, k/v
+    # rotation + online softmax — no head-count limit) when it doesn't
+    sp_mode: str = "auto"
 
     @nn.compact
     def __call__(self, x, qctx: Optional[QuantCtx] = None, prequant=None,
@@ -344,11 +348,21 @@ class SelfAttention(nn.Module):
                             x, qctx, prequant=pre)
         if self.sp_mesh is not None:
             sp = self.sp_mesh.shape.get("sp", 1)
-            if sp > 1 and N % sp == 0 and H % sp == 0:
-                from viditq_tpu.parallel.ulysses import ulysses_attention
-                out = ulysses_attention(
-                    q.reshape(B, N, H, D), k.reshape(B, N, H, D),
-                    v.reshape(B, N, H, D), self.sp_mesh, scale=D ** -0.5)
+            use_ring = (self.sp_mode == "ring"
+                        or (self.sp_mode == "auto" and H % sp != 0))
+            if sp > 1 and N % sp == 0 and (use_ring or H % sp == 0):
+                if use_ring:
+                    from viditq_tpu.parallel.ring import ring_attention
+                    out = ring_attention(
+                        q.reshape(B, N, H, D), k.reshape(B, N, H, D),
+                        v.reshape(B, N, H, D), self.sp_mesh,
+                        scale=D ** -0.5)
+                else:
+                    from viditq_tpu.parallel.ulysses import ulysses_attention
+                    out = ulysses_attention(
+                        q.reshape(B, N, H, D), k.reshape(B, N, H, D),
+                        v.reshape(B, N, H, D), self.sp_mesh,
+                        scale=D ** -0.5)
                 out = out.reshape(B, N, C)
                 return QuantLinear(
                     C, lspec=self.resolver(f"{self.prefix}.proj"),

@@ -40,6 +40,7 @@ class STDiTBlock(nn.Module):
     prefix: str = ""
     dtype: Any = jnp.bfloat16
     sp_mesh: Any = None
+    sp_mode: str = "auto"
 
     @nn.compact
     def __call__(self, x, y, t0, mask=None, tpe=None,
@@ -102,7 +103,7 @@ class STDiTBlock(nn.Module):
             C, self.num_heads, resolver=self.resolver,
             prefix=f"{self.prefix}.attn", dtype=self.dtype,
             token_layout="spatial", d_t=self.d_t, d_s=self.d_s,
-            sp_mesh=self.sp_mesh, name="attn")
+            sp_mesh=self.sp_mesh, sp_mode=self.sp_mode, name="attn")
         if use_epi:
             x = attn_mod(x_s, qctx, prequant=pre_attn,
                          epilogue=(x, gate_msa.reshape(B, C))
@@ -140,7 +141,8 @@ class STDiTBlock(nn.Module):
                 C, self.num_heads, resolver=self.resolver,
                 prefix=f"{self.prefix}.attn_temp", dtype=self.dtype,
                 token_layout="temporal", d_t=self.d_t, d_s=self.d_s,
-                sp_mesh=self.sp_mesh, name="attn_temp")(x_t, qctx)
+                sp_mesh=self.sp_mesh, sp_mode=self.sp_mode,
+                name="attn_temp")(x_t, qctx)
             x_t = x_t.reshape(B, self.d_s, self.d_t, C)
         x_t = x_t.transpose(0, 2, 1, 3)
         x = x + gate_msa * x_t.reshape(B, N, C)
@@ -199,6 +201,7 @@ class STDiT(nn.Module):
     # a uniform per-block quant config (per-block overrides need the
     # unrolled form). Block layer names lose their index ('blocks.attn.q').
     scan_blocks: bool = False
+    sp_mode: str = "auto"
     dtype: Any = jnp.bfloat16
 
     @property
@@ -298,7 +301,8 @@ class STDiT(nn.Module):
             block = STDiTBlock(
                 C, self.num_heads, d_s=S, d_t=T, mlp_ratio=self.mlp_ratio,
                 resolver=self.resolver, prefix="blocks.0",
-                dtype=self.dtype, sp_mesh=self.sp_mesh, name="blocks")
+                dtype=self.dtype, sp_mesh=self.sp_mesh,
+                sp_mode=self.sp_mode, name="blocks")
             x, _ = scan(block, x, gates)
         else:
             block_cls = (nn.remat(STDiTBlock) if self.grad_checkpoint
@@ -308,7 +312,8 @@ class STDiT(nn.Module):
                     C, self.num_heads, d_s=S, d_t=T,
                     mlp_ratio=self.mlp_ratio, resolver=self.resolver,
                     prefix=f"blocks.{i}", dtype=self.dtype,
-                    sp_mesh=self.sp_mesh, name=f"blocks_{i}")(
+                    sp_mesh=self.sp_mesh, sp_mode=self.sp_mode,
+                    name=f"blocks_{i}")(
                         x, y, t0, mask, tpe if i == 0 else None, qctx)
 
         x = T2IFinalLayer(int(np.prod(self.patch_size)), self.out_channels,
