@@ -110,3 +110,23 @@ def test_pp_composes_with_unused_axes():
                                  mesh=mesh, n_microbatches=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pixart_pp_forward_matches_single_chip():
+    from viditq_tpu.models.pixart import PixArt
+    from viditq_tpu.parallel.pipeline import pixart_pipeline_forward
+    mesh = make_mesh(pp=4, devices=jax.devices()[:4])
+    model = PixArt(input_size=16, depth=8, hidden_size=64, patch_size=2,
+                   num_heads=4, caption_channels=32, model_max_length=8,
+                   dtype=jnp.float32, scan_blocks=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 4, 16, 16)), jnp.float32)
+    t = jnp.asarray([500.0, 100.0, 30.0, 900.0])
+    y = jnp.asarray(rng.standard_normal((4, 1, 8, 32)), jnp.float32)
+    mask = jnp.ones((4, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x, t, y, mask)
+    want = model.apply(variables, x, t, y, mask)
+    got = pixart_pipeline_forward(model, variables, x, t, y, mask,
+                                  mesh=mesh, n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

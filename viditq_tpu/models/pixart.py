@@ -125,13 +125,33 @@ class PixArt(nn.Module):
 
     @nn.compact
     def __call__(self, x, timestep, y, mask=None, data_info=None,
-                 qctx: Optional[QuantCtx] = None):
+                 qctx: Optional[QuantCtx] = None, stage: str = "all",
+                 x_tokens=None):
         """x: [B, C, H, W]; timestep: [B]; y: [B, 1, L, C_cap];
-        mask: [B, L] or [B0, L]. Returns [B, C_out, H, W]."""
+        mask: [B, L] or [B0, L]. Returns [B, C_out, H, W].
+
+        stage: 'all' | 'embed' | 'final' — the block-stack split used by
+        parallel/pipeline.py (see models/stdit.py)."""
         B = x.shape[0]
         C = self.hidden_size
         h = x.shape[-2] // self.patch_size
         w = x.shape[-1] // self.patch_size
+
+        if stage == "final":
+            t = TimestepEmbedder(C, dtype=self.dtype,
+                                 name="t_embedder")(timestep)
+            if self.micro_condition:
+                csize = SizeEmbedder(C // 3, dtype=self.dtype,
+                                     name="csize_embedder")(
+                                         data_info["img_hw"], B)
+                ar = SizeEmbedder(C // 3, dtype=self.dtype,
+                                  name="ar_embedder")(
+                                      data_info["aspect_ratio"], B)
+                t = t + jnp.concatenate([csize, ar], axis=1)
+            out = T2IFinalLayer(self.patch_size ** 2, self.out_channels,
+                                resolver=self.resolver, dtype=self.dtype,
+                                name="final_layer")(x_tokens, t, qctx)
+            return self.unpatchify(out, h, w).astype(jnp.float32)
 
         x = PatchEmbed(self.patch_size, C, resolver=self.resolver,
                        dtype=self.dtype,
@@ -163,6 +183,8 @@ class PixArt(nn.Module):
                 mask = jnp.tile(mask, (B // mask.shape[0], 1))
             y = y * mask[..., None].astype(y.dtype)
 
+        if stage == "embed":
+            return x, t0, y, mask, (h, w)
         if qctx is not None and qctx.capture:
             self.sow("intermediates", "block_ctx_y", y)
             self.sow("intermediates", "block_ctx_t0", t0)

@@ -151,3 +151,47 @@ def stdit_pipeline_forward(model, variables, x, timestep, y, mask=None,
     out = out.reshape((-1,) + out.shape[2:])
     return model.apply(variables, x, timestep, y, mask, qctx,
                        stage="final", x_tokens=out)
+
+
+def pixart_pipeline_forward(model, variables, x, timestep, y, mask=None,
+                            qctx=None, *, mesh: Mesh, n_microbatches: int,
+                            data_info=None, axis: str = "pp"):
+    """PixArt forward with the block stack pipelined (scan_blocks=True,
+    uniform stack only — Σ KV-compress splits the stack into runs with
+    different param structures, which a homogeneous pipeline stage can't
+    hold; use dp/sp/tp for those configs)."""
+    from viditq_tpu.models.pixart import PixArtBlock
+
+    if "blocks" not in variables["params"]:
+        raise ValueError(
+            "pipeline needs a single uniform scan run ('blocks'); this "
+            "model has a non-uniform stack (e.g. Σ KV-compress runs)")
+    xt, t0, y2, mask2, hw = model.apply(variables, x, timestep, y, mask,
+                                        data_info, qctx, stage="embed")
+    blk = PixArtBlock(model.hidden_size, model.num_heads,
+                      mlp_ratio=model.mlp_ratio, qk_norm=model.qk_norm,
+                      sampling=None, sr_ratio=1, resolver=model.resolver,
+                      prefix="blocks.0", dtype=model.dtype)
+
+    stacked: Dict[str, Any] = {"params": variables["params"]["blocks"]}
+    if "quant" in variables and "blocks" in variables["quant"]:
+        stacked["quant"] = variables["quant"]["blocks"]
+    stacked = shard_stacked_over_pp(stacked, mesh, axis)
+
+    def block_step(sl, xb, extras):
+        bvars = {"params": sl["params"]}
+        if "quant" in sl:
+            bvars["quant"] = sl["quant"]
+        return blk.apply(bvars, xb, extras["y"], extras["t0"],
+                         extras.get("mask"), hw, qctx)
+
+    x_mb = _microbatch(xt, n_microbatches)
+    extras = {"y": y2, "t0": t0}
+    if mask2 is not None:
+        extras["mask"] = mask2
+    extras_mb = _microbatch(extras, n_microbatches)
+
+    out = pipeline_apply(block_step, stacked, x_mb, extras_mb, mesh, axis)
+    out = out.reshape((-1,) + out.shape[2:])
+    return model.apply(variables, x, timestep, y, mask, data_info, qctx,
+                       stage="final", x_tokens=out)
