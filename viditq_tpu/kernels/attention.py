@@ -51,6 +51,8 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,6 +60,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LOG2E = float(np.log2(np.e))
+
+
+# bf16 probability-storage bisect arm (benchmarks/run_tpu_pending.sh).
+# Read ONCE at import: the flag bakes into compiled kernels, so flipping
+# it mid-process would silently serve stale jit cache entries — use a
+# fresh process per arm.
+_BF16P = os.environ.get("VIDITQ_ATTN_BF16P") == "1"
 
 
 def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
@@ -145,8 +154,7 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
             # block_q=128 (where it compiles) it measured SLOWER than this
             # eager form (14.2 vs 13.3 ms/block sm8 arm) — BENCH_NOTES
             # round-3.
-            import os as _os
-            if _os.environ.get("VIDITQ_ATTN_BF16P") == "1":
+            if _BF16P:
                 # bisect arm: cast e to bf16 BEFORE the normalize multiply
                 # so the [bq, bkv] VPU mult runs at half bandwidth (row
                 # stats m/r stay f32) — round-2 VERDICT #1b second half

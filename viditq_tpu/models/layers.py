@@ -352,18 +352,15 @@ class SelfAttention(nn.Module):
                         or (self.sp_mode == "auto" and H % sp != 0))
             if sp > 1 and N % sp == 0 and (use_ring or H % sp == 0):
                 if use_ring:
-                    from viditq_tpu.parallel.ring import ring_attention
-                    out = ring_attention(
-                        q.reshape(B, N, H, D), k.reshape(B, N, H, D),
-                        v.reshape(B, N, H, D), self.sp_mesh,
-                        scale=D ** -0.5)
+                    from viditq_tpu.parallel.ring import \
+                        ring_attention as attn_fn
                 else:
-                    from viditq_tpu.parallel.ulysses import ulysses_attention
-                    out = ulysses_attention(
-                        q.reshape(B, N, H, D), k.reshape(B, N, H, D),
-                        v.reshape(B, N, H, D), self.sp_mesh,
-                        scale=D ** -0.5)
-                out = out.reshape(B, N, C)
+                    from viditq_tpu.parallel.ulysses import \
+                        ulysses_attention as attn_fn
+                out = attn_fn(
+                    q.reshape(B, N, H, D), k.reshape(B, N, H, D),
+                    v.reshape(B, N, H, D), self.sp_mesh,
+                    scale=D ** -0.5).reshape(B, N, C)
                 return QuantLinear(
                     C, lspec=self.resolver(f"{self.prefix}.proj"),
                     name="proj", **kw)(out, qctx, epilogue=epilogue)

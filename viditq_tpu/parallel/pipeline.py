@@ -119,9 +119,15 @@ def stdit_pipeline_forward(model, variables, x, timestep, y, mask=None,
     """
     from viditq_tpu.models.stdit import STDiTBlock
 
+    if "blocks" not in variables["params"]:
+        raise ValueError("pipeline needs scan_blocks=True (stacked "
+                         "'blocks' params); rebuild the model with it")
+    depth = model.depth
+    if depth % mesh.shape[axis] != 0:
+        raise ValueError(f"depth {depth} must divide the {axis} axis "
+                         f"size {mesh.shape[axis]}")
     xt, t0, y2, mask2, tpe = model.apply(variables, x, timestep, y, mask,
                                          qctx, stage="embed")
-    depth = model.depth
     blk = STDiTBlock(model.hidden_size, model.num_heads,
                      d_s=model.num_spatial, d_t=model.num_temporal,
                      mlp_ratio=model.mlp_ratio, resolver=model.resolver,
@@ -166,6 +172,15 @@ def pixart_pipeline_forward(model, variables, x, timestep, y, mask=None,
         raise ValueError(
             "pipeline needs a single uniform scan run ('blocks'); this "
             "model has a non-uniform stack (e.g. Σ KV-compress runs)")
+    if getattr(model, "kv_compress_layers", ()) \
+            and model.kv_compress_scale > 1:
+        # a FULL-stack kv_compress config also yields one run named
+        # 'blocks', but its params carry sr-conv weights a plain
+        # PixArtBlock would silently ignore
+        raise ValueError("pipeline does not support KV-compress stacks")
+    if model.depth % mesh.shape[axis] != 0:
+        raise ValueError(f"depth {model.depth} must divide the {axis} "
+                         f"axis size {mesh.shape[axis]}")
     xt, t0, y2, mask2, hw = model.apply(variables, x, timestep, y, mask,
                                         data_info, qctx, stage="embed")
     blk = PixArtBlock(model.hidden_size, model.num_heads,

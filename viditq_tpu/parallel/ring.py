@@ -40,8 +40,15 @@ def _ring_attn_local(q, k, v, scale: float, axis_name: str):
         # [B, n_loc, H, n_kv]
         return jnp.einsum("bqhd,bkhd->bqhk", qf, kb.astype(jnp.float32))
 
-    def step(i, carry):
-        o, m, r, kb, vb = carry
+    o = jnp.zeros((B, n_loc, H, D), jnp.float32)
+    m = jnp.full((B, n_loc, H, 1), -jnp.inf, jnp.float32)
+    r = jnp.zeros((B, n_loc, H, 1), jnp.float32)
+    kb, vb = k, v
+    perm = [(d, (d + 1) % S) for d in range(S)]
+    # S is static (the mesh axis size): unroll in python so the last step
+    # skips the rotation (no wasted ICI hop) and XLA can overlap each
+    # ppermute with the next block's compute
+    for i in range(S):
         s = scores(kb)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         c = jnp.exp(m - m_new)
@@ -49,16 +56,10 @@ def _ring_attn_local(q, k, v, scale: float, axis_name: str):
         o = o * c + jnp.einsum("bqhk,bkhd->bqhd",
                                e, vb.astype(jnp.float32))
         r = r * c + jnp.sum(e, axis=-1, keepdims=True)
-        # rotate k/v to the next ring neighbor
-        perm = [(d, (d + 1) % S) for d in range(S)]
-        kb = jax.lax.ppermute(kb, axis_name, perm)
-        vb = jax.lax.ppermute(vb, axis_name, perm)
-        return o, m_new, r, kb, vb
-
-    o0 = jnp.zeros((B, n_loc, H, D), jnp.float32)
-    m0 = jnp.full((B, n_loc, H, 1), -jnp.inf, jnp.float32)
-    r0 = jnp.zeros((B, n_loc, H, 1), jnp.float32)
-    o, m, r, _, _ = jax.lax.fori_loop(0, S, step, (o0, m0, r0, k, v))
+        m = m_new
+        if i < S - 1:
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
     return (o / r).astype(q.dtype)
 
 
