@@ -61,7 +61,7 @@ def pipeline_apply(block_step: Callable, stacked, x_mb, extras_mb,
             out, _ = jax.lax.scan(body, x, stacked_loc)
             return out
 
-        def tick(t, carry):
+        def tick(carry, t):
             buf, outs = carry
             mb_id = t - sid
             idx = jnp.clip(mb_id, 0, M - 1)
@@ -84,11 +84,14 @@ def pipeline_apply(block_step: Callable, stacked, x_mb, extras_mb,
             # receives zeros (it reads from x_mb_ instead)
             nbuf = jax.lax.ppermute(out, axis,
                                     [(i, i + 1) for i in range(S - 1)])
-            return nbuf, outs
+            return (nbuf, outs), None
 
         buf0 = jnp.zeros_like(x_mb_[0])
         outs0 = jnp.zeros_like(x_mb_)
-        _, outs = jax.lax.fori_loop(0, M + S - 1, tick, (buf0, outs0))
+        # scan (not fori_loop) over ticks: reverse-mode differentiable, so
+        # jax.grad flows through the pipeline for GPipe-style training
+        (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
+                                    jnp.arange(M + S - 1))
         # replicate the last stage's deposit buffer to every device
         return jax.lax.psum(
             jnp.where(sid == S - 1, outs, jnp.zeros_like(outs)), axis)
