@@ -341,6 +341,11 @@ ARMS = {"w4a8": arm_w4a8, "t20mp": arm_t20mp, "sigma1024": arm_sigma1024,
 
 def main(names):
     import jax
+    # honor JAX_PLATFORMS=cpu for smoke runs: the image's preloaded TPU
+    # plugin overrides the env var, config.update still wins (cli.py)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat.split(",")[0])
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     for n in names or list(ARMS):
