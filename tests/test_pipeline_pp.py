@@ -154,3 +154,32 @@ def test_pp_gradients_match_single_chip():
     for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_pp_train_step_matches_plain():
+    """One GPipe train step == one plain train step (SGD, fixed rng)."""
+    import optax
+    from viditq_tpu.parallel.pipeline import make_pp_train_step
+    from viditq_tpu.parallel.training import make_train_step
+    from viditq_tpu.samplers import make_schedule
+    mesh = make_mesh(pp=2, devices=jax.devices()[:2])
+    model = STDiT(**KW)
+    schedule = make_schedule(num_sampling_steps=10)
+    opt = optax.sgd(1e-2)
+    x, t, y, mask = _inputs()
+    batch = {"x0": x, "t": jnp.asarray([1, 5, 3, 7]), "y": y, "mask": mask}
+    variables = model.init(jax.random.PRNGKey(0), x, t, y, mask)
+    params = variables["params"]
+    ema = jax.tree.map(lambda v: v, params)
+    opt_state = opt.init(params)
+    rng = jax.random.PRNGKey(4)
+
+    pp_step = jax.jit(make_pp_train_step(model, schedule, opt, mesh=mesh,
+                                         n_microbatches=2))
+    plain_step = jax.jit(make_train_step(model, schedule, opt))
+    p1, _, _, l1 = pp_step(params, ema, opt_state, batch, rng)
+    p2, _, _, l2 = plain_step(params, ema, opt_state, batch, rng)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -213,3 +213,38 @@ def pixart_pipeline_forward(model, variables, x, timestep, y, mask=None,
     out = out.reshape((-1,) + out.shape[2:])
     return model.apply(variables, x, timestep, y, mask, data_info, qctx,
                        stage="final", x_tokens=out)
+
+
+def make_pp_train_step(model, schedule, optimizer, *, mesh: Mesh,
+                       n_microbatches: int, in_channels: int = 4,
+                       ema_decay: float = 0.9999, axis: str = "pp"):
+    """GPipe training step: the diffusion MSE loss runs through the
+    pipelined forward (differentiable scan tick loop), one optimizer
+    update per batch. Same signature as parallel.training.make_train_step's
+    plain path. Grads on the block stack stay pp-sharded through the
+    backward ppermute transposes; embed/final grads replicate."""
+    import optax
+
+    from viditq_tpu.parallel.training import update_ema
+    from viditq_tpu.samplers.gaussian_diffusion import training_losses
+
+    def train_step(params, ema, opt_state, batch, rng):
+        noise = jax.random.normal(rng, batch["x0"].shape, jnp.float32)
+
+        def loss_fn(p):
+            def model_fn(x_t, tt):
+                return stdit_pipeline_forward(
+                    model, {"params": p}, x_t, tt, batch["y"],
+                    batch.get("mask"), mesh=mesh,
+                    n_microbatches=n_microbatches, axis=axis)
+            losses = training_losses(model_fn, batch["x0"], batch["t"],
+                                     noise, schedule, in_channels)
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = update_ema(ema, params, ema_decay)
+        return params, ema, opt_state, loss
+
+    return train_step
