@@ -66,7 +66,14 @@ def _build_variables(model, resolver, init_args, jax, jnp):
             q = calibrate_weight_tables(variables["params"],
                                         variables["quant"], resolver)
             q = pack_native_weights(variables["params"], q, resolver)
-            variables = {"params": variables["params"], "quant": q}
+            out = {"params": variables["params"], "quant": q}
+            if "qstats" in variables:
+                # CB plans create sq_init/a_* running-stat slots; the
+                # quant forward needs the collection present (zeros =
+                # uncalibrated, fine for timing arms)
+                out["qstats"] = jax.tree.map(jnp.zeros_like,
+                                             variables["qstats"])
+            variables = out
         else:
             variables = {"params": variables["params"]}
         return variables
