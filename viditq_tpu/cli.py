@@ -269,6 +269,53 @@ def cmd_ptq(args):
     print(f"saved quant params -> {out}")
 
 
+def cmd_export(args):
+    """AOT-export the (quantized) model forward to a StableHLO artifact
+    (utils/export.py): serve from the blob without trace+compile."""
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.quant import QuantCtx
+    from viditq_tpu.utils import ckpt as ckpt_utils, workload
+    from viditq_tpu.utils.export import export_quant_forward
+    cfg, plan, resolver, model, sampler = _setup(args, quant=True)
+    ls = workload.latent_size(cfg)
+    B = args.batch_size
+    mcfg = cfg.get("model", {})
+    L = mcfg.get("model_max_length", 120)
+    Ccap = mcfg.get("caption_channels", 4096)
+    x = jnp.zeros((B, 4, *ls), jnp.float32)
+    t = jnp.zeros((B,), jnp.float32)
+    y = jnp.zeros((B, 1, L, Ccap), jnp.float32)
+    mask = jnp.ones((B, L), jnp.int32)
+    variables = _init_variables(model, args, x, y, mask, quant_mode="fp")
+    if args.quant_ckpt:
+        variables["quant"], _ = ckpt_utils.load_quant_ckpt(
+            args.quant_ckpt, variables["quant"])
+    else:
+        import functools
+        from viditq_tpu.quant import calibrate_weight_tables
+        variables["quant"] = jax.jit(functools.partial(
+            calibrate_weight_tables, resolve=resolver))(
+                variables["params"], variables["quant"])
+    if plan.uses_native():
+        import functools
+        from viditq_tpu.quant.native_pack import (add_native_slots,
+                                                  pack_native_weights)
+        variables["quant"] = add_native_slots(variables["quant"],
+                                              variables["params"], resolver)
+        variables["quant"] = jax.jit(functools.partial(
+            pack_native_weights, resolve=resolver))(
+                variables["params"], variables["quant"])
+    qctx = QuantCtx(mode="quant", t_id=jnp.asarray(0, jnp.int32))
+    platforms = args.platforms.split(",") if args.platforms else None
+    blob = export_quant_forward(model, variables, x, t, y, mask,
+                                qctx=qctx, platforms=platforms)
+    with open(args.dst, "wb") as f:
+        f.write(blob)
+    print(f"exported {len(blob)} bytes -> {args.dst} "
+          f"(shapes x={tuple(x.shape)}, platforms={platforms or 'host'})")
+
+
 def cmd_quant_generate(args, mp: bool = False):
     import jax
     import jax.numpy as jnp
@@ -604,6 +651,17 @@ def main(argv=None):
     _quant_args(s)
     s.add_argument("--calib_data", required=True)
     s.set_defaults(fn=cmd_ptq)
+
+    s = sub.add_parser("export")
+    _common(s)
+    _quant_args(s)
+    s.add_argument("--dst", required=True,
+                   help="output artifact path (StableHLO blob)")
+    s.add_argument("--batch_size", type=int, default=2)
+    s.add_argument("--platforms", default=None,
+                   help="comma list, e.g. 'tpu' or 'cpu,tpu' "
+                        "(default: current backend)")
+    s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("extract-features")
     s.add_argument("--csv", required=True)
