@@ -79,3 +79,40 @@ def test_export_shape_mismatch_rejected():
     fn = load_exported(blob)
     with pytest.raises(Exception):
         fn(x[:1], t[:1], y[:1], mask[:1])
+
+
+def test_export_full_sampling_scan():
+    """The whole ddim sampling scan (per-step quant switching inside)
+    exports and serves as one artifact."""
+    from viditq_tpu.samplers import IDDPM
+    from viditq_tpu.samplers.iddpm import default_qctx_factory
+    w8 = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1)
+    a8 = QuantSpec(n_bits=8, granularity="token", dynamic=True)
+    fp = ("x_embedder", "t_block", "t_embedder", "y_embedder", "final_layer")
+    resolver = lambda n: resolve_layer_spec(  # noqa: E731
+        n, LayerQuantSpec(weight=w8, act=a8), fp)
+    model = STDiT(resolver=resolver, **KW)
+    x, t, y, mask = _inputs()
+    variables = dict(model.init(jax.random.PRNGKey(0), x, t, y, mask,
+                                QuantCtx(mode="fp")))
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], resolver)
+    sampler = IDDPM(num_sampling_steps=2, cfg_scale=4.0)
+    y2 = jnp.concatenate([y, y * 0], axis=0)
+
+    def denoise(z):
+        return sampler.sample(
+            lambda xx, tt, yy, mm, qctx: model.apply(variables, xx, tt,
+                                                     yy, mm, qctx),
+            z, y2, mask, sampler_type="ddim",
+            qctx_factory=default_qctx_factory("quant"))
+
+    z = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 4, 2, 8, 8)), jnp.float32)
+    want = denoise(z)
+    blob = export_fn(denoise, z)
+    got = load_exported(blob)(z)
+    # the artifact is recompiled StableHLO: float reassociation + quant
+    # LSB flips give ~2e-4 max abs over 2 steps (measured)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
