@@ -179,3 +179,30 @@ def test_train_entry_epoch_rollover_resume(tmp_path):
                     jax.tree.leaves(resumed["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    """Async orbax save -> wait -> restore == original (sharded-aware
+    production checkpoint path)."""
+    import optax
+    from viditq_tpu.utils.ckpt import (load_train_state_orbax,
+                                       save_train_state_orbax,
+                                       wait_for_orbax_saves)
+    model = STDiT(**TINY)
+    batch = _batch(7, 2)
+    params = _init(model, batch)
+    ema = jax.tree.map(lambda v: v * 0.5, params)
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    d = str(tmp_path / "ckpt_1")
+    save_train_state_orbax(d, params, ema, opt_state,
+                           meta={"step": 3, "epoch": 1})
+    wait_for_orbax_saves()
+    p2, e2, o2, meta = load_train_state_orbax(d, params, opt.init(params))
+    assert meta == {"step": 3, "epoch": 1}
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(e2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

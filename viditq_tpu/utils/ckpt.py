@@ -223,6 +223,66 @@ def load_train_state(path: str, params_template: Dict,
     return state["params"], state["ema"], state["opt_state"], meta
 
 
+def save_train_state_orbax(path_dir: str, params: Dict, ema: Dict,
+                           opt_state, meta: Optional[Dict] = None,
+                           async_save: bool = True):
+    """Orbax-backed train-state checkpoint: sharded-array aware (each host
+    writes its shards — the multi-chip production path the msgpack format
+    can't do) and async by default (the save overlaps the next train
+    steps; call wait_for_orbax_saves() before exiting). Directory format;
+    meta goes to <dir>.meta.json like save_train_state."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path_dir = os.path.abspath(path_dir)
+    state = {"params": params, "ema": ema, "opt_state": opt_state}
+    ckptr = _orbax_checkpointer(async_save)
+    ckptr.save(path_dir, state, force=True)
+    with open(path_dir + ".meta.json", "w") as f:
+        json.dump(meta or {}, f)
+
+
+def load_train_state_orbax(path_dir: str, params_template: Dict,
+                           opt_state_template) -> tuple:
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path_dir = os.path.abspath(path_dir)
+    target = {"params": params_template, "ema": params_template,
+              "opt_state": opt_state_template}
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(path_dir, target=target)
+    meta = {}
+    if os.path.exists(path_dir + ".meta.json"):
+        with open(path_dir + ".meta.json") as f:
+            meta = json.load(f)
+    return state["params"], state["ema"], state["opt_state"], meta
+
+
+_ORBAX_ASYNC = None
+
+
+def _orbax_checkpointer(async_save: bool):
+    import orbax.checkpoint as ocp
+
+    global _ORBAX_ASYNC
+    if not async_save:
+        return ocp.StandardCheckpointer()
+    if _ORBAX_ASYNC is None:
+        _ORBAX_ASYNC = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _ORBAX_ASYNC
+
+
+def wait_for_orbax_saves():
+    """Block until pending async checkpoint writes land (call before
+    process exit or before reading a just-written checkpoint)."""
+    if _ORBAX_ASYNC is not None:
+        _ORBAX_ASYNC.wait_until_finished()
+
+
 def save_quant_ckpt(path: str, quant_vars: Dict, meta: Optional[Dict] = None):
     """Quant-param checkpoint: {dotted_layer_name: {table: array}} + meta
     (act_slot_map, calib timesteps, plan name ...) — role of the reference's
