@@ -206,3 +206,19 @@ def test_orbax_train_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_loop_orbax_format_resume(tmp_path):
+    """ckpt_format='orbax': directory checkpoints, resume by dir path."""
+    model = STDiT(**TINY)
+    kw = dict(latent_shape=LATENT, caption_shape=CAP, lr=1e-3,
+              log_every=0, save_dir=str(tmp_path))
+    full = train_loop(model, None, num_steps=3, ckpt_every=2,
+                      ckpt_format="orbax", **kw)
+    resumed = train_loop(model, None, num_steps=3,
+                         resume_from=str(tmp_path / "train_state_2"), **kw)
+    assert resumed["meta"]["step"] == 2
+    for a, b in zip(jax.tree.leaves(full["params"]),
+                    jax.tree.leaves(resumed["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

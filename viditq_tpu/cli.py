@@ -556,7 +556,8 @@ def cmd_train(args):
               lr=args.lr, ckpt_every=args.ckpt_every,
               save_dir=args.save_dir, mesh=mesh,
               grad_accum=args.grad_accum, grad_clip=args.grad_clip,
-              warmup_steps=args.warmup_steps)
+              warmup_steps=args.warmup_steps,
+              ckpt_format=args.ckpt_format)
     if args.data_path:
         from viditq_tpu.data.datasets import DatasetFromCSV
         num_frames = cfg.get("num_frames")
@@ -694,6 +695,9 @@ def main(argv=None):
                    help="train_state_*.msgpack checkpoint to resume")
     s.add_argument("--no_vae", action="store_true",
                    help="feed pixel batches directly (tiny-latent smoke)")
+    s.add_argument("--ckpt_format", choices=("msgpack", "orbax"),
+                   default="msgpack",
+                   help="orbax = async, sharded-array-aware directories")
     s.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("calibrate-ptqd-k")

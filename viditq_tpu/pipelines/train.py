@@ -42,6 +42,7 @@ def train_loop(model, dataset_iter, *, latent_shape, caption_shape,
                use_meta_counters: bool = True,
                grad_accum: int = 1, grad_clip: float = 0.0,
                warmup_steps: int = 0, loss_type: str = "mse",
+               ckpt_format: str = "msgpack",
                start_step: int = 0, epoch: int = 0,
                sampler=None, consumed_items: int = 0,
                on_step_end: Optional[Callable[[int], None]] = None):
@@ -85,8 +86,10 @@ def train_loop(model, dataset_iter, *, latent_shape, caption_shape,
            else jax.tree.map(lambda v: v, params))
     meta = {}
     if resume_from:
-        params, ema, opt_state, meta = ckpt_utils.load_train_state(
-            resume_from, params, opt_state)
+        loader = (ckpt_utils.load_train_state_orbax
+                  if os.path.isdir(resume_from)
+                  else ckpt_utils.load_train_state)
+        params, ema, opt_state, meta = loader(resume_from, params, opt_state)
         if use_meta_counters:
             start_step = int(meta.get("step", start_step))
             epoch = int(meta.get("epoch", epoch))
@@ -146,11 +149,20 @@ def train_loop(model, dataset_iter, *, latent_shape, caption_shape,
             if sampler is not None:
                 smeta["sampler"] = sampler.state_dict(
                     consumed_items + (i + 1 - start_step) * items_per_step)
-            ckpt_utils.save_train_state(
-                os.path.join(save_dir, f"train_state_{global_step}.msgpack"),
-                params, ema, opt_state, smeta)
+            if ckpt_format == "orbax":
+                # async: the write overlaps subsequent steps
+                ckpt_utils.save_train_state_orbax(
+                    os.path.join(save_dir, f"train_state_{global_step}"),
+                    params, ema, opt_state, smeta)
+            else:
+                ckpt_utils.save_train_state(
+                    os.path.join(save_dir,
+                                 f"train_state_{global_step}.msgpack"),
+                    params, ema, opt_state, smeta)
         if on_step_end is not None:
             on_step_end(i)
+    if ckpt_every and ckpt_format == "orbax":
+        ckpt_utils.wait_for_orbax_saves()
     return {"params": params, "ema": ema, "opt_state": opt_state,
             "losses": losses, "meta": meta}
 
