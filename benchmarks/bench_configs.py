@@ -257,7 +257,8 @@ def arm_sigma1024():
 
     @jax.jit
     def q_fwd(vs, x):
-        return model_q.apply(vs, x, t, y, mask, qctx)
+        # qctx by KEYWORD: the 6th positional slot is data_info
+        return model_q.apply(vs, x, t, y, mask, qctx=qctx)
 
     bench = _timer()
     t_fp = bench(fp_fwd, fp_vars, x)
@@ -302,8 +303,8 @@ def arm_latte():
 
     # uniform 4-range MP: attn 4-bit, mlp 8-bit in the middle ranges,
     # everything 8-bit at the ends (a t20-style allocation for Latte)
-    names_a = [f"blocks_{i}.attn" for i in range(28)]
-    names_m = [f"blocks_{i}.mlp" for i in range(28)]
+    names_a = [f"blocks.{i}.attn" for i in range(28)]
+    names_m = [f"blocks.{i}.mlp" for i in range(28)]
     mp_w = {"fp_layers": []}
     for rng_key, attn_bits in (("19-15", 8), ("14-10", 4), ("9-5", 4),
                                ("4-0", 8)):

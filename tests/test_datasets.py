@@ -104,3 +104,28 @@ def test_prepare_dataloader_propagates_errors(tmp_path):
     with _pytest.raises(RuntimeError, match="decode failed"):
         list(prepare_dataloader(Bad(), StatefulSampler(4, shuffle=False),
                                 2, num_workers=2))
+
+
+def test_prepare_dataloader_consumer_abandons(tmp_path):
+    """Closing the generator early must retire the producer thread
+    instead of deadlocking on a full queue."""
+    import threading
+    import time as _time
+    from viditq_tpu.data.datasets import prepare_dataloader
+
+    class Slowish:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, np.float32)}
+
+    before = threading.active_count()
+    gen = prepare_dataloader(Slowish(), StatefulSampler(64, shuffle=False),
+                             2, num_workers=2, prefetch=1)
+    next(gen)
+    gen.close()  # abandon mid-stream
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

@@ -222,3 +222,40 @@ def test_train_loop_orbax_format_resume(tmp_path):
                     jax.tree.leaves(resumed["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+class _VideoDataset:
+    """Items shaped like raw latents for make_encode_batch (no VAE)."""
+
+    def __init__(self, n):
+        r = np.random.default_rng(11)
+        self.items = [{"video": r.standard_normal(LATENT).astype(np.float32)}
+                      for _ in range(n)]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_train_entry_resume_with_encode_batch(tmp_path):
+    """Mid-epoch resume with an rng-folding encode_batch: the step index
+    must continue at the resume point so t/rng draws reproduce the
+    uninterrupted run (review finding: enumerate restarted at 0)."""
+    from viditq_tpu.pipelines.train import make_encode_batch
+    ds = _VideoDataset(8)
+    model = STDiT(**TINY)
+    enc = make_encode_batch(null_caption_shape=CAP, schedule_steps=1000)
+    kw = dict(latent_shape=LATENT, caption_shape=CAP, lr=1e-3, log_every=0,
+              encode_batch=enc)
+    full = train_entry(model, ds, epochs=1, batch_size=2, ckpt_every=2,
+                       save_dir=str(tmp_path / "a"), **kw)
+    resumed = train_entry(
+        model, ds, epochs=1, batch_size=2,
+        resume_from=str(tmp_path / "a" / "train_state_2.msgpack"),
+        save_dir=str(tmp_path / "b"), **kw)
+    for a, b in zip(jax.tree.leaves(full["params"]),
+                    jax.tree.leaves(resumed["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

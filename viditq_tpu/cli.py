@@ -218,7 +218,7 @@ def cmd_ptq(args):
     if getattr(args, "smooth_quant_alpha", None) is not None:
         sq = (plan_yaml.get("quant", {}).get("activation", {})
               .get("quantizer", {}).get("smooth_quant"))
-        if sq:
+        if sq and sq.get("enable"):  # the live run gates on enable too
             sq["alpha"] = args.smooth_quant_alpha
     with open(os.path.join(args.save_dir, "quant_config_snapshot.yaml"),
               "w") as f:
@@ -566,10 +566,18 @@ def cmd_train(args):
                                                           (256, 256))))
         vae, vae_vars = None, None
         if not args.no_vae:
+            from viditq_tpu.utils import ckpt as ckpt_utils
             vae = workload.build_vae(cfg)
             sample = jax.numpy.asarray(dataset[0]["video"])[None]
             vae_vars = vae.init(jax.random.PRNGKey(0), sample,
                                 method=vae.encode)
+            if args.vae_ckpt:
+                vae_vars = {"params": ckpt_utils.load_params(
+                    args.vae_ckpt, vae_vars["params"])}
+            else:
+                print("[viditq] training with a RANDOM-weight VAE "
+                      "(pass --vae_ckpt for real latents)",
+                      file=sys.stderr)
         out = train_entry(model, dataset, epochs=args.epochs,
                           batch_size=args.batch_size,
                           encode_batch=make_encode_batch(
@@ -578,6 +586,10 @@ def cmd_train(args):
     else:
         out = train_loop(model, None, num_steps=args.num_steps,
                          resume_from=args.resume_from, **kw)
+    if out is None:
+        print("nothing to train: the resume checkpoint already covers "
+              "the requested epochs")
+        return
     print(f"trained; final loss "
           f"{out['losses'][-1] if out['losses'] else float('nan'):.4f}")
 
@@ -695,6 +707,8 @@ def main(argv=None):
                    help="train_state_*.msgpack checkpoint to resume")
     s.add_argument("--no_vae", action="store_true",
                    help="feed pixel batches directly (tiny-latent smoke)")
+    s.add_argument("--vae_ckpt", default=None,
+                   help="flax params msgpack for the VAE encoder")
     s.add_argument("--ckpt_format", choices=("msgpack", "orbax"),
                    default="msgpack",
                    help="orbax = async, sharded-array-aware directories")

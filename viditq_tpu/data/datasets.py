@@ -200,7 +200,13 @@ def prepare_dataloader(dataset, sampler: StatefulSampler, batch_size: int,
     memory). TPU idiom: item loads run in a thread pool and `prefetch`
     collated batches are staged ahead by a producer thread, overlapping
     host-side decode/transform with device compute. num_workers=0 falls
-    back to the serial batch_iterator."""
+    back to the serial batch_iterator.
+
+    Prefetching draws AHEAD of consumption, so `sampler`-based resume
+    state can overcount by up to prefetch*batch_size items — use the
+    serial batch_iterator where exact mid-epoch resume matters (the
+    train_entry path does).
+    """
     if num_workers <= 0:
         yield from batch_iterator(dataset, sampler, batch_size)
         return
@@ -210,28 +216,51 @@ def prepare_dataloader(dataset, sampler: StatefulSampler, batch_size: int,
 
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             with ThreadPoolExecutor(num_workers) as pool:
                 batch_idx = []
                 for idx in sampler:
+                    if stop.is_set():
+                        return
                     batch_idx.append(int(idx))
                     if len(batch_idx) == batch_size:
                         items = list(pool.map(dataset.__getitem__,
                                               batch_idx))
-                        q.put(_collate(items))
+                        if not put(_collate(items)):
+                            return
                         batch_idx = []
-            q.put(_END)
+            put(_END)
         except BaseException as e:  # surface loader errors to the consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        out = q.get()
-        if out is _END:
-            break
-        if isinstance(out, BaseException):
-            raise out
-        yield out
+    try:
+        while True:
+            out = q.get()
+            if out is _END:
+                break
+            if isinstance(out, BaseException):
+                raise out
+            yield out
+    finally:
+        # consumer abandoned or finished: unblock and retire the producer
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5)

@@ -45,6 +45,7 @@ def train_loop(model, dataset_iter, *, latent_shape, caption_shape,
                ckpt_format: str = "msgpack",
                start_step: int = 0, epoch: int = 0,
                sampler=None, consumed_items: int = 0,
+               step_cache: Optional[Dict] = None,
                on_step_end: Optional[Callable[[int], None]] = None):
     """dataset_iter yields {'x0': [B,C,...], 't': [B], 'y': ..., 'mask': ...}
     (or pass None to train on synthetic data for smoke runs). The first
@@ -74,10 +75,12 @@ def train_loop(model, dataset_iter, *, latent_shape, caption_shape,
 
     batch0 = synth_batch(0) if dataset_iter is None else next(dataset_iter)
     items_per_step = int(batch0["x0"].shape[0])
-    variables = model.init(rng, batch0["x0"],
-                           batch0["t"].astype(jnp.float32), batch0["y"],
-                           batch0.get("mask"))
-    params = resume_params or variables["params"]
+    if resume_params is not None:
+        params = resume_params  # template exists: skip the init forward
+    else:
+        params = model.init(rng, batch0["x0"],
+                            batch0["t"].astype(jnp.float32), batch0["y"],
+                            batch0.get("mask"))["params"]
     optimizer = make_optimizer(lr=lr, grad_clip=grad_clip,
                                warmup_steps=warmup_steps)
     opt_state = (resume_opt_state if resume_opt_state is not None
@@ -97,7 +100,15 @@ def train_loop(model, dataset_iter, *, latent_shape, caption_shape,
                                  ema_decay=ema_decay, loss_type=loss_type,
                                  grad_accum=grad_accum)
 
-    if mesh is not None:
+    if step_cache is not None and "step_fn" in step_cache:
+        # epoch 2+: reuse the jitted step (avoids a recompile per epoch)
+        step_fn = step_cache["step_fn"]
+        if mesh is not None:
+            p_shard, o_shard = step_cache["shardings"]
+            params = jax.device_put(params, p_shard)
+            ema = jax.device_put(ema, p_shard)
+            opt_state = jax.device_put(opt_state, o_shard)
+    elif mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         p_shard, o_shard = shardings_for_state(mesh, params, opt_state)
         params = jax.device_put(params, p_shard)
@@ -109,8 +120,14 @@ def train_loop(model, dataset_iter, *, latent_shape, caption_shape,
                                         NamedSharding(mesh, P())),
                           out_shardings=(p_shard, p_shard, o_shard,
                                          NamedSharding(mesh, P())))
+        if step_cache is not None:
+            step_cache["step_fn"] = step_fn
+            step_cache["shardings"] = (p_shard, o_shard)
     else:
         step_fn = jax.jit(train_step)
+        if step_cache is not None:
+            step_cache["step_fn"] = step_fn
+            step_cache["shardings"] = None
 
     losses = []
     running_loss = jnp.zeros(())  # device scalar: no per-step host sync
@@ -239,12 +256,17 @@ def train_entry(model, dataset, *, latent_shape, caption_shape,
             sampler.set_start_index(0)
 
     out = None
+    cache: Dict = {}
     for epoch in range(start_epoch, epochs):
         sampler.set_epoch(epoch)
+        epoch_start = start_step
 
         def batches():
+            # start the encode step index at the RESUME point so fold_in
+            # reproduces the uninterrupted run's t/rng draws
             for step, raw in enumerate(
-                    batch_iterator(dataset, sampler, batch_size)):
+                    batch_iterator(dataset, sampler, batch_size),
+                    start=epoch_start):
                 yield (encode_batch(raw, epoch * n_per_epoch + step)
                        if encode_batch is not None else raw)
 
@@ -252,7 +274,7 @@ def train_entry(model, dataset, *, latent_shape, caption_shape,
                          caption_shape=caption_shape,
                          num_steps=n_per_epoch, start_step=start_step,
                          epoch=epoch, sampler=sampler,
-                         consumed_items=consumed,
+                         consumed_items=consumed, step_cache=cache,
                          resume_from=resume_from if epoch == start_epoch
                          else None, use_meta_counters=False, **loop_kw)
         # later epochs start clean (reference train.py:284-286) but chain
