@@ -13,6 +13,9 @@ Command map to the reference scripts (SURVEY §1 L5):
   sweep-alpha       <- t2v/scripts/sweep_alpha.py
   smooth-quant-list <- t2v/scripts/get_smooth_quant_list.py
   calibrate-ptqd-k  <- t2v/scripts/calibrate_ptqd_k.py
+  extract-features  <- t2i/scripts (feature extraction)
+  train             <- t2v/scripts/train.py (epoch loop, resumable)
+  export            (beyond reference) AOT StableHLO serving artifacts
 """
 
 from __future__ import annotations
