@@ -84,6 +84,10 @@ def main():
                                     BQ, -1)[..., :D].astype(jnp.bfloat16)
                     if name == "packpair":
                         upd = jnp.concatenate([upd, upd], axis=0)
+                    if qx.shape[-1] != upd.shape[-1]:   # pad128 carry
+                        upd = jnp.pad(upd, ((0, 0), (0, 0),
+                                            (0, qx.shape[-1]
+                                             - upd.shape[-1])))
                     return qx + 0.001 * upd
                 return jax.lax.fori_loop(0, iters, body, qx)
             return f
