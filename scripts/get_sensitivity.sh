@@ -1,0 +1,8 @@
+#!/bin/bash
+# reference t2v/shell_scripts/get_sensitivity.sh
+set -e; cd "$(dirname "$0")/.."; . scripts/common.sh
+EXP_NAME=${1:-w8a8_dynamic}
+Q_CFG=${Q_CFG:-configs/opensora/$EXP_NAME.yaml}
+python -m viditq_tpu.cli get-sensitivity --config $CFG --ptq_config $Q_CFG \
+    --quant_ckpt ${QUANT_CKPT:-$OUTDIR/quant_ckpt.npz} --save_dir $OUTDIR \
+    $CKPT_ARGS $EMB_ARGS ${BLOCK_GROUP:+--block_group_wise_quant}
