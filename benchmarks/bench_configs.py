@@ -225,10 +225,11 @@ def arm_sigma1024():
     from viditq_tpu.quant import QuantCtx
     from viditq_tpu.utils.config import load_quant_config
 
-    plan = load_quant_config("configs/pixart_sigma/w4a8_tpu_fused.yaml") \
-        if __import__("os").path.exists(
-            "configs/pixart_sigma/w4a8_tpu_fused.yaml") \
-        else load_quant_config("configs/opensora/w4a8_tpu_fused.yaml")
+    # the BASELINE config: the reference sigma W4A8 plan (W6 weights +
+    # A8 dynamic + momentum smooth-quant CB), executed on the native
+    # int8 dataflow
+    plan = load_quant_config(
+        "configs/pixart_sigma/w4a8.yaml").with_backend("native")
     res = plan.resolver()
     size = 16 if TINY else 128
     kw = dict(input_size=size, caption_channels=4096, model_max_length=300,
@@ -248,6 +249,26 @@ def arm_sigma1024():
     init_args = (x, t, y, mask)
     fp_vars = _build_variables(model_fp, None, init_args, jax, jnp)
     q_vars = _build_variables(model_q, res, init_args, jax, jnp)
+    # share weights so rel-err compares like with like
+    q_vars = {**q_vars, "params": fp_vars["params"]}
+
+    # momentum CB needs act_scale stats: one sq_stat pass, then weight
+    # tables re-derived per timerange against them + repacked (the PTQ
+    # driver's phase order, pipelines/ptq.py)
+    from viditq_tpu.quant import calibrate_weight_tables
+    from viditq_tpu.quant.native_pack import pack_native_weights
+
+    @jax.jit
+    def sq_stat(vs, x):
+        _, muts = model_q.apply(
+            vs, x, t, y, mask, qctx=QuantCtx(mode="sq_stat"),
+            mutable=["quant", "qstats"])
+        q = calibrate_weight_tables(vs["params"], muts["quant"], res)
+        q = pack_native_weights(vs["params"], q, res)
+        return {"params": vs["params"], "quant": q,
+                "qstats": muts["qstats"]}
+    q_vars = sq_stat(q_vars, x)
+    jax.block_until_ready(q_vars)
 
     qctx = QuantCtx(mode="quant", t_id=jnp.asarray(500, jnp.int32))
 
@@ -263,11 +284,16 @@ def arm_sigma1024():
     bench = _timer()
     t_fp = bench(fp_fwd, fp_vars, x)
     t_q = bench(q_fwd, q_vars, x)
+    out_fp = fp_fwd(fp_vars, x)
+    out_q = q_fwd(q_vars, x)
+    rel = float(jnp.linalg.norm((out_q - out_fp).astype(jnp.float32))
+                / jnp.linalg.norm(out_fp.astype(jnp.float32)))
     print(json.dumps({
-        "arm": "pixart_sigma_1024_kvcompress_w4a8",
+        "arm": "pixart_sigma_1024_kvcompress_w4a8_cb",
         "bf16_ms_per_fwd": round(t_fp * 1e3, 2),
-        "w4a8_ms_per_fwd": round(t_q * 1e3, 2),
+        "w4a8cb_ms_per_fwd": round(t_q * 1e3, 2),
         "speedup": round(t_fp / t_q, 3),
+        "rel_err_vs_bf16": round(rel, 4),
     }))
 
 
@@ -343,8 +369,73 @@ def arm_latte():
     }))
 
 
+def arm_mmdit():
+    """BASELINE stretch config: SD3-class MMDiT W4A8 (rectified flow),
+    single CFG-style forward B=2, 1024x1024 latent 128."""
+    import jax
+    import jax.numpy as jnp
+    from viditq_tpu.models.mmdit import MMDiT
+    from viditq_tpu.quant import QuantCtx
+    from viditq_tpu.utils.config import load_quant_config
+
+    plan = load_quant_config("configs/opensora/w4a8_tpu_fused.yaml")
+    res = plan.resolver()
+    size = 16 if TINY else 128
+    kw = dict(input_size=size, patch_size=2, in_channels=4,
+              hidden_size=1152, depth=24, num_heads=16,
+              caption_channels=4096, model_max_length=77)
+    model_fp = MMDiT(**kw)
+    model_q = MMDiT(resolver=res, **kw)
+    rng = np.random.default_rng(0)
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, 4, size, size)) * 0.5,
+                    jnp.bfloat16)
+    t = jnp.asarray([0.5] * B, jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, 1, 77, 4096)) * 0.1,
+                    jnp.bfloat16)
+    mask = jnp.ones((B, 77), jnp.int32)
+    init_args = (x, t, y, mask)
+    fp_vars = _build_variables(model_fp, None, init_args, jax, jnp)
+    q_vars = _build_variables(model_q, res, init_args, jax, jnp)
+    q_vars = {**q_vars, "params": fp_vars["params"]}
+    from viditq_tpu.quant import calibrate_weight_tables
+    from viditq_tpu.quant.native_pack import pack_native_weights
+
+    @jax.jit
+    def recal(p, q):
+        q = jax.tree.map(jnp.zeros_like, q)
+        q = calibrate_weight_tables(p, q, res)
+        return pack_native_weights(p, q, res)
+    q_vars["quant"] = recal(q_vars["params"], q_vars["quant"])
+
+    qctx = QuantCtx(mode="quant", t_id=jnp.asarray(500, jnp.int32))
+
+    @jax.jit
+    def fp_fwd(vs, x):
+        return model_fp.apply(vs, x, t, y, mask)
+
+    @jax.jit
+    def q_fwd(vs, x):
+        return model_q.apply(vs, x, t, y, mask, qctx=qctx)
+
+    bench = _timer()
+    t_fp = bench(fp_fwd, fp_vars, x)
+    t_q = bench(q_fwd, q_vars, x)
+    out_fp = fp_fwd(fp_vars, x)
+    out_q = q_fwd(q_vars, x)
+    rel = float(jnp.linalg.norm((out_q - out_fp).astype(jnp.float32))
+                / jnp.linalg.norm(out_fp.astype(jnp.float32)))
+    print(json.dumps({
+        "arm": "mmdit_1024_w4a8_stretch",
+        "bf16_ms_per_fwd": round(t_fp * 1e3, 2),
+        "w4a8_ms_per_fwd": round(t_q * 1e3, 2),
+        "speedup": round(t_fp / t_q, 3),
+        "rel_err_vs_bf16": round(rel, 4),
+    }))
+
+
 ARMS = {"w4a8": arm_w4a8, "t20mp": arm_t20mp, "sigma1024": arm_sigma1024,
-        "latte": arm_latte}
+        "latte": arm_latte, "mmdit": arm_mmdit}
 
 
 def main(names):

@@ -20,7 +20,7 @@ VIDITQ_ATTN_BF16P=1 timeout 1800 python benchmarks/block_bisect.py \
     bf16 fused-sm8-scoped >> $OUT 2>&1
 
 # 3. the four remaining BASELINE config arms
-for arm in w4a8 sigma1024 t20mp latte; do
+for arm in w4a8 sigma1024 t20mp latte mmdit; do
   timeout 3600 python benchmarks/bench_configs.py $arm >> $OUT 2>&1
 done
 
