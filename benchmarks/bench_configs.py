@@ -51,7 +51,7 @@ def _build_variables(model, resolver, init_args, jax, jnp):
 
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), *init_args,
-                           QuantCtx(mode="fp")))
+                           qctx=QuantCtx(mode="fp")))
 
     @jax.jit
     def build(key):
