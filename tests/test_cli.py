@@ -200,3 +200,20 @@ def test_ptq_with_block_reconstruction(outdir, monkeypatch):
                  "--quant_ckpt", os.path.join(d, "quant_ckpt.npz")])
     out = np.load(os.path.join(d, "quant_samples.npz"))["samples"]
     assert np.isfinite(out).all()
+
+
+def test_export_cli(outdir):
+    import viditq_tpu.cli as climod
+    from viditq_tpu.utils.export import load_exported
+    dst = os.path.join(outdir, "fwd.bin")
+    climod.main(["export", "--config", "configs/workload/opensora_tiny.py",
+                 "--save_dir", outdir + "/export",
+                 "--ptq_config", "configs/opensora/w8a8_dynamic.yaml",
+                 "--dst", dst, "--batch_size", "1"])
+    import jax.numpy as jnp
+    fn = load_exported(open(dst, "rb").read())
+    out = fn(jnp.zeros((1, 4, 4, 8, 8), jnp.float32),
+             jnp.zeros((1,), jnp.float32),
+             jnp.zeros((1, 1, 8, 32), jnp.float32),
+             jnp.ones((1, 8), jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
