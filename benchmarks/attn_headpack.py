@@ -95,14 +95,17 @@ def main():
         def t(fn_, salt):
             float(jnp.sum(fn_(qa + salt)[..., :1].astype(jnp.float32)))
             best = 1e9
-            for i in range(3):
+            for i in range(5):
                 tt = time.perf_counter()
                 float(jnp.sum(fn_(qa + salt + i)[..., :1]
                               .astype(jnp.float32)))
                 best = min(best, time.perf_counter() - tt)
             return best
 
-        lo, hi = 16, 48
+        # Iteration spans must be large enough that the hi-lo wall-time
+        # delta (~60 ms for loop16) dwarfs the tunnel's per-dispatch RTT
+        # jitter; 16/48 spans produced negative slopes on axon.
+        lo, hi = 64, 512
         per = (t(mk(hi), 0.5) - t(mk(lo), 0.25)) / (hi - lo)
         print(f"{name:9s} {per*1e6:9.1f} us/iter", flush=True)
 
