@@ -228,8 +228,12 @@ def arm_sigma1024():
     # the BASELINE config: the reference sigma W4A8 plan (W6 weights +
     # A8 dynamic + momentum smooth-quant CB), executed on the native
     # int8 dataflow
+    # 'fused' = native int dataflow + the Pallas producer/consumer kernels.
+    # The first on-chip run used with_backend("native") (impl=None -> the
+    # unfused XLA int8 path) and measured 0.914x — slower than bf16; the
+    # dequant/correction passes never fused (BENCH_NOTES round-3g).
     plan = load_quant_config(
-        "configs/pixart_sigma/w4a8.yaml").with_backend("native")
+        "configs/pixart_sigma/w4a8.yaml").with_backend("fused")
     res = plan.resolver()
     size = 16 if TINY else 128
     kw = dict(input_size=size, caption_channels=4096, model_max_length=300,

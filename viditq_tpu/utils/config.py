@@ -209,8 +209,14 @@ class QuantPlanConfig:
                    for _, mode in self.backend_overrides)
 
     def with_backend(self, backend: str) -> "QuantPlanConfig":
-        """Switch between 'simulate' (reference-parity fake quant) and
-        'native' (real int8 Pallas kernels)."""
+        """Switch between 'simulate' (reference-parity fake quant),
+        'native' (int execution via the XLA int8 path), and 'fused'
+        (native + the Pallas producer/consumer kernels — the measured-fast
+        configuration on v5e; same mapping as the YAML `backend: fused`)."""
+        if backend == "fused":
+            return dataclasses.replace(
+                self, default_layer=dataclasses.replace(
+                    self.default_layer, backend="native", impl="fused"))
         return dataclasses.replace(
             self, default_layer=dataclasses.replace(
                 self.default_layer, backend=backend))
