@@ -26,9 +26,12 @@ import time
 
 import numpy as np
 
-# VIDITQ_BENCH_TINY=1: shrink shapes/steps so the arm LOGIC smoke-runs on
-# CPU (numbers meaningless) — used before spending TPU time on compiles.
+# VIDITQ_BENCH_TINY=1: shrink shapes/steps AND the model (2 blocks, small
+# hidden) so the arm LOGIC smoke-runs on CPU in minutes (numbers
+# meaningless) — used before spending TPU time on compiles.
 TINY = os.environ.get("VIDITQ_BENCH_TINY") == "1"
+# model-shrink kwargs applied on top of the XL presets in TINY mode
+TINY_NET = dict(depth=2, hidden_size=64, num_heads=4) if TINY else {}
 
 
 def _timer(n_warm=1, reps=3):
@@ -156,7 +159,7 @@ def arm_t20mp():
     import jax
     import jax.numpy as jnp
     from viditq_tpu.models import STDiT_XL_2
-    from viditq_tpu.pipelines.mixed_precision import mp_quant_sample
+    from viditq_tpu.pipelines.mixed_precision import build_mp_sampler
     from viditq_tpu.samplers import IDDPM
     from viditq_tpu.utils.config import load_quant_config
 
@@ -168,13 +171,21 @@ def arm_t20mp():
                     jnp.bfloat16)
     mask = jnp.ones((1, 120), jnp.int32)
 
-    plan = load_quant_config("configs/opensora/w4a8_timestep_aware_cb.yaml")
-    # MP needs both bits calibrated; the plan already carries
-    # mixed_precision (4, 8) tables
+    # the t20 MP plan executed on the native int8 dataflow (fused Pallas
+    # producer/consumer kernels); build_mp_sampler repacks the int slabs
+    # per range at that range's bit allocation inside the jit
+    plan = load_quant_config(
+        "configs/opensora/w4a8_timestep_aware_cb.yaml").with_backend("fused")
     res = plan.resolver()
 
+    from viditq_tpu.models.stdit import STDiT
+
     def model_ctor(r):
-        return STDiT_XL_2(input_size=latent, resolver=r, scan_blocks=True)
+        kw = {} if r is None else {"resolver": r}
+        if TINY:
+            return STDiT(input_size=latent, patch_size=(1, 2, 2),
+                         scan_blocks=True, **TINY_NET, **kw)
+        return STDiT_XL_2(input_size=latent, scan_blocks=True, **kw)
 
     model = model_ctor(res)
     init_args = (jnp.concatenate([z, z]), jnp.zeros((2,)), y, mask)
@@ -186,7 +197,7 @@ def arm_t20mp():
         mp_a = yaml.safe_load(f)
 
     sampler = IDDPM(num_sampling_steps=n_steps, cfg_scale=4.0)
-    model_fp = STDiT_XL_2(input_size=latent, scan_blocks=True)
+    model_fp = model_ctor(None)
     fp_vars = {"params": variables["params"]}
 
     @jax.jit
@@ -195,20 +206,14 @@ def arm_t20mp():
                               model_fp.apply(vs, x, t, yy, mm),
                               z, y, mask, sampler_type="ddim")
 
+    mp_fn = build_mp_sampler(model_ctor, sampler, plan, mp_w, mp_a)
+
     def mp_run(z):
-        return mp_quant_sample(model_ctor, variables, sampler, z, y, mask,
-                               plan, mp_w, mp_a)
+        return mp_fn(variables, z, y, mask)
 
     bench = _timer()
     t_fp = bench(fp_denoise, fp_vars, z) / n_steps
-    # mp_quant_sample drives several jitted segment scans; time wall-clock
-    mp_run(z).block_until_ready()   # compile all segments
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        mp_run(z).block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    t_mp = min(ts) / n_steps
+    t_mp = bench(mp_run, z) / n_steps
     print(json.dumps({
         "arm": "t20_timestep_mp_stdit_xl2_16x512x512",
         "bf16_ms_per_step": round(t_fp * 1e3, 2),
@@ -305,7 +310,7 @@ def arm_latte():
     import jax
     import jax.numpy as jnp
     from viditq_tpu.models import Latte_XL_2
-    from viditq_tpu.pipelines.mixed_precision import mp_quant_sample
+    from viditq_tpu.pipelines.mixed_precision import build_mp_sampler
     from viditq_tpu.pipelines.analysis import (block_group_to_range_scores,
                                                generate_mp_config)  # noqa
     from viditq_tpu.samplers import IDDPM
@@ -313,12 +318,19 @@ def arm_latte():
 
     latent = (4, 8, 8) if TINY else (16, 32, 32)
     n_steps = 20  # mp_w tiles 20 steps
-    plan = load_quant_config("configs/opensora/w4a8_timestep_aware_cb.yaml")
+    plan = load_quant_config(
+        "configs/opensora/w4a8_timestep_aware_cb.yaml").with_backend("fused")
     res = plan.resolver()
 
+    from viditq_tpu.models.dit import Latte
+
     def model_ctor(r):
+        kw = {} if r is None else {"resolver": r}
+        if TINY:
+            return Latte(input_size=latent, condition="text",
+                         caption_channels=4096, **TINY_NET, **kw)
         return Latte_XL_2(input_size=latent, condition="text",
-                          caption_channels=4096, resolver=r)
+                          caption_channels=4096, **kw)
 
     rng = np.random.default_rng(0)
     z = jnp.asarray(rng.standard_normal((1, 4, *latent)) * 0.5, jnp.bfloat16)
@@ -342,8 +354,7 @@ def arm_latte():
                          **{n: 8 for n in names_m}}
 
     sampler = IDDPM(num_sampling_steps=n_steps, cfg_scale=4.0)
-    model_fp = Latte_XL_2(input_size=latent, condition="text",
-                          caption_channels=4096)
+    model_fp = model_ctor(None)
     fp_vars = {"params": variables["params"]}
 
     @jax.jit
@@ -352,19 +363,14 @@ def arm_latte():
                               model_fp.apply(vs, x, t, yy),
                               z, y, mask, sampler_type="ddim")
 
+    mp_fn = build_mp_sampler(model_ctor, sampler, plan, mp_w, None)
+
     def mp_run(z):
-        return mp_quant_sample(model_ctor, variables, sampler, z, y, mask,
-                               plan, mp_w, None)
+        return mp_fn(variables, z, y, mask)
 
     bench = _timer()
     t_fp = bench(fp_denoise, fp_vars, z) / n_steps
-    mp_run(z).block_until_ready()
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        mp_run(z).block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    t_mp = min(ts) / n_steps
+    t_mp = bench(mp_run, z) / n_steps
     print(json.dumps({
         "arm": "latte_xl2_16x256x256_w4a8_timestep_mp",
         "bf16_ms_per_step": round(t_fp * 1e3, 2),

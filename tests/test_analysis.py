@@ -135,6 +135,47 @@ def test_mixed_precision_segmented_sampling():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_mixed_precision_native_repack_matches_simulate():
+    """build_mp_sampler on a backend='native' plan repacks the int weight
+    slabs per step range INSIDE the jit; the result must track the
+    simulate-backend MP path (same codes, per-row act scales differ only
+    at batch>1 — B=1 here, so the paths agree tightly)."""
+    from viditq_tpu.pipelines.mixed_precision import build_mp_sampler
+
+    base = LayerQuantSpec(weight=W4, act=A8)
+    base_nat = dataclasses.replace(base, backend="native")
+    plan = QuantPlanConfig(default_layer=base, fp_patterns=FP,
+                           mixed_precision=(4, 8))
+    plan_nat = QuantPlanConfig(default_layer=base_nat, fp_patterns=FP,
+                               mixed_precision=(4, 8))
+    z, y, mask = inputs()
+    sampler = IDDPM(num_sampling_steps=4, cfg_scale=4.0)
+    nat_model = tiny_model(plan_nat.resolver())
+    variables = nat_model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                               y[:1], mask, QuantCtx(mode="fp"))
+    variables = dict(variables)
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], plan_nat.resolver())
+
+    mp_weight = {"3-2": {"model.blocks.0.attn.q": 8,
+                         "model.blocks.1.mlp.fc1": 8},
+                 "1-0": {"model.blocks.0.attn.q": 4},
+                 "fp_layers": ["model.blocks.1.cross_attn.kv_linear"]}
+
+    sim_fn = build_mp_sampler(tiny_model, sampler, plan, mp_weight, None)
+    nat_fn = build_mp_sampler(tiny_model, sampler, plan_nat, mp_weight, None)
+    assert plan_nat.uses_native() and not plan.uses_native()
+
+    # the simulate path ignores the (zero) native slots; both runs share
+    # the same params + w_delta/w_zp tables
+    out_sim = sim_fn(variables, z, y, mask)
+    out_nat = nat_fn(variables, z, y, mask)
+    assert np.isfinite(np.asarray(out_nat)).all()
+    rel = (np.linalg.norm(np.asarray(out_nat - out_sim))
+           / max(np.linalg.norm(np.asarray(out_sim)), 1e-9))
+    assert rel < 0.05, rel
+
+
 def test_timestep_window_sensitivity():
     base = LayerQuantSpec(weight=QuantSpec(n_bits=3, granularity="channel",
                                            channel_axis=-1,
