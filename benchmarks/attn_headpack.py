@@ -79,16 +79,16 @@ def main():
             def f(qx):
                 def body(i, qx):
                     s = fn(qx, ka)
-                    # fold the result back into the carry so nothing hoists
-                    upd = s.reshape(H if name != "packpair" else H // 2,
-                                    BQ, -1)[..., :D].astype(jnp.bfloat16)
+                    # consume the FULL score block via a row reduction —
+                    # slicing columns here lets XLA narrow the dot itself
+                    # (the first revision read [..., :D] and measured a
+                    # partially dead dot)
+                    g = H if name != "packpair" else H // 2
+                    row = jnp.mean(s.reshape(g, BQ, -1), axis=-1)  # [g, BQ]
                     if name == "packpair":
-                        upd = jnp.concatenate([upd, upd], axis=0)
-                    if qx.shape[-1] != upd.shape[-1]:   # pad128 carry
-                        upd = jnp.pad(upd, ((0, 0), (0, 0),
-                                            (0, qx.shape[-1]
-                                             - upd.shape[-1])))
-                    return qx + 0.001 * upd
+                        row = jnp.concatenate([row, row], axis=0)
+                    upd = (0.001 * row)[..., None].astype(jnp.bfloat16)
+                    return qx + upd                      # broadcast over D
                 return jax.lax.fori_loop(0, iters, body, qx)
             return f
 
