@@ -393,6 +393,18 @@ def cmd_get_sensitivity(args):
     base = plan.default_layer
     params_holder = {}
 
+    from viditq_tpu.utils.metrics import make_sensitivity_metric
+    prompts = None
+    if getattr(args, "prompts", None):
+        if os.path.exists(args.prompts):
+            with open(args.prompts) as f:
+                prompts = [ln.strip() for ln in f if ln.strip()]
+        else:
+            prompts = args.prompts.split(",")
+    metric_fn = make_sensitivity_metric(
+        getattr(args, "metric", "mse"), prompts=prompts,
+        clip_model_path=getattr(args, "clip_model", None))
+
     def run_with_resolver(resolver):
         from viditq_tpu.quant import calibrate_weight_tables
         model = workload.build_model(cfg, resolver=resolver)
@@ -445,12 +457,13 @@ def cmd_get_sensitivity(args):
             n_blocks=fp_model.depth,
             qctx_factory=default_qctx_factory("quant"), groups=groups,
             bits=bits, split_timestep=args.split_timestep,
-            fp_patterns=plan.fp_patterns)
+            fp_patterns=plan.fp_patterns, metric_fn=metric_fn)
     else:
         targets = (args.targets.split(",") if args.targets
                    else list(analysis.QUANT_GROUPS))
         scores = analysis.sensitivity_scan(run_with_resolver, base, targets,
-                                           fp_patterns=plan.fp_patterns)
+                                           fp_patterns=plan.fp_patterns,
+                                           metric_fn=metric_fn)
     os.makedirs(args.save_dir, exist_ok=True)
     out = os.path.join(args.save_dir, "sensitivity.json")
     with open(out, "w") as f:
@@ -658,6 +671,20 @@ def main(argv=None):
                                 "(reference get_sensitivity.py "
                                 "block_group_wise_quant)")
             s.add_argument("--split_timestep", type=int, default=4)
+            s.add_argument("--metric", default="mse",
+                           choices=("mse", "clip"),
+                           help="sensitivity score: frame-MSE vs FP "
+                                "(metric.ipynb cell 2) or CLIP-score "
+                                "degradation (the metric-decoupled "
+                                "perceptual ranking)")
+            s.add_argument("--clip_model", default=None,
+                           help="local FlaxCLIPModel dir for --metric "
+                                "clip (default: tiny random-init CLIP — "
+                                "plumbing-only scores)")
+            s.add_argument("--prompts", default=None,
+                           help="comma-separated prompts for --metric "
+                                "clip (or a path to a prompt .txt, one "
+                                "per line)")
         if name == "smooth-quant-list":
             s.add_argument("--threshold", type=float, default=10.0)
         s.set_defaults(fn=fn)

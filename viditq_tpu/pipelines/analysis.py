@@ -91,10 +91,12 @@ def frame_mse(a: jnp.ndarray, b: jnp.ndarray) -> float:
 def sensitivity_scan(run_with_resolver: Callable, base: LayerQuantSpec,
                      targets: Sequence[str],
                      fp_patterns: Sequence[str] = (),
-                     fp_reference: Optional[jnp.ndarray] = None
-                     ) -> Dict[str, float]:
+                     fp_reference: Optional[jnp.ndarray] = None,
+                     metric_fn: Callable = frame_mse) -> Dict[str, float]:
     """For each target pattern, generate with only that target quantized and
-    score MSE vs the FP generation.
+    score `metric_fn(out, fp_reference)` (default frame-MSE; pass a
+    utils.metrics.make_sensitivity_metric('clip', ...) for the
+    metric-decoupled perceptual ranking).
 
     run_with_resolver(resolver) -> generated sample array. The caller closes
     over model/sampler/inputs (see tests / scripts).
@@ -105,7 +107,7 @@ def sensitivity_scan(run_with_resolver: Callable, base: LayerQuantSpec,
     for tgt in targets:
         res = single_target_resolver(base, tgt, fp_patterns)
         out = run_with_resolver(res)
-        scores[tgt] = frame_mse(out, fp_reference)
+        scores[tgt] = float(metric_fn(out, fp_reference))
     return scores
 
 
@@ -131,7 +133,9 @@ def _segmented_sample(sampler, fp_apply, q_apply, z, y, mask, hi, lo,
 
 def timestep_window_sensitivity(sampler, fp_apply, q_apply, z, y, mask,
                                 windows, qctx_factory,
-                                fp_reference=None) -> Dict[str, float]:
+                                fp_reference=None,
+                                metric_fn: Callable = frame_mse
+                                ) -> Dict[str, float]:
     """Per-timestep-window sensitivity: quantized inside the window, FP
     outside (reference timestep_wise_quant windows,
     gaussian_diffusion.py:691-738) — via segmented denoise ranges.
@@ -145,7 +149,7 @@ def timestep_window_sensitivity(sampler, fp_apply, q_apply, z, y, mask,
     for hi, lo in windows:
         out = _segmented_sample(sampler, fp_apply, q_apply, z, y, mask,
                                 hi, lo, qctx_factory)
-        scores[f"{hi}-{lo}"] = frame_mse(out, fp_reference)
+        scores[f"{hi}-{lo}"] = float(metric_fn(out, fp_reference))
     return scores
 
 
@@ -189,7 +193,9 @@ def block_group_sensitivity(sampler, fp_apply, make_q_apply, z, y, mask,
                             bits: Sequence[int] = (8,),
                             split_timestep: int = 4,
                             fp_patterns: Sequence[str] = (),
-                            fp_reference=None) -> Dict[str, float]:
+                            fp_reference=None,
+                            metric_fn: Callable = frame_mse
+                            ) -> Dict[str, float]:
     """block x group x timestep-window sensitivity (the reference's
     block_group_wise_quant mode, get_sensitivity.py:467-521 outer loop over
     bits, :727-741 windowed variant; gaussian_diffusion.py:728-738): for
@@ -217,7 +223,7 @@ def block_group_sensitivity(sampler, fp_apply, make_q_apply, z, y, mask,
                                             z, y, mask, hi, lo,
                                             qctx_factory)
                     key = f"bit{b}/{hi}-{lo}/blocks.{j}.{g}"
-                    scores[key] = frame_mse(out, fp_reference)
+                    scores[key] = float(metric_fn(out, fp_reference))
     return scores
 
 

@@ -73,6 +73,137 @@ def clip_score(images, prompts: List[str], clip_encoder) -> float:
     return float(np.mean(np.sum(ie * te, axis=-1)))
 
 
+class ClipScorer:
+    """Image/video-text CLIP similarity for sensitivity scoring — the
+    perceptual leg of the reference's metric-decoupled sensitivity
+    (`qdiff/analysis_tools/mixed_precision/metric.ipynb` parses a
+    VBench-style CLIP score per quant config; the evaluator itself is
+    external to the reference too).
+
+    model_path: a LOCAL FlaxCLIPModel checkpoint directory (with its
+    processor). Without one (this image ships no CLIP weights), a tiny
+    random-init CLIP is built from config with a hash tokenizer — the
+    *plumbing* (frame sampling, embedding, ranking loop) is exercised
+    end-to-end but scores carry no perceptual meaning; pass a real
+    checkpoint in production.
+    """
+
+    def __init__(self, model_path: Optional[str] = None,
+                 max_frames: int = 4):
+        self.max_frames = max_frames
+        self._processor = None
+        if model_path:
+            from transformers import AutoProcessor, FlaxCLIPModel
+            self.model = FlaxCLIPModel.from_pretrained(model_path)
+            self._processor = AutoProcessor.from_pretrained(model_path)
+            self.image_size = self.model.config.vision_config.image_size
+            self.vocab = self.model.config.text_config.vocab_size
+            self.max_len = \
+                self.model.config.text_config.max_position_embeddings
+        else:
+            from transformers import CLIPConfig, FlaxCLIPModel
+            cfg = CLIPConfig.from_dict({
+                "text_config": {
+                    "hidden_size": 32, "intermediate_size": 64,
+                    "num_hidden_layers": 2, "num_attention_heads": 2,
+                    "max_position_embeddings": 16, "vocab_size": 512,
+                    "projection_dim": 16},
+                "vision_config": {
+                    "hidden_size": 32, "intermediate_size": 64,
+                    "num_hidden_layers": 2, "num_attention_heads": 2,
+                    "image_size": 32, "patch_size": 8,
+                    "projection_dim": 16},
+                "projection_dim": 16})
+            self.model = FlaxCLIPModel(cfg, seed=0)
+            self.image_size = 32
+            self.vocab = 512
+            self.max_len = 16
+
+    def _tokenize(self, prompts: List[str]) -> np.ndarray:
+        if self._processor is not None:
+            return self._processor(
+                text=prompts, return_tensors="np", padding="max_length",
+                max_length=self.max_len, truncation=True)["input_ids"]
+        # hash tokenizer for the config-built smoke model: stable ids in
+        # [2, vocab) with BOS=0 / EOS=1 framing
+        ids = np.ones((len(prompts), self.max_len), np.int32)
+        for i, p in enumerate(prompts):
+            toks = [0] + [2 + (hash(w) % (self.vocab - 2))
+                          for w in p.lower().split()][: self.max_len - 2]
+            toks.append(1)
+            ids[i, : len(toks)] = toks
+        return ids
+
+    def _frames(self, sample) -> np.ndarray:
+        """[B,C,H,W] | [B,C,T,H,W] in [-1,1] -> [N,3,S,S] pixel values
+        (CLIP normalization left to the processor path when present)."""
+        import jax
+
+        s = jnp.asarray(sample, jnp.float32)
+        if s.ndim == 5:  # video: sample up to max_frames evenly
+            T = s.shape[2]
+            idx = np.unique(np.linspace(0, T - 1, self.max_frames)
+                            .round().astype(int))
+            s = s[:, :, idx].transpose(0, 2, 1, 3, 4)
+            s = s.reshape(-1, *s.shape[2:])
+        if s.shape[1] == 1:
+            s = jnp.repeat(s, 3, axis=1)
+        elif s.shape[1] != 3:
+            s = s[:, :3]
+        s = jnp.clip((s + 1.0) / 2.0, 0.0, 1.0)
+        s = jax.image.resize(
+            s, (s.shape[0], 3, self.image_size, self.image_size),
+            method="bilinear")
+        if self._processor is not None:
+            # reproduce CLIPImageProcessor normalize on the resized frames
+            mean = np.asarray(self._processor.image_processor.image_mean,
+                              np.float32).reshape(1, 3, 1, 1)
+            std = np.asarray(self._processor.image_processor.image_std,
+                             np.float32).reshape(1, 3, 1, 1)
+            s = (s - mean) / std
+        return np.asarray(s)
+
+    def score(self, sample, prompts: List[str]) -> float:
+        """Mean cosine(image emb, text emb); videos average frame scores
+        per prompt (the VBench CLIP-score convention)."""
+        frames = self._frames(sample)
+        ids = self._tokenize(list(prompts))
+        n_rep = frames.shape[0] // max(len(prompts), 1)
+        ids = np.repeat(ids, n_rep, axis=0)[: frames.shape[0]]
+        out = self.model(input_ids=ids, pixel_values=frames)
+        ie = out.image_embeds / np.linalg.norm(
+            np.asarray(out.image_embeds), axis=-1, keepdims=True)
+        te = out.text_embeds / np.linalg.norm(
+            np.asarray(out.text_embeds), axis=-1, keepdims=True)
+        return float(np.mean(np.sum(np.asarray(ie) * np.asarray(te),
+                                    axis=-1)))
+
+
+def make_sensitivity_metric(name: str, prompts: Optional[List[str]] = None,
+                            clip_model_path: Optional[str] = None):
+    """metric_fn(out, fp_reference) -> float (higher = more sensitive) for
+    the sensitivity scans. 'mse' = frame-MSE vs the FP generation
+    (metric.ipynb cell 2); 'clip' = CLIP-score degradation
+    clip(fp) - clip(out) — the metric-decoupled perceptual ranking."""
+    if name == "mse":
+        return frame_mse
+    if name == "clip":
+        scorer = ClipScorer(clip_model_path)
+        ps = prompts or ["a sample"]
+        cache = {}
+
+        def clip_degradation(out, ref) -> float:
+            key = id(ref)
+            if key not in cache:
+                cache.clear()
+                cache[key] = scorer.score(ref, ps)
+            return cache[key] - scorer.score(out, ps)
+
+        return clip_degradation
+    raise ValueError(f"unknown sensitivity metric {name!r} "
+                     "(expected 'mse' or 'clip')")
+
+
 def quality_report(sample, fp_reference=None) -> dict:
     """Bundle of the built-in metrics for one generation."""
     rep = {}
