@@ -123,22 +123,30 @@ def _quantize_rows_f32(x, sym: bool):
 
 def _dynq_mm_kernel(*refs, k_size: int, sym: bool, sym_w: bool,
                     has_bias: bool, has_epi: bool, has_gate: bool,
-                    bpg: int = 1):
+                    has_csc: bool = False, bpg: int = 1):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    # per-channel pre-scale on x (smooth-quant 1/cs fold): applied in-kernel
+    # before the row quantize, so the CB act rescale costs no extra HBM pass
+    csc_ref = refs.pop(0) if has_csc else None
     if has_epi and has_gate:
-        (x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, b_ref, res_ref, g_ref,
+        (w_ref, ws_ref, wzp_ref, wcs_ref, b_ref, res_ref, g_ref,
          o_ref, xq_ref, xs_ref, xzp_ref, xrs_ref) = refs
     elif has_epi:
-        (x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, b_ref, res_ref,
+        (w_ref, ws_ref, wzp_ref, wcs_ref, b_ref, res_ref,
          o_ref, xq_ref, xs_ref, xzp_ref, xrs_ref) = refs
     else:
-        (x_ref, w_ref, ws_ref, wzp_ref, wcs_ref, b_ref,
+        (w_ref, ws_ref, wzp_ref, wcs_ref, b_ref,
          o_ref, xq_ref, xs_ref, xzp_ref, xrs_ref) = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         # quantize this M-block once; reuse across every N-block
-        q, scale, zp = _quantize_rows_f32(x_ref[:].astype(jnp.float32), sym)
+        xf = x_ref[:].astype(jnp.float32)
+        if has_csc:
+            xf = xf * csc_ref[:]
+        q, scale, zp = _quantize_rows_f32(xf, sym)
         xq_ref[:] = q.astype(jnp.int8)
         xs_ref[:] = scale
         if not sym:
@@ -187,13 +195,20 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
                            block_m: Optional[int] = None,
                            block_n: Optional[int] = None,
                            residual: 'Optional[jnp.ndarray]' = None,
-                           gate: 'Optional[jnp.ndarray]' = None) -> jnp.ndarray:
+                           gate: 'Optional[jnp.ndarray]' = None,
+                           col_scale: 'Optional[jnp.ndarray]' = None
+                           ) -> jnp.ndarray:
     """x: [M, K] bf16/f32; w_q: [K, N] int8 (full-K blocks — true for every
     DiT linear input except fc2, whose input arrives pre-quantized from the
     gelu producer). Returns [M, N].
 
     sym / sym_w flag ACT / WEIGHT symmetry: each zero correction term is
     dropped exactly when its zero point is statically 0.
+
+    col_scale: optional [1, K] per-channel multiplier applied to x inside
+    the kernel before the row quantize — the smooth-quant 1/cs act rescale
+    (quant_layer.py:140 `input / scale`) folded in so CB costs no separate
+    elementwise pass over the activations.
     """
     M, K = x.shape
     K2, N = w_q.shape
@@ -219,6 +234,7 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
     grid = (Mp // block_m, Np // block_n)
     has_epi = residual is not None
     has_gate = gate is not None
+    has_csc = col_scale is not None
     bpg = 1
     operands = [x, w_q, w_scale, w_zp, w_colsum, b]
     in_specs = [
@@ -242,9 +258,13 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
             gate = jnp.pad(gate, ((0, 0), (0, Np - N)))
             operands.append(gate)
             in_specs.append(pl.BlockSpec((G, block_n), lambda i, j: (0, j)))
+    if has_csc:
+        operands.insert(1, col_scale.reshape(1, K).astype(jnp.float32))
+        in_specs.insert(1, pl.BlockSpec((1, K), lambda i, j: (0, 0)))
     kernel = functools.partial(_dynq_mm_kernel, k_size=K, sym=sym,
                                sym_w=sym_w, has_bias=has_bias,
-                               has_epi=has_epi, has_gate=has_gate, bpg=bpg)
+                               has_epi=has_epi, has_gate=has_gate,
+                               has_csc=has_csc, bpg=bpg)
     out = pl.pallas_call(
         kernel,
         grid=grid,

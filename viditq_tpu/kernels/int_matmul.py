@@ -274,11 +274,17 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
                             out_dtype=jnp.bfloat16,
                             impl: Optional[str] = None,
                             residual: Optional[jnp.ndarray] = None,
-                            gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                            gate: Optional[jnp.ndarray] = None,
+                            col_scale: Optional[jnp.ndarray] = None
+                            ) -> jnp.ndarray:
     """W8A8 linear: dynamic per-token int8 act quant + int8 MXU matmul.
 
     x: [..., K]; per-token groups are the flattened leading dims (callers
     reshape to the logical token view first, matching the fake-quant path).
+
+    col_scale: optional [K] / [1, K] per-channel multiplier on x (the
+    smooth-quant 1/cs rescale) — folded into the fused kernel's in-kernel
+    quantize; applied as one f32 pass on the fallback impls.
     """
     impl = impl or _default_impl()
     if impl in ("fused", "pallas", "mixed"):
@@ -296,9 +302,12 @@ def quantized_linear_native(x: jnp.ndarray, packed: dict,
                                      packed["w_zp"], packed["w_colsum"],
                                      sym=act_sym, sym_w=w_sym, bias=bias,
                                      out_dtype=out_dtype,
-                                     residual=residual, gate=gate)
+                                     residual=residual, gate=gate,
+                                     col_scale=col_scale)
         return out.reshape(*lead, -1)
-    elif impl == "pallas":
+    if col_scale is not None:
+        x2 = x2.astype(jnp.float32) * col_scale.reshape(1, K)
+    if impl == "pallas":
         x_q, xs, xzp, xrs = dynamic_quant_rows(x2, sym=act_sym)
         out = int8_matmul(x_q, packed["w_q"], xs, xzp, xrs,
                           packed["w_scale"], packed["w_zp"],

@@ -135,6 +135,35 @@ def calibrate_weight_tables(params: Dict, quant_vars: Dict,
             tables = weight_qparams_for_layer(kernel, lspec, act_scale)
         for k, v in tables.items():
             flat_q[layer_path + (k,)] = v
+
+    # smooth-quant balancing scales: cs is a pure function of the kernel +
+    # accumulated act_scale stats, so it is materialized per timerange here
+    # and the runtime forward gathers it (qlinear 'cb_scale') instead of
+    # re-reading the fp32 kernel for an absmax every call. Separate loop:
+    # CB also applies to weight-FP layers that carry no w_delta.
+    for layer_path in _layer_dirs(quant_vars, "cb_scale"):
+        name = path_to_dotted(layer_path)
+        lspec = resolve(name)
+        if lspec is None or not lspec.smooth_quant.enable:
+            continue
+        smooth = lspec.smooth_quant
+        if "momentum" not in smooth.channel_wise_scale_type:
+            continue
+        kernel = flat_p[layer_path + ("kernel",)]
+        if kernel.ndim >= 4:
+            kernel = kernel.reshape(-1, kernel.shape[-1])
+        act_scale = flat_q[layer_path + ("act_scale",)]
+
+        def cb_for(k, a, _s=smooth):
+            w_absmax = jnp.max(jnp.abs(k.astype(jnp.float32)), axis=-1)
+            return jnp.stack([
+                core.smooth_quant_scale(a[tr], w_absmax,
+                                        _s.alpha_for_range(tr))
+                for tr in range(_s.n_timerange)])
+
+        flat_q[layer_path + ("cb_scale",)] = (
+            jax.vmap(cb_for)(kernel, act_scale) if kernel.ndim == 3
+            else cb_for(kernel, act_scale))
     return traverse_util.unflatten_dict(flat_q)
 
 

@@ -341,12 +341,22 @@ class QuantLinear(nn.Module):
                 lambda: jnp.zeros((n_tr, 1, self.features), jnp.float32))
 
         act_scale = None
+        cb_scale = None
         if smooth.enable:
             act_scale = self.variable(
                 "quant", "act_scale",
                 lambda: jnp.zeros((n_tr, in_features), jnp.float32))
             sq_init = self.variable(
                 "qstats", "sq_init", lambda: jnp.zeros((n_tr,), jnp.bool_))
+            if "momentum" in smooth.channel_wise_scale_type:
+                # precomputed per-timerange balancing scale cs (filled by
+                # calibrate_weight_tables): the runtime forward gathers it
+                # instead of re-deriving cs from a full fp32-kernel absmax
+                # every call — on the native backend that read was the only
+                # remaining per-step traffic over the fp32 weights
+                cb_scale = self.variable(
+                    "quant", "cb_scale",
+                    lambda: jnp.zeros((n_tr, in_features), jnp.float32))
 
         a_static = (aspec is not None and lspec.act_quant
                     and not aspec.dynamic)
@@ -404,18 +414,33 @@ class QuantLinear(nn.Module):
 
         # ---- channel-balancing scale (quant_layer.py:108-140) ----
         cs = None
+        fold_cs = None
         if smooth.enable:
-            alphas = jnp.asarray(
-                [smooth.alpha_for_range(i) for i in range(n_tr)], jnp.float32)
-            alpha = alphas[tr_id]
-            w_absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=-1)
             if smooth.channel_wise_scale_type == "dynamic":
+                alphas = jnp.asarray(
+                    [smooth.alpha_for_range(i) for i in range(n_tr)],
+                    jnp.float32)
+                w_absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)),
+                                   axis=-1)
                 a_absmax = _abs_max_per_channel(self._to_stat_view(x))
+                cs = core.smooth_quant_scale(a_absmax, w_absmax,
+                                             alphas[tr_id])
             else:
-                a_absmax = jax.lax.dynamic_index_in_dim(
-                    act_scale.value, tr_id, 0, keepdims=False)
-            cs = core.smooth_quant_scale(a_absmax, w_absmax, alpha)
-            x = (x.astype(jnp.float32) / cs).astype(x.dtype)
+                # momentum types: cs is a pure function of calibrated state
+                # — gather the precomputed per-tr table (uncalibrated rows
+                # are 0; treat as identity so smoke paths stay finite)
+                cs = jax.lax.dynamic_index_in_dim(
+                    cb_scale.value, tr_id, 0, keepdims=False)
+                cs = jnp.where(cs > 0, cs, 1.0)
+            if (native and mode == "quant" and prequant is None
+                    and lspec.impl == "fused"):
+                from viditq_tpu.kernels.fused_matmul import fused_available
+                if fused_available():
+                    # the 1/cs rescale folds into the fused matmul's
+                    # in-kernel quantize — no standalone [M, K] pass
+                    fold_cs = 1.0 / cs
+            if fold_cs is None:
+                x = (x.astype(jnp.float32) / cs).astype(x.dtype)
 
         # ---- native int8 execution path ----
         if native and mode == "quant":
@@ -488,7 +513,8 @@ class QuantLinear(nn.Module):
                                           w_sym=wspec.sym,
                                           out_dtype=self.dtype,
                                           impl=lspec.impl,
-                                          residual=res2, gate=gate2)
+                                          residual=res2, gate=gate2,
+                                          col_scale=fold_cs)
             return out.reshape(*x.shape[:-1], self.features)
 
         if native_static and mode == "quant":
