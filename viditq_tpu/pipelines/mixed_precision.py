@@ -10,11 +10,13 @@ XLA sees only constant quantization structure per segment.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import traverse_util
 
 from viditq_tpu.pipelines.analysis import mp_overrides_for_range, parse_mp_ranges
 from viditq_tpu.samplers.iddpm import IDDPM, default_qctx_factory
@@ -77,11 +79,206 @@ def _build_segments(model_ctor, sampler: IDDPM, plan,
     return segments
 
 
+def _mp_tspans(sampler: IDDPM, w_ranges):
+    """MP sampler-step ranges -> contiguous original-timestep spans.
+
+    Boundary between adjacent ranges = midpoint of the neighboring steps'
+    original timesteps (schedule.timestep_map[i] is the original t of step
+    i, ascending). Returns spans [(lo, hi)] ASCENDING in t, plus the
+    per-span layer-bits dicts in the same order."""
+    tmap = np.asarray(sampler.schedule.timestep_map)
+    n = sampler.schedule.n_steps
+    asc = sorted(w_ranges, key=lambda r: r[0][1])  # by lo step, ascending t
+    spans, bits = [], []
+    prev_hi_t = -1
+    for (hi, lo), layer_bits in asc:
+        hi = min(hi, n - 1)
+        hi_t = 1000 if hi >= n - 1 else (int(tmap[hi]) + int(tmap[hi + 1])) // 2
+        spans.append((prev_hi_t + 1, hi_t))
+        bits.append(layer_bits)
+        prev_hi_t = hi_t
+    return spans, bits
+
+
+def _union_partition(mp_spans, cb_spans):
+    """Finest common refinement of two contiguous partitions of [0, 1000].
+    Returns (spans ascending, mp_idx per span, cb_idx per span)."""
+    cuts = sorted({hi for _, hi in mp_spans} | {hi for _, hi in cb_spans})
+    spans, lo = [], 0
+    for hi in cuts:
+        spans.append((lo, hi))
+        lo = hi + 1
+
+    def idx_of(part, t):
+        for i, (l, h) in enumerate(part):
+            if l <= t <= h:
+                return i
+        raise ValueError(f"t={t} outside partition {part}")
+
+    mp_idx = [idx_of(mp_spans, l) for l, _ in spans]
+    cb_idx = [idx_of(cb_spans, l) for l, _ in spans]
+    return spans, mp_idx, cb_idx
+
+
+def _clean(name: str) -> str:
+    return name[6:] if name.startswith("model.") else name
+
+
+def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
+                            mp_weight_cfg: Mapping,
+                            mp_act_cfg: Optional[Mapping],
+                            act_slot_map: Optional[np.ndarray] = None):
+    """Single-scan timestep-MP sampler (native backend).
+
+    Instead of one jitted scan per step range (build_mp_sampler's segmented
+    fallback — the reference's mutable per-step bit flip translated range-
+    wise, gaussian_diffusion.py:740-767), this path packs EVERY range's
+    per-layer bit allocation into the smooth-quant timerange axis: the
+    union of the CB timeranges and the MP step ranges becomes the new
+    timerange partition, per-range int slabs are packed at that range's
+    bits (int8 codes regardless of bit width), and the runtime gathers
+    slab + effective scale/zp by tr_id — so the WHOLE sampler is one
+    compiled `lax.scan` with zero in-jit repacking.
+
+    Returns None when the configs aren't representable on this path (non-
+    native backend, static/sub-8-bit acts, varying act bits, CB disabled,
+    bits outside the calibrated mixed_precision list)."""
+    base = plan.default_layer
+    if not (plan.uses_native() and base.weight is not None
+            and base.act is not None and base.act.dynamic
+            and base.act.n_bits == 8 and base.smooth_quant.enable
+            and "momentum" in base.smooth_quant.channel_wise_scale_type):
+        return None
+    w_ranges = parse_mp_ranges(mp_weight_cfg)
+    if not w_ranges:
+        return None
+    for _, layer_bits in parse_mp_ranges(mp_act_cfg or {}):
+        if any(b != base.act.n_bits for b in layer_bits.values()):
+            return None  # varying act bits: segmented fallback
+    avail = base.weight.bits_tuple
+    for _, layer_bits in w_ranges:
+        if any(b not in avail for b in layer_bits.values()):
+            return None
+
+    mp_spans, mp_bits_dicts = _mp_tspans(sampler, w_ranges)
+    smooth = base.smooth_quant
+    spans, mp_idx, cb_idx = _union_partition(mp_spans,
+                                             list(smooth.timerange))
+    new_smooth = dataclasses.replace(
+        smooth, timerange=tuple(spans),
+        alpha=tuple(smooth.alpha_for_range(ci) for ci in cb_idx))
+    plan_u = dataclasses.replace(
+        plan, default_layer=dataclasses.replace(base,
+                                                smooth_quant=new_smooth))
+    base_resolve = plan_u.resolver()
+    range_bits = [{_clean(k): v for k, v in d.items()}
+                  for d in mp_bits_dicts]
+    fp_extra = tuple(_clean(p)
+                     for p in (mp_weight_cfg.get("fp_layers", ()) or ()))
+
+    def resolver(name: str):
+        spec = base_resolve(name)
+        if spec is None:
+            return None
+        from viditq_tpu.quant.naming import any_pattern_in
+        if fp_extra and any_pattern_in(name, fp_extra):
+            return spec.disabled()
+        if spec.weight is not None and spec.weight_quant:
+            bits = tuple(range_bits[mi].get(name, spec.weight.n_bits)
+                         for mi in mp_idx)
+            if any(b != spec.weight.n_bits for b in bits):
+                spec = dataclasses.replace(
+                    spec, weight=dataclasses.replace(spec.weight,
+                                                     mp_bits=bits))
+        return spec
+
+    model = model_ctor(resolver)
+    qf = default_qctx_factory(mode="quant", act_slot_map=act_slot_map)
+    cb_idx_arr = jnp.asarray(cb_idx, jnp.int32)
+    from viditq_tpu.quant.qlinear import QuantCtx
+    from viditq_tpu.quant.calibrate import calibrate_weight_tables
+    from viditq_tpu.quant.native_pack import pack_native_weights
+
+    cache: Dict[str, object] = {}
+
+    def _template(z, y, mask):
+        if "tmpl" not in cache:
+            x2 = jnp.concatenate([z, z], axis=0)
+            t = jnp.zeros((x2.shape[0],), jnp.float32)
+            cache["tmpl"] = jax.eval_shape(
+                lambda: model.init(jax.random.PRNGKey(0), x2, t, y, mask,
+                                   qctx=QuantCtx(mode="fp")))
+        return cache["tmpl"]
+
+    @jax.jit
+    def adapt(variables):
+        """Base-plan variables (CB timeranges) -> union-plan variables:
+        gather act stats per union range, recalibrate weight tables, pack
+        per-range slabs + effective MP dequant tables. Pure function of the
+        inputs — run once offline, reuse across sampler calls."""
+        tmpl = cache["tmpl"]
+        params = variables["params"]
+        src_q = traverse_util.flatten_dict(dict(variables.get("quant", {})))
+        new_q = {}
+        for path, sd in traverse_util.flatten_dict(
+                dict(tmpl.get("quant", {}))).items():
+            leaf = path[-1]
+            src = src_q.get(path)
+            if leaf == "act_scale" and src is not None:
+                new_q[path] = jnp.take(src, cb_idx_arr, axis=src.ndim - 2)
+            elif src is not None and tuple(src.shape) == tuple(sd.shape):
+                new_q[path] = src
+            else:
+                new_q[path] = jnp.zeros(sd.shape, sd.dtype)
+        q = traverse_util.unflatten_dict(new_q)
+        q = calibrate_weight_tables(params, q, resolver)
+        q = pack_native_weights(params, q, resolver)
+        out = {"params": params, "quant": q}
+        if "qstats" in tmpl:
+            out["qstats"] = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                         dict(tmpl["qstats"]))
+        return out
+
+    def prepare(variables, z, y, mask):
+        tmpl = _template(z, y, mask)
+        # already-adapted variables pass through (shapes match the union
+        # template); base-plan variables are adapted once and memoized so
+        # repeated run() calls don't re-pack the slabs
+        src_q = variables.get("quant")
+        if src_q is not None:
+            flat_src = traverse_util.flatten_dict(dict(src_q))
+            flat_tmp = traverse_util.flatten_dict(dict(tmpl["quant"]))
+            if all(tuple(flat_src.get(p, jnp.zeros(())).shape)
+                   == tuple(sd.shape) for p, sd in flat_tmp.items()):
+                return variables
+        if cache.get("prep_key") is not id(variables):
+            cache["prep_key"] = id(variables)
+            cache["prep_val"] = adapt(variables)
+        return cache["prep_val"]
+
+    @jax.jit
+    def _sample(vs, z, y, mask, rng=None):
+        def model_apply(x, t, yy, mm, qctx):
+            return model.apply(vs, x, t, yy, mm, qctx=qctx)
+        return sampler.sample(model_apply, z, y, mask, sampler_type="ddim",
+                              qctx_factory=qf, rng=rng)
+
+    def run(variables, z, y, mask, rng=None):
+        vs = prepare(variables, z, y, mask)
+        return _sample(vs, z, y, mask, rng=rng)
+
+    run.prepare = prepare
+    run.resolver = resolver
+    run.n_ranges = len(spans)
+    return run
+
+
 def build_mp_sampler(model_ctor, sampler: IDDPM, plan,
                      mp_weight_cfg: Mapping,
                      mp_act_cfg: Optional[Mapping],
                      act_slot_map: Optional[np.ndarray] = None,
-                     native_repack: Optional[bool] = None):
+                     native_repack: Optional[bool] = None,
+                     force_segmented: bool = False):
     """Build a reusable jitted MP sampler: fn(variables, z, y, mask, rng).
 
     The whole range chain traces ONCE into a single XLA computation (each
@@ -90,12 +287,25 @@ def build_mp_sampler(model_ctor, sampler: IDDPM, plan,
     anywhere throughput matters: a fresh `mp_quant_sample` call re-traces
     every segment (pathological for unrolled-block models like Latte).
 
-    native_repack (default: `plan.uses_native()`): on native-backend plans
-    each range needs int weight slabs packed at ITS bit allocation — the
-    repack runs inside the jit right before each range's scan, so slabs
-    for identical allocations are CSE-deduped and dead slabs are freed
-    between ranges. The input `variables["quant"]` must carry the native
-    slots (calibrated + packed once at the plan's base bits)."""
+    Native CB plans with uniform 8-bit dynamic acts take the SINGLE-SCAN
+    gather path (build_mp_sampler_gather): per-range slabs + effective
+    dequant tables packed offline into the timerange axis, gathered by
+    tr_id inside one compiled scan — no per-range programs, no in-jit
+    repacking. `force_segmented=True` pins the segmented fallback (used by
+    the parity tests and by configs the gather path can't represent).
+
+    Segmented fallback: native_repack (default `plan.uses_native()`) — each
+    range's int weight slabs are packed at ITS bit allocation inside the
+    jit right before that range's scan, so slabs for identical allocations
+    are CSE-deduped and dead slabs are freed between ranges. The input
+    `variables["quant"]` must carry the native slots (calibrated + packed
+    once at the plan's base bits)."""
+    if not force_segmented:
+        run = build_mp_sampler_gather(model_ctor, sampler, plan,
+                                      mp_weight_cfg, mp_act_cfg,
+                                      act_slot_map=act_slot_map)
+        if run is not None:
+            return run
     segments = _build_segments(model_ctor, sampler, plan,
                                mp_weight_cfg, mp_act_cfg)
     qf = default_qctx_factory(mode="quant", act_slot_map=act_slot_map)

@@ -96,18 +96,17 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
                    if wspec.round_mode == "learned_hard_sigmoid" else None)
         if w_alpha is not None and w_alpha.ndim > kernel.ndim:
             w_alpha = w_alpha.reshape(*kernel.shape)
+        mp = wspec.mp_bits is not None
         if kernel.ndim == 3:
             # scanned block stack: vmap the packing over the depth axis
             acts = flat_q.get(layer_path + ("act_scale",))
 
             def pack_one(k, wd, wz, a=None, al=None):
-                return _pack_layer(k, wd[wspec.bit_idx], wz[wspec.bit_idx],
-                                   wspec, smooth, a, pack4=pack4,
+                return _pack_layer(k, wd, wz, wspec, smooth, a, pack4=pack4,
                                    w_alpha=al)
 
             args = [kernel, wd_full, wz_full]
             in_axes = [0, 0, 0]
-            kw = {}
             if acts is not None:
                 args.append(acts)
                 in_axes.append(0)
@@ -123,13 +122,18 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
             packed = jax.vmap(pack_one, in_axes=tuple(in_axes))(*args)
             flat_q[layer_path + ("w_int",)] = packed[0]
             flat_q[layer_path + ("w_colsum",)] = packed[1]
+            if mp:
+                flat_q[layer_path + ("w_mp_scale",)] = packed[2]
+                flat_q[layer_path + ("w_mp_zp",)] = packed[3]
             continue
         act_scale = flat_q.get(layer_path + ("act_scale",))
-        w_int, colsum = _pack_layer(kernel, wd_full[wspec.bit_idx],
-                                    wz_full[wspec.bit_idx], wspec, smooth,
-                                    act_scale, pack4=pack4, w_alpha=w_alpha)
-        flat_q[layer_path + ("w_int",)] = w_int
-        flat_q[layer_path + ("w_colsum",)] = colsum
+        packed = _pack_layer(kernel, wd_full, wz_full, wspec, smooth,
+                             act_scale, pack4=pack4, w_alpha=w_alpha)
+        flat_q[layer_path + ("w_int",)] = packed[0]
+        flat_q[layer_path + ("w_colsum",)] = packed[1]
+        if mp:
+            flat_q[layer_path + ("w_mp_scale",)] = packed[2]
+            flat_q[layer_path + ("w_mp_zp",)] = packed[3]
     return traverse_util.unflatten_dict(flat_q)
 
 
@@ -144,14 +148,23 @@ def _round_codes(w_eff, d, w_alpha):
 def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
                 pack4: bool = False, w_alpha=None):
     """Quantize one [C_in, F] kernel into per-timerange int slabs + column
-    sums. w_delta/w_zp: [n_tr, 1, F]. Full-native slabs are signed int8
-    (shifted codes); pack4 slabs hold two unsigned 4-bit codes per byte
-    (weight-only int4 — 8x memory vs fp32)."""
-    n_tr = w_delta.shape[0]
-    shift = float(2 ** (wspec.n_bits - 1))
-    n_levels = float(2 ** wspec.n_bits)
-    slabs, colsums = [], []
+    sums. w_delta/w_zp: [n_bw, n_tr, 1, F] (full bit-axis tables). Full-
+    native slabs are signed int8 (shifted codes); pack4 slabs hold two
+    unsigned 4-bit codes per byte (weight-only int4 — 8x memory vs fp32).
+
+    With wspec.mp_bits set (timerange-gathered mixed precision), timerange
+    tr packs at mp_bits[tr] and the return adds the per-range EFFECTIVE
+    dequant tables (w_mp_scale, w_mp_zp with the signed shift pre-folded)
+    that qlinear gathers by tr_id at run time."""
+    n_tr = w_delta.shape[1]
+    bits_tuple = wspec.bits_tuple
+    mp = wspec.mp_bits is not None
+    slabs, colsums, mp_scales, mp_zps = [], [], [], []
     for tr in range(n_tr):
+        bits = wspec.mp_bits[tr] if mp else wspec.n_bits
+        bi = bits_tuple.index(bits)
+        shift = float(2 ** (bits - 1))
+        n_levels = float(2 ** bits)
         w_eff = kernel
         if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
             from viditq_tpu.quant import core as _core
@@ -165,17 +178,19 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
         # never read by the reference forward (base_quantizer.py:126-134);
         # qlinear._selw dequantizes with the same frozen scale/zp
         w_tr = 0 if (smooth.enable and smooth.frozen_tr0_weights) else tr
-        d = jnp.asarray(w_delta[w_tr]).reshape(1, -1)
-        z = jnp.asarray(w_zp[w_tr]).reshape(1, -1)
+        d = jnp.asarray(w_delta[bi, w_tr]).reshape(1, -1)
+        z = jnp.asarray(w_zp[bi, w_tr]).reshape(1, -1)
         if wspec.sym:
             # symmetric weights: signed codes, no zero point, no shift
             # (n_levels = 2^(b-1)-1; clamp [-2^(b-1), 2^(b-1)-1] as in
             # base_quantizer.py:137-138)
-            half = float(2 ** (wspec.n_bits - 1))
-            code = jnp.clip(_round_codes(w_eff, d, w_alpha), -half, half - 1)
+            code = jnp.clip(_round_codes(w_eff, d, w_alpha), -shift,
+                            shift - 1)
             slabs.append(code.astype(jnp.int8))
             colsums.append(jnp.sum(code, axis=0, keepdims=True)
                            .astype(jnp.float32))
+            mp_scales.append(d)
+            mp_zps.append(jnp.zeros_like(z))
             continue
         code_u = jnp.clip(_round_codes(w_eff, d, w_alpha) + z, 0,
                           n_levels - 1)
@@ -193,4 +208,9 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
             slabs.append(code.astype(jnp.int8))
             colsums.append(jnp.sum(code, axis=0, keepdims=True)
                            .astype(jnp.float32))
-    return jnp.stack(slabs), jnp.stack(colsums)
+        mp_scales.append(d)
+        mp_zps.append(z - shift)
+    out = (jnp.stack(slabs), jnp.stack(colsums))
+    if mp:
+        out += (jnp.stack(mp_scales), jnp.stack(mp_zps))
+    return out

@@ -339,6 +339,25 @@ class QuantLinear(nn.Module):
             w_colsum = self.variable(
                 "quant", "w_colsum",
                 lambda: jnp.zeros((n_tr, 1, self.features), jnp.float32))
+        w_mp = None
+        if (native or native_static) and wspec.mp_bits is not None:
+            # timerange-gathered MP: per-range bits -> per-range EFFECTIVE
+            # dequant tables (scale, zp with the signed-shift pre-folded),
+            # filled by pack_native_weights alongside the per-range slabs.
+            # One gather by tr_id replaces the reference's per-step mutable
+            # bitwidth flip (gaussian_diffusion.py:740-767) — the whole MP
+            # sampler stays a single compiled scan.
+            if len(wspec.mp_bits) != n_tr:
+                raise ValueError(
+                    f"mp_bits length {len(wspec.mp_bits)} != n_timerange "
+                    f"{n_tr} (mp_bits are per smooth-quant timerange)")
+            w_mp = (
+                self.variable(
+                    "quant", "w_mp_scale",
+                    lambda: jnp.ones((n_tr, 1, self.features), jnp.float32)),
+                self.variable(
+                    "quant", "w_mp_zp",
+                    lambda: jnp.zeros((n_tr, 1, self.features), jnp.float32)))
 
         act_scale = None
         cb_scale = None
@@ -471,13 +490,23 @@ class QuantLinear(nn.Module):
             # asym weight codes are stored shifted into signed int8; sym
             # codes are natively signed with zero point 0
             shift = 0.0 if wspec.sym else float(2 ** (wspec.n_bits - 1))
-            packed = {
-                "w_q": _sel(w_int.value),
-                "w_colsum": _sel(w_colsum.value).reshape(1, -1),
-                "w_scale": _selw(w_q[0].value[wspec.bit_idx]).reshape(1, -1),
-                "w_zp": (_selw(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
-                         - shift),
-            }
+            if w_mp is not None:
+                # per-range bits: gather the pre-folded effective tables
+                packed = {
+                    "w_q": _sel(w_int.value),
+                    "w_colsum": _sel(w_colsum.value).reshape(1, -1),
+                    "w_scale": _sel(w_mp[0].value).reshape(1, -1),
+                    "w_zp": _sel(w_mp[1].value).reshape(1, -1),
+                }
+            else:
+                packed = {
+                    "w_q": _sel(w_int.value),
+                    "w_colsum": _sel(w_colsum.value).reshape(1, -1),
+                    "w_scale": _selw(w_q[0].value[wspec.bit_idx])
+                    .reshape(1, -1),
+                    "w_zp": (_selw(w_q[1].value[wspec.bit_idx])
+                             .reshape(1, -1) - shift),
+                }
             if prequant is not None:
                 x_qv, xs, xzp, xrs = prequant
                 from viditq_tpu.kernels.fused_matmul import fused_available
@@ -535,13 +564,22 @@ class QuantLinear(nn.Module):
                 return _sel(v)
 
             shift_w = 0.0 if wspec.sym else float(2 ** (wspec.n_bits - 1))
-            packed = {
-                "w_q": _sel(w_int.value),
-                "w_colsum": _sel(w_colsum.value).reshape(1, -1),
-                "w_scale": _selw(w_q[0].value[wspec.bit_idx]).reshape(1, -1),
-                "w_zp": (_selw(w_q[1].value[wspec.bit_idx]).reshape(1, -1)
-                         - shift_w),
-            }
+            if w_mp is not None:
+                packed = {
+                    "w_q": _sel(w_int.value),
+                    "w_colsum": _sel(w_colsum.value).reshape(1, -1),
+                    "w_scale": _sel(w_mp[0].value).reshape(1, -1),
+                    "w_zp": _sel(w_mp[1].value).reshape(1, -1),
+                }
+            else:
+                packed = {
+                    "w_q": _sel(w_int.value),
+                    "w_colsum": _sel(w_colsum.value).reshape(1, -1),
+                    "w_scale": _selw(w_q[0].value[wspec.bit_idx])
+                    .reshape(1, -1),
+                    "w_zp": (_selw(w_q[1].value[wspec.bit_idx])
+                             .reshape(1, -1) - shift_w),
+                }
             # per-token act params from the calibrated table slot
             d_a = jax.lax.dynamic_index_in_dim(
                 a_delta.value[aspec.bit_idx], qctx.act_slot, 0, False)

@@ -57,6 +57,14 @@ class QuantSpec:
     # slots with an index array instead.
     timestep_wise: bool = False
     n_timestep: int = 1
+    # Timerange-gathered mixed precision (weights, native backend): bits per
+    # smooth-quant timerange. When set, the native slabs are packed at
+    # mp_bits[tr] per timerange and the runtime GATHERS per-range effective
+    # scale/zp tables (w_mp_scale/w_mp_zp) by tr_id — one compiled scan for
+    # the whole timestep-MP sampler instead of one program per range
+    # (reference flips bitwidths mutably per step,
+    # t2v/opensora/schedulers/iddpm/gaussian_diffusion.py:740-767).
+    mp_bits: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
         if self.granularity not in GRANULARITIES:
@@ -69,6 +77,12 @@ class QuantSpec:
             raise ValueError("bitwidth not supported")
         if self.mixed_precision is not None and self.n_bits not in self.mixed_precision:
             raise ValueError("n_bits must be a member of mixed_precision")
+        if self.mp_bits is not None:
+            bad = [b for b in self.mp_bits if b not in self.bits_tuple]
+            if bad:
+                raise ValueError(
+                    f"mp_bits {self.mp_bits}: bits {bad} not among the "
+                    f"calibrated bitwidths {self.bits_tuple}")
 
     @property
     def n_bitwidth(self) -> int:
