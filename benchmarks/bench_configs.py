@@ -87,11 +87,25 @@ def _build_variables(model, resolver, init_args, jax, jnp):
 
 
 def arm_w4a8():
+    """The FULL ViDiT-Q W4A8 recipe, executed natively: timerange
+    channel-balancing (w4a8_timestep_aware_cb.yaml) + the t20 timestep-
+    aware MP allocation, one compiled scan via the gather MP sampler.
+    This is the configuration behind the reference's 'W4A8 without notable
+    visual quality degradation' claim (README.md:21 + README.md:148-152) —
+    NOT the naive all-layer-W4 plan round 3 measured at rel 0.077
+    (tpu_pending_results.txt, arm w4a8_native_stdit_xl2_16x512x512).
+
+    VIDITQ_W4A8_SCALE=grid_search_lp switches the weight-scale init to the
+    reference's Lp grid search (base_quantizer.py:230-249) — a quality
+    knob with zero runtime cost (packed offline)."""
+    import yaml
+    import dataclasses
     import jax
     import jax.numpy as jnp
     from viditq_tpu.models import STDiT_XL_2
+    from viditq_tpu.pipelines.mixed_precision import build_mp_sampler
+    from viditq_tpu.quant import QuantCtx, calibrate_weight_tables
     from viditq_tpu.samplers import IDDPM
-    from viditq_tpu.samplers.iddpm import default_qctx_factory
     from viditq_tpu.utils.config import load_quant_config
 
     latent = (4, 8, 8) if TINY else (16, 64, 64)
@@ -102,27 +116,63 @@ def arm_w4a8():
                     jnp.bfloat16)
     mask = jnp.ones((1, 120), jnp.int32)
 
-    plan = load_quant_config("configs/opensora/w4a8_tpu_fused.yaml")
+    plan = load_quant_config(
+        "configs/opensora/w4a8_timestep_aware_cb.yaml").with_backend("fused")
+    scale_method = os.environ.get("VIDITQ_W4A8_SCALE")
+    if scale_method:
+        d = plan.default_layer
+        plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
+            d, weight=dataclasses.replace(d.weight,
+                                          scale_method=scale_method)))
     res = plan.resolver()
-    model_fp = STDiT_XL_2(input_size=latent, scan_blocks=True)
-    model_q = STDiT_XL_2(input_size=latent, resolver=res, scan_blocks=True)
+
+    from viditq_tpu.models.stdit import STDiT
+
+    def model_ctor(r):
+        kw = {} if r is None else {"resolver": r}
+        if TINY:
+            return STDiT(input_size=latent, patch_size=(1, 2, 2),
+                         scan_blocks=True, **TINY_NET, **kw)
+        return STDiT_XL_2(input_size=latent, scan_blocks=True, **kw)
+
+    model_fp = model_ctor(None)
+    model_q = model_ctor(res)
     init_args = (jnp.concatenate([z, z]), jnp.zeros((2,)), y, mask)
-    fp_vars = _build_variables(model_fp, None, init_args, jax, jnp)
-    q_vars = _build_variables(model_q, res, init_args, jax, jnp)
-    q_vars = {"params": fp_vars["params"], "quant": q_vars["quant"]}
-    # repack against the shared params so rel-err is vs the same weights
-    from viditq_tpu.quant import calibrate_weight_tables
-    from viditq_tpu.quant.native_pack import pack_native_weights
+    variables = _build_variables(model_q, res, init_args, jax, jnp)
+    fp_vars = {"params": variables["params"]}
+
+    # smooth-quant act stats: one sq_stat forward per CB timerange, then
+    # re-derive the weight tables against them (the PTQ driver's phase
+    # order, pipelines/ptq.py)
+    smooth = plan.default_layer.smooth_quant
+    t_probes = [int((lo + hi) // 2) for lo, hi in smooth.timerange]
 
     @jax.jit
-    def recal(p, q):
-        q = jax.tree.map(jnp.zeros_like, q)
-        q = calibrate_weight_tables(p, q, res)
-        return pack_native_weights(p, q, res)
-    q_vars["quant"] = recal(q_vars["params"], q_vars["quant"])
+    def sq_stat(vs):
+        q = vs["quant"]
+        for t_probe in t_probes:
+            _, muts = model_q.apply(
+                {**vs, "quant": q}, *init_args,
+                qctx=QuantCtx(mode="sq_stat",
+                              t_id=jnp.asarray(t_probe, jnp.int32)),
+                mutable=["quant", "qstats"])
+            q = muts["quant"]
+        q = calibrate_weight_tables(vs["params"], q, res)
+        return {"params": vs["params"], "quant": q,
+                "qstats": muts["qstats"]}
+    variables = sq_stat(variables)
+    jax.block_until_ready(variables)
+
+    with open("configs/opensora/mixed_precision/t20_weight_4_mp.yaml") as f:
+        mp_w = yaml.safe_load(f)
+    with open("configs/opensora/mixed_precision/t20_act_8_mp.yaml") as f:
+        mp_a = yaml.safe_load(f)
+    if TINY:  # retile the 20-step ranges onto the 2-step smoke sampler
+        vals = [v for k, v in mp_w.items() if k != "fp_layers"]
+        mp_w = {"1-1": vals[0], "0-0": vals[1], "fp_layers": []}
+        mp_a = None
 
     sampler = IDDPM(num_sampling_steps=n_steps, cfg_scale=4.0)
-    qf = default_qctx_factory("quant")
 
     @jax.jit
     def fp_denoise(vs, z):
@@ -130,22 +180,26 @@ def arm_w4a8():
                               model_fp.apply(vs, x, t, yy, mm),
                               z, y, mask, sampler_type="ddim")
 
-    @jax.jit
-    def q_denoise(vs, z):
-        return sampler.sample(lambda x, t, yy, mm, qctx:
-                              model_q.apply(vs, x, t, yy, mm, qctx),
-                              z, y, mask, sampler_type="ddim",
-                              qctx_factory=qf)
+    mp_fn = build_mp_sampler(model_ctor, sampler, plan, mp_w, mp_a)
+    mp_vars = (mp_fn.prepare(variables, z, y, mask)
+               if hasattr(mp_fn, "prepare") else variables)
+    jax.block_until_ready(mp_vars)
+
+    def q_denoise(z):
+        return mp_fn(mp_vars, z, y, mask)
 
     bench = _timer()
     t_fp = bench(fp_denoise, fp_vars, z) / n_steps
-    t_q = bench(q_denoise, q_vars, z) / n_steps
+    t_q = bench(q_denoise, z) / n_steps
     out_fp = fp_denoise(fp_vars, z)
-    out_q = q_denoise(q_vars, z)
+    out_q = q_denoise(z)
     rel = float(jnp.linalg.norm((out_q - out_fp).astype(jnp.float32))
                 / jnp.linalg.norm(out_fp.astype(jnp.float32)))
     print(json.dumps({
-        "arm": "w4a8_native_stdit_xl2_16x512x512",
+        "arm": "w4a8_viditq_full_stdit_xl2_16x512x512",
+        "recipe": "timerange CB + t20 timestep-MP, single-scan native",
+        "scale_method": scale_method or "min_max",
+        "single_scan": hasattr(mp_fn, "n_ranges"),
         "bf16_ms_per_step": round(t_fp * 1e3, 2),
         "w4a8_ms_per_step": round(t_q * 1e3, 2),
         "speedup": round(t_fp / t_q, 3),
