@@ -74,3 +74,54 @@ def test_mmdit_quantized_forward_and_sampling():
     assert samples.shape == z.shape
     assert traj["xs"].shape[0] == 4
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_joint_attention_pad_mask_equivalence():
+    """The block pads joint [txt; img] attention to a 256-multiple with a
+    kv padding mask so the flash kernel can engage on TPU (joint N = 77 +
+    4096 = 4173 at 1024px is not a 128-multiple). The pad+mask+slice
+    algebra must be exact vs the unpadded attention."""
+    from viditq_tpu.models.layers import sdpa, sdpa_xla
+
+    rng = np.random.default_rng(1)
+    B, H, N, D = 2, 4, 141, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+               for _ in range(3))
+    ref = sdpa_xla(q, k, v, scale=D ** -0.5)
+
+    pad = (-N) % 256
+    zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+    qp, kp, vp = (jnp.pad(a, zpad) for a in (q, k, v))
+    kv_mask = jnp.broadcast_to((jnp.arange(N + pad) < N)[None],
+                               (B, N + pad)).astype(jnp.int32)
+    out = sdpa(qp, kp, vp, scale=D ** -0.5, kv_mask=kv_mask)[:, :, :N]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mmdit_forward_with_padded_joint_attention():
+    """Model-level: a shape where joint N (77 + 64 = 141) triggers the
+    internal pad path; fp and quant forwards stay finite and close."""
+    model = MMDiT(input_size=16, patch_size=2, in_channels=4, hidden_size=64,
+                  depth=2, num_heads=4, caption_channels=32,
+                  pooled_channels=16, model_max_length=77, dtype=jnp.float32,
+                  resolver=resolver)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16)), jnp.float32)
+    t = jnp.asarray([500.0])
+    y = jnp.asarray(rng.standard_normal((1, 1, 77, 32)), jnp.float32)
+    mask = jnp.ones((1, 77), jnp.int32)
+    variables = dict(model.init(jax.random.PRNGKey(0), x, t, y, mask, None,
+                                QuantCtx(mode="fp")))
+    out = model.apply(variables, x, t, y, mask, None, QuantCtx(mode="fp"))
+    assert out.shape == (1, 4, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+    variables["quant"] = calibrate_weight_tables(
+        variables["params"], variables["quant"], resolver)
+    out_q = model.apply(variables, x, t, y, mask, None,
+                        QuantCtx(mode="quant", t_id=jnp.asarray(500)))
+    assert np.isfinite(np.asarray(out_q)).all()
+    rel = (np.linalg.norm(np.asarray(out_q - out))
+           / np.linalg.norm(np.asarray(out)))
+    assert 0 < rel < 0.6, rel

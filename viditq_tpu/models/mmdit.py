@@ -28,7 +28,11 @@ from viditq_tpu.quant.qlinear import QuantCtx, QuantLinear
 
 
 class _StreamAttnProj(nn.Module):
-    """Per-stream qkv projections for joint attention."""
+    """Per-stream qkv projections for joint attention.
+
+    q/k/v share their input, so on the plain native-dynamic path the row
+    quantization runs ONCE (shared_prequant) instead of three times —
+    same policy as SelfAttention (layers.py:335-339)."""
 
     dim: int
     resolver: Resolver = no_quant
@@ -36,14 +40,20 @@ class _StreamAttnProj(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, qctx=None):
+    def __call__(self, x, qctx=None, prequant=None):
         kw = dict(dtype=self.dtype)
-        q = QuantLinear(self.dim, lspec=self.resolver(f"{self.prefix}.q"),
-                        name="q", **kw)(x, qctx)
-        k = QuantLinear(self.dim, lspec=self.resolver(f"{self.prefix}.k"),
-                        name="k", **kw)(x, qctx)
-        v = QuantLinear(self.dim, lspec=self.resolver(f"{self.prefix}.v"),
-                        name="v", **kw)(x, qctx)
+        specs = [self.resolver(f"{self.prefix}.{n}") for n in ("q", "k", "v")]
+        pre = prequant
+        if (pre is None and qctx is not None and qctx.mode == "quant"
+                and all(s == specs[0] for s in specs)):
+            from viditq_tpu.quant.qlinear import shared_prequant
+            pre = shared_prequant(x, specs[0])
+        q = QuantLinear(self.dim, lspec=specs[0],
+                        name="q", **kw)(x, qctx, prequant=pre)
+        k = QuantLinear(self.dim, lspec=specs[1],
+                        name="k", **kw)(x, qctx, prequant=pre)
+        v = QuantLinear(self.dim, lspec=specs[2],
+                        name="v", **kw)(x, qctx, prequant=pre)
         return q, k, v
 
 
@@ -71,13 +81,44 @@ class MMDiTBlock(nn.Module):
          t_shift, t_scale, t_gate, t_shift2, t_scale2, t_gate2) = jnp.split(
              mods, 12, axis=-1)
 
+        def _img_prequant(inp, shift, scale, spec_names):
+            """Fused LN + adaLN modulate + row-quantize producer for the
+            img stream — same kernel and gating as STDiTBlock
+            (stdit.py:62-88; kernels/fused_matmul.py ln_modulate_quantize).
+            The txt stream (N_t=77, not a 256-multiple) keeps the unfused
+            path; it is <2% of the tokens."""
+            import os
+            if os.environ.get("VIDITQ_FUSE_PRODUCER", "1") != "1":
+                return None
+            if qctx is None or qctx.mode != "quant":
+                return None
+            specs = [self.resolver(f"{self.prefix}.{n}") for n in spec_names]
+            s0 = specs[0]
+            if (s0 is None or any(s != s0 for s in specs)
+                    or s0.backend != "native" or s0.impl != "fused"
+                    or s0.act is None or not s0.act.dynamic
+                    or not s0.act_quant or not s0.weight_quant
+                    or s0.smooth_quant.enable or qctx.capture
+                    or inp.shape[1] % 256 != 0):
+                return None
+            from viditq_tpu.kernels.fused_matmul import (fused_available,
+                                                         ln_modulate_quantize)
+            if not fused_available():
+                return None
+            return ln_modulate_quantize(
+                inp, shift, scale, sym=s0.act.sym,
+                need_rowsum=not (s0.weight is not None and s0.weight.sym))
+
+        pre_img_attn = _img_prequant(
+            img, i_shift, i_scale,
+            ("img_attn.q", "img_attn.k", "img_attn.v"))
         img_m = modulate(LayerNorm(dtype=self.dtype, name="img_norm1")(img),
                          i_shift, i_scale)
         txt_m = modulate(LayerNorm(dtype=self.dtype, name="txt_norm1")(txt),
                          t_shift, t_scale)
-        qi, ki, vi = _StreamAttnProj(C, self.resolver,
-                                     f"{self.prefix}.img_attn",
-                                     self.dtype, name="img_attn")(img_m, qctx)
+        qi, ki, vi = _StreamAttnProj(
+            C, self.resolver, f"{self.prefix}.img_attn",
+            self.dtype, name="img_attn")(img_m, qctx, prequant=pre_img_attn)
         qt, kt, vt = _StreamAttnProj(C, self.resolver,
                                      f"{self.prefix}.txt_attn",
                                      self.dtype, name="txt_attn")(txt_m, qctx)
@@ -89,7 +130,22 @@ class MMDiTBlock(nn.Module):
         q = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, N, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, H, D).transpose(0, 2, 1, 3)
-        out = sdpa(q, k, v, scale=D ** -0.5)
+        # Joint N (e.g. 77 + 4096 = 4173 at 1024px) is rarely a 128-multiple,
+        # which would force the XLA fallback materializing [B,H,N,N] fp32
+        # scores (2.2 GB at 1024px). Pad to a 256-multiple with a kv padding
+        # mask so the Pallas flash kernel engages; padded query rows are
+        # sliced away, padded kv rows are masked out via segment ids.
+        pad = 0 if N % 128 == 0 else (-N) % 256
+        if pad and N >= 128:
+            zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(a, zpad) for a in (q, k, v))
+            kv_mask = jnp.broadcast_to(
+                (jnp.arange(N + pad) < N)[None], (B, N + pad)).astype(
+                    jnp.int32)
+            out = sdpa(q, k, v, scale=D ** -0.5, kv_mask=kv_mask)
+            out = out[:, :, :N]
+        else:
+            out = sdpa(q, k, v, scale=D ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         txt_o, img_o = out[:, :N_t], out[:, N_t:]
 
@@ -100,12 +156,14 @@ class MMDiTBlock(nn.Module):
             C, lspec=self.resolver(f"{self.prefix}.txt_attn.proj"),
             name="txt_attn_proj", dtype=self.dtype)(txt_o, qctx)
 
+        pre_img_mlp = _img_prequant(img, i_shift2, i_scale2,
+                                    ("img_mlp.fc1",))
         img = img + i_gate2[:, None] * Mlp(
             int(C * self.mlp_ratio), resolver=self.resolver,
             prefix=f"{self.prefix}.img_mlp", dtype=self.dtype,
             name="img_mlp")(modulate(
                 LayerNorm(dtype=self.dtype, name="img_norm2")(img),
-                i_shift2, i_scale2), qctx)
+                i_shift2, i_scale2), qctx, prequant=pre_img_mlp)
         txt = txt + t_gate2[:, None] * Mlp(
             int(C * self.mlp_ratio), resolver=self.resolver,
             prefix=f"{self.prefix}.txt_mlp", dtype=self.dtype,
