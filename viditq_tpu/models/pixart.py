@@ -215,7 +215,13 @@ class PixArt(nn.Module):
                                    "intermediates": 0},
                     split_rngs={"params": True},
                     in_axes=0, length=length)
-                name = "blocks" if len(runs) == 1 else f"blocks_run{j}"
+                # multi-run container name carries the run's START block
+                # index: flax path 'blocks_14' -> dotted 'blocks.14', so
+                # calibrate/pack's per-block name expansion
+                # (calibrate.scanned_block_names) yields 'blocks.{14+d}.*'
+                # — exactly the unrolled-style names this prefix makes the
+                # blocks query at runtime
+                name = "blocks" if len(runs) == 1 else f"blocks_{start}"
                 block = PixArtBlock(
                     C, self.num_heads, mlp_ratio=self.mlp_ratio,
                     qk_norm=self.qk_norm,

@@ -176,6 +176,17 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
     fp_extra = tuple(_clean(p)
                      for p in (mp_weight_cfg.get("fp_layers", ()) or ()))
 
+    def _kind(name: str):
+        # layer KIND = the dotted name with index segments dropped
+        # ('blocks.5.attn.qkv' -> ('blocks','attn','qkv')). Under
+        # scan_blocks the w_mp slot structure is declared from block 0's
+        # spec but packing resolves every block's own name — any kind
+        # overridden in ANY block must carry mp_bits in EVERY block so the
+        # stacked tables exist (contents then differ per block).
+        return tuple(s for s in name.split(".") if not s.isdigit())
+
+    kinds_overridden = {_kind(n) for d in range_bits for n in d}
+
     def resolver(name: str):
         spec = base_resolve(name)
         if spec is None:
@@ -186,7 +197,8 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
         if spec.weight is not None and spec.weight_quant:
             bits = tuple(range_bits[mi].get(name, spec.weight.n_bits)
                          for mi in mp_idx)
-            if any(b != spec.weight.n_bits for b in bits):
+            if (any(b != spec.weight.n_bits for b in bits)
+                    or _kind(name) in kinds_overridden):
                 spec = dataclasses.replace(
                     spec, weight=dataclasses.replace(spec.weight,
                                                      mp_bits=bits))

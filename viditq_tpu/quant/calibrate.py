@@ -47,6 +47,46 @@ def path_to_dotted(path: Tuple[str, ...]) -> str:
 SpecResolver = Callable[[str], Optional[LayerQuantSpec]]
 
 
+def scanned_block_names(layer_path: Tuple[str, ...], depth: int):
+    """Per-block resolver-query names for a scanned (stacked) layer.
+
+    Models query the resolver with UNROLLED-style dotted names: a scan
+    container's block d is `<container>.<d>.<rest>` (stdit.py scan prefix
+    'blocks.0'), or `<base>.<start+d>.<rest>` when the container's dotted
+    name carries an integer start offset (PixArt-Σ KV-compress runs,
+    container 'blocks_14' -> dotted 'blocks.14'). Offline table fills MUST
+    resolve these same names — resolving the raw stacked path ('blocks.
+    attn.qkv') silently falls through per-block/per-index override patterns
+    and packs the default spec while the runtime reads the override's
+    tables (the round-4 W4A8 quality bug)."""
+    segs = path_to_dotted(layer_path).split(".")
+    if len(segs) > 1 and segs[1].isdigit():
+        start = int(segs[1])
+        return [".".join([segs[0], str(start + d)] + segs[2:])
+                for d in range(depth)]
+    return [".".join([segs[0], str(d)] + segs[1:]) for d in range(depth)]
+
+
+def resolve_scanned(layer_path: Tuple[str, ...], depth: int,
+                    resolve: "SpecResolver"):
+    """Resolve every block of a scanned layer. Returns the per-block spec
+    list, or None when the whole stack is unquantized. A stack whose blocks
+    disagree on quantize-or-not cannot be represented by the scan's uniform
+    variable structure — that needs the unrolled form."""
+    names = scanned_block_names(layer_path, depth)
+    specs = [resolve(n) for n in names]
+    dead = [s is None or s.weight is None for s in specs]
+    if all(dead):
+        return None
+    if any(dead):
+        raise ValueError(
+            f"scanned stack {path_to_dotted(layer_path)}: blocks disagree "
+            f"on weight quantization (fp blocks "
+            f"{[n for n, d in zip(names, dead) if d]}); per-block fp needs "
+            f"scan_blocks=False")
+    return specs
+
+
 def _layer_dirs(quant_vars: Dict, leaf: str):
     """Yield (path_tuple, subtree_dict) for every layer dir containing `leaf`."""
     flat = traverse_util.flatten_dict(quant_vars)
@@ -112,10 +152,6 @@ def calibrate_weight_tables(params: Dict, quant_vars: Dict,
     flat_q = traverse_util.flatten_dict(quant_vars)
     flat_p = traverse_util.flatten_dict(params)
     for layer_path in _layer_dirs(quant_vars, "w_delta"):
-        name = path_to_dotted(layer_path)
-        lspec = resolve(name)
-        if lspec is None or lspec.weight is None:
-            continue
         kernel = flat_p[layer_path + ("kernel",)]
         if kernel.ndim >= 4:
             # conv layout [*k, C_in, F] (QuantConv): flatten to the 2D
@@ -123,15 +159,33 @@ def calibrate_weight_tables(params: Dict, quant_vars: Dict,
             kernel = kernel.reshape(-1, kernel.shape[-1])
         act_scale = flat_q.get(layer_path + ("act_scale",))
         if kernel.ndim == 3:
-            # scanned block stack: leading depth axis — vmap per block
-            if act_scale is None:
-                tables = jax.vmap(
-                    lambda k: weight_qparams_for_layer(k, lspec))(kernel)
+            # scanned block stack: leading depth axis. Blocks resolve their
+            # own (unrolled-style) names — per-block overrides land in the
+            # per-block table contents.
+            specs = resolve_scanned(layer_path, kernel.shape[0], resolve)
+            if specs is None:
+                continue
+            if all(s == specs[0] for s in specs):
+                lspec = specs[0]
+                if act_scale is None:
+                    tables = jax.vmap(
+                        lambda k: weight_qparams_for_layer(k, lspec))(kernel)
+                else:
+                    tables = jax.vmap(
+                        lambda k, a: weight_qparams_for_layer(k, lspec, a))(
+                            kernel, act_scale)
             else:
-                tables = jax.vmap(
-                    lambda k, a: weight_qparams_for_layer(k, lspec, a))(
-                        kernel, act_scale)
+                per_block = [
+                    weight_qparams_for_layer(
+                        kernel[d], specs[d],
+                        None if act_scale is None else act_scale[d])
+                    for d in range(kernel.shape[0])]
+                tables = {k: jnp.stack([t[k] for t in per_block])
+                          for k in per_block[0]}
         else:
+            lspec = resolve(path_to_dotted(layer_path))
+            if lspec is None or lspec.weight is None:
+                continue
             tables = weight_qparams_for_layer(kernel, lspec, act_scale)
         for k, v in tables.items():
             flat_q[layer_path + (k,)] = v
@@ -142,16 +196,23 @@ def calibrate_weight_tables(params: Dict, quant_vars: Dict,
     # re-reading the fp32 kernel for an absmax every call. Separate loop:
     # CB also applies to weight-FP layers that carry no w_delta.
     for layer_path in _layer_dirs(quant_vars, "cb_scale"):
-        name = path_to_dotted(layer_path)
-        lspec = resolve(name)
-        if lspec is None or not lspec.smooth_quant.enable:
-            continue
-        smooth = lspec.smooth_quant
-        if "momentum" not in smooth.channel_wise_scale_type:
-            continue
         kernel = flat_p[layer_path + ("kernel",)]
         if kernel.ndim >= 4:
             kernel = kernel.reshape(-1, kernel.shape[-1])
+        if kernel.ndim == 3:
+            cb_specs = [resolve(n) for n in scanned_block_names(
+                layer_path, kernel.shape[0])]
+        else:
+            cb_specs = [resolve(path_to_dotted(layer_path))]
+        if any(s is None or not s.smooth_quant.enable
+               or "momentum" not in s.smooth_quant.channel_wise_scale_type
+               for s in cb_specs):
+            continue
+        smooth = cb_specs[0].smooth_quant
+        if any(s.smooth_quant != smooth for s in cb_specs):
+            raise ValueError(
+                f"scanned stack {path_to_dotted(layer_path)}: per-block "
+                f"smooth-quant configs differ; needs scan_blocks=False")
         act_scale = flat_q[layer_path + ("act_scale",)]
 
         def cb_for(k, a, _s=smooth):

@@ -15,7 +15,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import traverse_util
 
-from viditq_tpu.quant.calibrate import path_to_dotted, _layer_dirs
+import dataclasses
+
+from viditq_tpu.quant.calibrate import (_layer_dirs, path_to_dotted,
+                                        resolve_scanned)
 from viditq_tpu.quant.spec import LayerQuantSpec
 
 
@@ -28,8 +31,14 @@ def add_native_slots(quant_vars: Dict, params: Dict,
     flat_q = traverse_util.flatten_dict(quant_vars)
     flat_p = traverse_util.flatten_dict(params)
     for layer_path in _layer_dirs(quant_vars, "w_delta"):
-        name = path_to_dotted(layer_path)
-        lspec = resolve(name)
+        kern = flat_p[layer_path + ("kernel",)]
+        if kern.ndim == 3:
+            # scanned stack: slot SHAPES follow block 0's spec (the name the
+            # model's structure was resolved under, stdit.py scan prefix)
+            specs = resolve_scanned(layer_path, kern.shape[0], resolve)
+            lspec = None if specs is None else specs[0]
+        else:
+            lspec = resolve(path_to_dotted(layer_path))
         if lspec is None or lspec.weight is None or not lspec.weight_quant:
             continue
         full_native = (lspec.act is not None and lspec.act.dynamic
@@ -75,17 +84,43 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
     flat_q = traverse_util.flatten_dict(quant_vars)
     flat_p = traverse_util.flatten_dict(params)
     for layer_path in _layer_dirs(quant_vars, "w_int"):
-        name = path_to_dotted(layer_path)
-        lspec = resolve(name)
-        if lspec is None or lspec.weight is None:
+        kernel = jnp.asarray(flat_p[layer_path + ("kernel",)], jnp.float32)
+        if kernel.ndim >= 4:  # conv layout [*k, C_in, F] -> 2D view
+            kernel = kernel.reshape(-1, kernel.shape[-1])
+        scanned = kernel.ndim == 3
+        if scanned:
+            # scanned stack: each block resolves its own unrolled-style name
+            # (per-block bit overrides pack into per-block slab contents)
+            specs = resolve_scanned(layer_path, kernel.shape[0], resolve)
+        else:
+            one = resolve(path_to_dotted(layer_path))
+            specs = None if one is None or one.weight is None else [one]
+        if specs is None:
             continue
+        # the runtime reads w_mp tables iff the MODEL declared the slots
+        # (block-0 structure); packing must fill exactly those slots even
+        # when a block's own resolved spec disagrees, and must never leave
+        # a declared slot at its init value (w_scale=1 → garbage output)
+        has_mp_slot = layer_path + ("w_mp_scale",) in flat_q
+        n_tr_slab = flat_q[layer_path + ("w_int",)].shape[1 if scanned else 0]
+
+        def norm_spec(s, _has=has_mp_slot, _ntr=n_tr_slab):
+            w = s.weight
+            if _has and w.mp_bits is None:
+                w = dataclasses.replace(w, mp_bits=(w.n_bits,) * _ntr)
+            elif not _has and w.mp_bits is not None:
+                raise ValueError(
+                    f"{path_to_dotted(layer_path)}: resolved spec carries "
+                    f"mp_bits but the model declared no w_mp slots — the "
+                    f"model and the packing resolver disagree")
+            return dataclasses.replace(s, weight=w)
+
+        specs = [norm_spec(s) for s in specs]
+        lspec = specs[0]
         wspec = lspec.weight
         smooth = lspec.smooth_quant
         pack4 = ((lspec.act is None or not lspec.act_quant)
                  and wspec.n_bits == 4 and not wspec.sym)
-        kernel = jnp.asarray(flat_p[layer_path + ("kernel",)], jnp.float32)
-        if kernel.ndim >= 4:  # conv layout [*k, C_in, F] -> 2D view
-            kernel = kernel.reshape(-1, kernel.shape[-1])
         wd_full = flat_q[layer_path + ("w_delta",)]
         wz_full = flat_q[layer_path + ("w_zp",)]
         # AdaRound: pack with the LEARNED hard rounding (floor + (a >= 0)),
@@ -97,29 +132,46 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
         if w_alpha is not None and w_alpha.ndim > kernel.ndim:
             w_alpha = w_alpha.reshape(*kernel.shape)
         mp = wspec.mp_bits is not None
-        if kernel.ndim == 3:
-            # scanned block stack: vmap the packing over the depth axis
+        if scanned:
             acts = flat_q.get(layer_path + ("act_scale",))
+            if all(s == lspec for s in specs):
+                # uniform specs: vmap the packing over the depth axis
+                def pack_one(k, wd, wz, a=None, al=None):
+                    return _pack_layer(k, wd, wz, wspec, smooth, a,
+                                       pack4=pack4, w_alpha=al)
 
-            def pack_one(k, wd, wz, a=None, al=None):
-                return _pack_layer(k, wd, wz, wspec, smooth, a, pack4=pack4,
-                                   w_alpha=al)
-
-            args = [kernel, wd_full, wz_full]
-            in_axes = [0, 0, 0]
-            if acts is not None:
-                args.append(acts)
-                in_axes.append(0)
+                args = [kernel, wd_full, wz_full]
+                in_axes = [0, 0, 0]
+                if acts is not None:
+                    args.append(acts)
+                    in_axes.append(0)
+                else:
+                    args.append(None)
+                    in_axes.append(None)
+                if w_alpha is not None:
+                    args.append(w_alpha)
+                    in_axes.append(0)
+                else:
+                    args.append(None)
+                    in_axes.append(None)
+                packed = jax.vmap(pack_one, in_axes=tuple(in_axes))(*args)
             else:
-                args.append(None)
-                in_axes.append(None)
-            if w_alpha is not None:
-                args.append(w_alpha)
-                in_axes.append(0)
-            else:
-                args.append(None)
-                in_axes.append(None)
-            packed = jax.vmap(pack_one, in_axes=tuple(in_axes))(*args)
+                if any(s.weight.mp_bits is None for s in specs):
+                    raise ValueError(
+                        f"scanned stack {path_to_dotted(layer_path)}: "
+                        f"per-block specs differ without w_mp tables — "
+                        f"per-block bits under scan need the gather-MP "
+                        f"path (mp_bits) or scan_blocks=False")
+                per_block = [
+                    _pack_layer(kernel[d], wd_full[d], wz_full[d],
+                                specs[d].weight, specs[d].smooth_quant,
+                                None if acts is None else acts[d],
+                                pack4=pack4,
+                                w_alpha=None if w_alpha is None
+                                else w_alpha[d])
+                    for d in range(kernel.shape[0])]
+                packed = tuple(jnp.stack([pb[i] for pb in per_block])
+                               for i in range(len(per_block[0])))
             flat_q[layer_path + ("w_int",)] = packed[0]
             flat_q[layer_path + ("w_colsum",)] = packed[1]
             if mp:

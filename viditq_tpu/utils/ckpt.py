@@ -314,13 +314,16 @@ def stack_block_params_runs(tree: Dict, runs, key: str = "blocks") -> Dict:
     """stack_block_params for a stack scanned in contiguous uniform runs
     (PixArt-Σ KV compression under scan_blocks): `runs` is a list of
     (start, length); run j stacks blocks [start, start+length) under
-    `{key}_run{j}` (single run keeps the plain `{key}` name)."""
+    `{key}_{start}` (single run keeps the plain `{key}` name) — the
+    container name carries the run's start offset so quant-table fills
+    resolve the same unrolled-style per-block names the runtime uses
+    (calibrate.scanned_block_names)."""
     if len(runs) == 1:
         return stack_block_params(tree, runs[0][1], key)
     from jax import tree as jtree
     out = {k: v for k, v in tree.items() if not k.startswith(f"{key}_")}
-    for j, (start, length) in enumerate(runs):
+    for start, length in runs:
         blocks = [tree[f"{key}_{start + i}"] for i in range(length)]
-        out[f"{key}_run{j}"] = jtree.map(
+        out[f"{key}_{start}"] = jtree.map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks)
     return out
