@@ -73,7 +73,13 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
                  head_dim: int, has_mask: bool,
                  int8_pv: bool = False, v_int8_in: bool = False,
                  emit_int8: bool = False, emit_sym: bool = True,
-                 need_rowsum: bool = False):
+                 need_rowsum: bool = False, block_b: int = 1,
+                 diag: str = ""):
+    """diag (BENCH-ONLY occupancy decomposition, benchmarks/attn_sched.py):
+    '' normal; 'qk_only' emits raw scores (no softmax/PV); 'dots_only'
+    runs QK+PV with the softmax replaced by a cast (MXU-only arm). The
+    full-vs-dots_only delta is the softmax VPU cost NOT hidden behind the
+    MXU dots. block_b: batch rows per grid step (bias/mask built once)."""
     refs = list(refs)
     q_ref = refs.pop(0)
     k_ref = refs.pop(0)
@@ -107,14 +113,20 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
         ri = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0) // seg_len
         ci = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1) // seg_len
         bias = jnp.where(ri == ci, 0.0, -jnp.inf)
-    if has_mask:
-        kv_bias = jnp.where(m_ref[0] != 0, 0.0, -jnp.inf)  # [1, M] f32
-        bias = kv_bias if bias is None else bias + kv_bias
+    seg_bias = bias
     d = head_dim
-    for h in range(n_heads):
-        q = q_ref[0, :, h * d:(h + 1) * d]
-        k = k_ref[0, :, h * d:(h + 1) * d]
-        v = v_ref[0, :, h * d:(h + 1) * d]
+    pairs = []
+    for bb in range(block_b):
+        bias = seg_bias
+        if has_mask:
+            # [1, M] f32 — built once per batch row, added per head
+            kv_bias = jnp.where(m_ref[bb] != 0, 0.0, -jnp.inf)
+            bias = kv_bias if bias is None else bias + kv_bias
+        pairs.extend((bb, h, bias) for h in range(n_heads))
+    for bb, h, bias in pairs:
+        q = q_ref[bb, :, h * d:(h + 1) * d]
+        k = k_ref[bb, :, h * d:(h + 1) * d]
+        v = v_ref[bb, :, h * d:(h + 1) * d]
         s = jax.lax.dot_general(
             (q.astype(jnp.float32) * scale2).astype(jnp.bfloat16),
             k.astype(jnp.bfloat16),
@@ -122,6 +134,19 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
             preferred_element_type=jnp.float32)
         if bias is not None:
             s = s + bias
+        if diag == "qk_only":
+            o_ref[bb, :, h * d:(h + 1) * d] = (
+                s[:, :d].astype(o_ref.dtype))
+            continue
+        if diag == "dots_only":
+            o = jax.lax.dot_general(
+                s.astype(v.dtype) if v.dtype != jnp.int8
+                else jnp.round(s).astype(jnp.int8),
+                v.astype(jnp.bfloat16) if v.dtype == jnp.int8 else v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[bb, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+            continue
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp2(s - m)
         r = jnp.sum(e, axis=-1, keepdims=True)
@@ -135,7 +160,7 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
             pq = jnp.round(e * 127.0).astype(jnp.int8)
             if v_int8_in:
                 vq = v
-                vs = vs_ref[0, :, h * d:(h + 1) * d]    # [1, d]
+                vs = vs_ref[bb, :, h * d:(h + 1) * d]   # [1, d]
             else:
                 vf = v.astype(jnp.float32)
                 vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True),
@@ -168,7 +193,7 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
         if emit_int8:
             oacc_ref[:, h * d:(h + 1) * d] = o
         else:
-            o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+            o_ref[bb, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
     if emit_int8:
         # row quantize of the assembled output (reference dynamic per-token
         # semantics — same math as fused_matmul._quantize_rows_f32)
@@ -382,8 +407,12 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          int8_pv: bool = False,
                          emit_int8: bool = False,
                          emit_sym: bool = True,
-                         need_rowsum: bool = False):
+                         need_rowsum: bool = False,
+                         block_b: int = 1,
+                         diag: str = ""):
     B, N, H, D = q.shape
+    assert block_b == 1 or (not emit_int8 and B % block_b == 0), \
+        (B, block_b, emit_int8)
     M = k.shape[1]
     assert seg_len == 0 or M == N
     C = H * D
@@ -413,28 +442,31 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         v3 = jnp.round(vf * (127.0 / vsc)).astype(jnp.int8)
         vs3 = vsc  # [B, 1, C]
     block_q = select_block_q(N, seg_len, block_q)
-    grid = (B, N // block_q)
+    grid = (B // block_b, N // block_q)
     kernel = functools.partial(_attn_kernel, scale=scale,
                                seg_len=seg_len, n_heads=H, head_dim=D,
                                has_mask=kv_mask is not None,
                                int8_pv=int8_pv,
                                v_int8_in=v_int8_in, emit_int8=emit_int8,
-                               emit_sym=emit_sym, need_rowsum=need_rowsum)
+                               emit_sym=emit_sym, need_rowsum=need_rowsum,
+                               block_b=block_b, diag=diag)
     # kv block: same rows as q for block-diagonal; full M otherwise
     bkv = block_q if seg_len > 0 else M
     kv_index = ((lambda b, i: (b, i, 0)) if seg_len > 0
                 else (lambda b, i: (b, 0, 0)))
     in_specs = [
-        pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, bkv, C), kv_index),
-        pl.BlockSpec((1, bkv, C), kv_index),
+        pl.BlockSpec((block_b, block_q, C), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((block_b, bkv, C), kv_index),
+        pl.BlockSpec((block_b, bkv, C), kv_index),
     ]
     operands = [q3, k3, v3]
     if v_int8_in:
-        in_specs.append(pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)))
+        in_specs.append(pl.BlockSpec((block_b, 1, C),
+                                     lambda b, i: (b, 0, 0)))
         operands.append(vs3)
     if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0)))
+        in_specs.append(pl.BlockSpec((block_b, 1, M),
+                                     lambda b, i: (b, 0, 0)))
         operands.append(kv_mask.astype(jnp.int32).reshape(B, 1, M))
     cost = pl.CostEstimate(
         flops=4 * B * H * N * bkv * D,
@@ -468,7 +500,8 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((block_b, block_q, C),
+                               lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
         compiler_params=params,
         cost_estimate=cost,
