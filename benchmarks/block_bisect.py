@@ -99,6 +99,28 @@ def main(arms):
                 FUSED_PV8, act=QuantSpec(n_bits=8, granularity="tensor",
                                          sym=True, dynamic=False))}),
     }
+    # CB / timestep-MP cost decomposition (round-4: the CB arms — sigma1024,
+    # w4a8-full, t20mp — all sit ~0.2x below the non-CB fused arms; these
+    # same-run arms isolate what CB machinery costs inside one block):
+    #   fused-cb     CB gather + fold_cs in-kernel quantize, W8
+    #   fused-cb-w4  same at W4 slabs (bit-width timing control)
+    #   fused-cb-mp  CB + per-range w_mp table gather (qkv/proj mp_bits)
+    from viditq_tpu.quant.spec import SmoothQuantSpec
+    SQ = SmoothQuantSpec(enable=True,
+                         channel_wise_scale_type="momentum_act_max",
+                         alpha=(0.11, 0.11),
+                         timerange=((0, 500), (501, 1000)))
+    W48 = dataclasses.replace(W8, mixed_precision=(4, 8))
+    W48_4 = dataclasses.replace(W48, n_bits=4)
+    FUSED_CB = dataclasses.replace(FUSED, weight=W48, smooth_quant=SQ)
+    FUSED_CB4 = dataclasses.replace(FUSED_CB, weight=W48_4)
+    MPW = dataclasses.replace(W48_4, mp_bits=(8, 4))
+    FUSED_CB_MP = dataclasses.replace(FUSED_CB4, weight=MPW)
+    ARMS["fused-cb"] = mk_resolver(FUSED_CB)
+    ARMS["fused-cb-w4"] = mk_resolver(FUSED_CB4)
+    ARMS["fused-cb-mp"] = mk_resolver(
+        FUSED_CB4, {"attn.q": FUSED_CB_MP, "attn.k": FUSED_CB_MP,
+                    "attn.v": FUSED_CB_MP, "proj": FUSED_CB_MP})
     arms = arms or list(ARMS)
 
     rng = np.random.default_rng(0)
@@ -120,6 +142,18 @@ def main(arms):
                                qctx=QuantCtx(mode="fp") if resolver else None)
         variables = dict(variables)
         if resolver and "quant" in variables:
+            smooth_on = (resolver("b.mlp.fc1") is not None
+                         and resolver("b.mlp.fc1").smooth_quant.enable)
+            if smooth_on:
+                # CB arms: fill per-timerange act stats before calibration
+                for t_id in (100, 900):
+                    _, muts = block.apply(
+                        variables, x, y, t0,
+                        qctx=QuantCtx(mode="sq_stat",
+                                      t_id=jnp.asarray(t_id, jnp.int32)),
+                        mutable=["quant", "qstats"])
+                    variables["quant"] = muts["quant"]
+                    variables["qstats"] = muts["qstats"]
             variables["quant"] = calibrate_weight_tables(
                 variables["params"], variables["quant"], resolver)
             variables["quant"] = add_native_slots(

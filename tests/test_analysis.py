@@ -241,6 +241,27 @@ def test_mixed_precision_gather_matches_segmented():
     np.testing.assert_allclose(np.asarray(out_prep), np.asarray(out_gat),
                                rtol=0, atol=0)
 
+    # module-PREFIX config names ('blocks.0.attn' covering qkv/proj leaves,
+    # the reference's group-level glob semantics) must hit the gather path
+    # the same way they pattern-match on the segmented path — round 4 the
+    # gather builder looked bits up by exact leaf name and silently applied
+    # NOTHING for prefix entries
+    mp_prefix = {"3-2": {"model.blocks.0.attn": 8},
+                 "1-0": {"model.blocks.0.attn": 4}}
+    gat_p = build_mp_sampler(tiny_model, sampler, plan, mp_prefix, None)
+    assert hasattr(gat_p, "n_ranges")
+    seg_p = build_mp_sampler(tiny_model, sampler, plan, mp_prefix, None,
+                             force_segmented=True)
+    out_gp = gat_p(variables, z, y, mask)
+    out_sp = seg_p(variables, z, y, mask)
+    rel_p = (np.linalg.norm(np.asarray(out_gp - out_sp))
+             / max(np.linalg.norm(np.asarray(out_sp)), 1e-9))
+    assert rel_p < 1e-2, rel_p
+    # and the prefix entry actually changed the allocation vs all-default
+    rel_d = (np.linalg.norm(np.asarray(out_gp - out_gat))
+             / max(np.linalg.norm(np.asarray(out_gat)), 1e-9))
+    assert rel_d > 1e-6, "prefix MP entries were silently dropped"
+
 
 def test_timestep_window_sensitivity():
     base = LayerQuantSpec(weight=QuantSpec(n_bits=3, granularity="channel",

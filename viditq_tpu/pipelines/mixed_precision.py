@@ -176,16 +176,32 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
     fp_extra = tuple(_clean(p)
                      for p in (mp_weight_cfg.get("fp_layers", ()) or ()))
 
-    def _kind(name: str):
-        # layer KIND = the dotted name with index segments dropped
-        # ('blocks.5.attn.qkv' -> ('blocks','attn','qkv')). Under
-        # scan_blocks the w_mp slot structure is declared from block 0's
-        # spec but packing resolves every block's own name — any kind
-        # overridden in ANY block must carry mp_bits in EVERY block so the
-        # stacked tables exist (contents then differ per block).
-        return tuple(s for s in name.split(".") if not s.isdigit())
+    from viditq_tpu.quant.naming import pattern_in
 
-    kinds_overridden = {_kind(n) for d in range_bits for n in d}
+    def _bits_for(range_map, name, default):
+        """Per-range bit lookup with the segmented path's glob semantics
+        (quant_model.py:14-36): exact key first, then pattern match — so
+        module-level entries ('blocks.5.attn') cover their leaf linears."""
+        v = range_map.get(name)
+        if v is not None:
+            return v
+        for pat, b in range_map.items():
+            if pattern_in(name, pat):
+                return b
+        return default
+
+    def _kind(name: str) -> str:
+        # layer KIND = the dotted name with index/wildcard segments dropped
+        # ('blocks.5.attn.qkv' -> 'blocks.attn.qkv')
+        return ".".join(s for s in name.split(".")
+                        if not (s.isdigit() or s == "*"
+                                or (s.startswith("[") and s.endswith("]"))))
+
+    # Under scan_blocks the w_mp slot structure is declared from block 0's
+    # spec but packing resolves every block's own name — any kind
+    # overridden in ANY block must carry mp_bits in EVERY block so the
+    # stacked tables exist (contents then differ per block).
+    kind_pats = {_kind(n) for d in range_bits for n in d}
 
     def resolver(name: str):
         spec = base_resolve(name)
@@ -195,10 +211,11 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
         if fp_extra and any_pattern_in(name, fp_extra):
             return spec.disabled()
         if spec.weight is not None and spec.weight_quant:
-            bits = tuple(range_bits[mi].get(name, spec.weight.n_bits)
+            bits = tuple(_bits_for(range_bits[mi], name, spec.weight.n_bits)
                          for mi in mp_idx)
+            kn = _kind(name)
             if (any(b != spec.weight.n_bits for b in bits)
-                    or _kind(name) in kinds_overridden):
+                    or any(pattern_in(kn, kp) for kp in kind_pats)):
                 spec = dataclasses.replace(
                     spec, weight=dataclasses.replace(spec.weight,
                                                      mp_bits=bits))
