@@ -124,6 +124,12 @@ def arm_w4a8():
         plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
             d, weight=dataclasses.replace(d.weight,
                                           scale_method=scale_method)))
+    cb_share = os.environ.get("VIDITQ_CB_SHARE") == "1"
+    if cb_share:
+        d = plan.default_layer
+        plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
+            d, smooth_quant=dataclasses.replace(d.smooth_quant,
+                                                qkv_share_cs=True)))
     res = plan.resolver()
 
     from viditq_tpu.models.stdit import STDiT
@@ -199,6 +205,7 @@ def arm_w4a8():
         "arm": "w4a8_viditq_full_stdit_xl2_16x512x512",
         "recipe": "timerange CB + t20 timestep-MP, single-scan native",
         "scale_method": scale_method or "min_max",
+        "qkv_share_cs": cb_share,
         "single_scan": hasattr(mp_fn, "n_ranges"),
         "bf16_ms_per_step": round(t_fp * 1e3, 2),
         "w4a8_ms_per_step": round(t_q * 1e3, 2),
@@ -403,6 +410,28 @@ def arm_latte():
     init_args = (z, jnp.zeros((1,)), y[:1])
     variables = _build_variables(model, res, init_args, jax, jnp)
 
+    # smooth-quant act stats per CB timerange (same phase order as
+    # arm_w4a8 — without this the CB scales are zero => identity)
+    from viditq_tpu.quant import QuantCtx, calibrate_weight_tables
+    smooth = plan.default_layer.smooth_quant
+    t_probes = [int((lo + hi) // 2) for lo, hi in smooth.timerange]
+
+    @jax.jit
+    def sq_stat(vs):
+        q = vs["quant"]
+        for t_probe in t_probes:
+            _, muts = model.apply(
+                {**vs, "quant": q}, *init_args,
+                qctx=QuantCtx(mode="sq_stat",
+                              t_id=jnp.asarray(t_probe, jnp.int32)),
+                mutable=["quant", "qstats"])
+            q = muts["quant"]
+        q = calibrate_weight_tables(vs["params"], q, res)
+        return {"params": vs["params"], "quant": q,
+                "qstats": muts["qstats"]}
+    variables = sq_stat(variables)
+    jax.block_until_ready(variables)
+
     # uniform 4-range MP: attn 4-bit, mlp 8-bit in the middle ranges,
     # everything 8-bit at the ends (a t20-style allocation for Latte)
     names_a = [f"blocks.{i}.attn" for i in range(28)]
@@ -434,12 +463,17 @@ def arm_latte():
     bench = _timer()
     t_fp = bench(fp_denoise, fp_vars, z) / n_steps
     t_mp = bench(mp_run, z) / n_steps
+    out_fp = fp_denoise(fp_vars, z)
+    out_mp = mp_run(z)
+    rel = float(jnp.linalg.norm((out_mp - out_fp).astype(jnp.float32))
+                / jnp.linalg.norm(out_fp.astype(jnp.float32)))
     print(json.dumps({
         "arm": "latte_xl2_16x256x256_w4a8_timestep_mp",
         "single_scan": hasattr(mp_fn, "n_ranges"),
         "bf16_ms_per_step": round(t_fp * 1e3, 2),
         "w4a8mp_ms_per_step": round(t_mp * 1e3, 2),
         "speedup": round(t_fp / t_mp, 3),
+        "rel_err_vs_bf16": round(rel, 4),
     }))
 
 

@@ -121,6 +121,14 @@ def main(arms):
     ARMS["fused-cb-mp"] = mk_resolver(
         FUSED_CB4, {"attn.q": FUSED_CB_MP, "attn.k": FUSED_CB_MP,
                     "attn.v": FUSED_CB_MP, "proj": FUSED_CB_MP})
+    # qkv_share_cs: pooled q/k/v balancing scale -> producer + shared
+    # prequant re-engage under CB (cs folds into the adaLN modulate /
+    # the shared quantize's col_scale)
+    SQ_SHARE = dataclasses.replace(SQ, qkv_share_cs=True)
+    ARMS["fused-cb-share"] = mk_resolver(
+        dataclasses.replace(FUSED_CB, smooth_quant=SQ_SHARE))
+    ARMS["fused-cb-share-w4"] = mk_resolver(
+        dataclasses.replace(FUSED_CB4, smooth_quant=SQ_SHARE))
     arms = arms or list(ARMS)
 
     rng = np.random.default_rng(0)

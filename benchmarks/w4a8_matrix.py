@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+if os.environ.get("VIDITQ_MATRIX_CPU") == "1":
+    # env JAX_PLATFORMS alone is overridden by the preloaded TPU plugin
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from viditq_tpu.models.stdit import STDiT

@@ -306,3 +306,133 @@ def test_native_pack_honors_adaround_alphas():
     # and it must DIFFER from nearest rounding somewhere
     nearest = np.clip(np.round(scaled) + zp, 0, 255) - shift
     assert (codes != nearest).any()
+
+
+def test_cb_qkv_share_pooled_tables_and_quality():
+    """SmoothQuantSpec.qkv_share_cs: q/k/v pool one balancing scale (the
+    upstream fused-qkv granularity, blocks.py:143), the parent-scope
+    cbshare copies are filled, and e2e quality stays at the per-layer-CB
+    level."""
+    from viditq_tpu.models import STDiT
+    from viditq_tpu.quant import resolve_layer_spec
+    from viditq_tpu.quant.spec import SmoothQuantSpec
+    from flax import traverse_util
+
+    W4 = QuantSpec(n_bits=4, granularity="channel", channel_axis=-1,
+                   round_mode="nearest", mixed_precision=(4, 8))
+    FPS = ("x_embedder", "t_block", "t_embedder", "y_embedder",
+           "final_layer")
+
+    def mk(share):
+        sq = SmoothQuantSpec(enable=True,
+                             channel_wise_scale_type="momentum_act_max",
+                             alpha=(0.11, 0.11),
+                             timerange=((0, 500), (501, 1000)),
+                             qkv_share_cs=share)
+        base = LayerQuantSpec(weight=W4, act=A8, smooth_quant=sq,
+                              backend="native")
+        return lambda n: resolve_layer_spec(n, base, FPS)
+
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 4, 4, 8, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 1, 8, 32)), jnp.float32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    kw = dict(input_size=(4, 8, 8), in_channels=4, patch_size=(1, 2, 2),
+              hidden_size=64, depth=2, num_heads=4, caption_channels=32,
+              model_max_length=8, dtype=jnp.float32)
+    x2 = jnp.concatenate([z, z])
+    t2 = jnp.zeros((2,))
+
+    rels = {}
+    for share in (False, True):
+        res = mk(share)
+        m = STDiT(resolver=res, **kw)
+        vs = dict(m.init(jax.random.PRNGKey(0), x2, t2, y, mask,
+                         QuantCtx(mode="fp")))
+        for t_id in (100, 900):
+            _, muts = m.apply(
+                vs, x2, jnp.full((2,), float(t_id)), y, mask,
+                QuantCtx(mode="sq_stat", t_id=jnp.asarray(t_id, jnp.int32)),
+                mutable=["quant", "qstats"])
+            vs["quant"] = muts["quant"]
+            vs["qstats"] = muts["qstats"]
+        vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], res)
+        vs["quant"] = pack_native_weights(vs["params"], vs["quant"], res)
+        out_fp = m.apply(vs, x2, t2, y, mask, QuantCtx(mode="fp"))
+        out_q = m.apply(vs, x2, t2, y, mask,
+                        QuantCtx(mode="quant", t_id=jnp.asarray(300)))
+        rels[share] = float(jnp.linalg.norm(out_q - out_fp)
+                            / jnp.linalg.norm(out_fp))
+        if share:
+            flat = traverse_util.flatten_dict(vs["quant"])
+            cbs = [p for p in flat if p[-1].startswith("cbshare__")]
+            assert cbs, "no cbshare tables declared under qkv_share_cs"
+            for p in cbs:
+                assert float(jnp.abs(flat[p]).max()) > 0, p
+            # pooled: q/k/v tables are identical
+            b0 = ("blocks_0", "attn")
+            np.testing.assert_allclose(
+                np.asarray(flat[b0 + ("q", "cb_scale")]),
+                np.asarray(flat[b0 + ("k", "cb_scale")]))
+            np.testing.assert_allclose(
+                np.asarray(flat[b0 + ("q", "cb_scale")]),
+                np.asarray(flat[b0 + ("v", "cb_scale")]))
+            # and equal the attention-scope shared copy
+            np.testing.assert_allclose(
+                np.asarray(flat[b0 + ("cbshare__q",)]),
+                np.asarray(flat[b0 + ("q", "cb_scale")]))
+    # pooling is a mild granularity change, not a quality cliff
+    assert rels[True] < rels[False] * 1.25 + 0.01, rels
+
+
+def test_cb_share_producer_bitexact_vs_unfused(monkeypatch):
+    """With qkv_share_cs, the block's LN+modulate+quantize producer (1/cs
+    folded into the adaLN vectors) and the gelu->fc2 handoff re-engage
+    under CB and match the producer-disabled path exactly (interpret
+    mode)."""
+    import os
+    from jax.experimental.pallas import tpu as pltpu
+    from viditq_tpu.models.stdit import STDiTBlock
+    from viditq_tpu.quant.spec import SmoothQuantSpec
+    from viditq_tpu.quant.native_pack import add_native_slots
+
+    W4 = QuantSpec(n_bits=4, granularity="channel", channel_axis=-1,
+                   round_mode="nearest", mixed_precision=(4, 8))
+    sq = SmoothQuantSpec(enable=True,
+                         channel_wise_scale_type="momentum_act_max",
+                         alpha=(0.11, 0.11),
+                         timerange=((0, 500), (501, 1000)),
+                         qkv_share_cs=True)
+    spec = LayerQuantSpec(weight=W4, act=A8, smooth_quant=sq,
+                          backend="native", impl="fused")
+    res = lambda n: spec
+    B, T, S, C = 1, 4, 64, 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T * S, C)) * 0.5, jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, 8, C)) * 0.5, jnp.float32)
+    t0 = jnp.asarray(rng.standard_normal((B, 6 * C)) * 0.1, jnp.float32)
+    block = STDiTBlock(hidden_size=C, num_heads=4, d_s=S, d_t=T,
+                       resolver=res, prefix="b", dtype=jnp.float32)
+    monkeypatch.setenv("VIDITQ_FORCE_FUSED", "1")
+    with pltpu.force_tpu_interpret_mode():
+        vs = dict(block.init(jax.random.PRNGKey(0), x, y, t0,
+                             qctx=QuantCtx(mode="fp")))
+        for t_id in (100, 900):
+            _, muts = block.apply(
+                vs, x, y, t0,
+                qctx=QuantCtx(mode="sq_stat",
+                              t_id=jnp.asarray(t_id, jnp.int32)),
+                mutable=["quant", "qstats"])
+            vs["quant"] = muts["quant"]
+            vs["qstats"] = muts["qstats"]
+        vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], res)
+        vs["quant"] = add_native_slots(vs["quant"], vs["params"], res)
+        vs["quant"] = pack_native_weights(vs["params"], vs["quant"], res)
+        qc = QuantCtx(mode="quant", t_id=jnp.asarray(300))
+        out_prod = block.apply(vs, x, y, t0, qctx=qc)
+        monkeypatch.setenv("VIDITQ_FUSE_PRODUCER", "0")
+        out_noprod = block.apply(vs, x, y, t0, qctx=qc)
+        monkeypatch.delenv("VIDITQ_FUSE_PRODUCER")
+    rel = float(jnp.linalg.norm(out_prod - out_noprod)
+                / jnp.linalg.norm(out_noprod))
+    assert rel < 5e-3, rel

@@ -466,14 +466,22 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
 _SQRT_2_OVER_PI = 0.7978845608028654
 
 
-def _quant_rows_kernel(x_ref, q_ref, xs_ref, xzp_ref, xrs_ref, *,
-                       sym: bool, gelu: bool, need_rowsum: bool):
+def _quant_rows_kernel(*refs, sym: bool, gelu: bool, need_rowsum: bool,
+                       has_csc: bool):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    cs_ref = refs.pop(0) if has_csc else None
+    q_ref, xs_ref, xzp_ref, xrs_ref = refs
     x = x_ref[:].astype(jnp.float32)
     if gelu:
         # tanh approximation, matching flax nn.gelu(approximate=True) /
         # the reference timm Mlp act
         x = 0.5 * x * (1.0 + jnp.tanh(_SQRT_2_OVER_PI
                                       * (x + 0.044715 * x ** 3)))
+    if has_csc:
+        # smooth-quant 1/cs act rescale folded into the quantize (applied
+        # AFTER gelu: the rescale belongs to the consumer's input)
+        x = x * cs_ref[:]
     q, scale, zp = _quantize_rows_f32(x, sym)
     q_ref[:] = q.astype(jnp.int8)
     xs_ref[:] = scale
@@ -485,13 +493,18 @@ def _quant_rows_kernel(x_ref, q_ref, xs_ref, xzp_ref, xrs_ref, *,
 
 def quantize_rows_fused(x: jnp.ndarray, sym: bool = True,
                         gelu: bool = False, need_rowsum: bool = True,
-                        block_m: int = 512) -> Tuple[jnp.ndarray, ...]:
+                        block_m: int = 512,
+                        col_scale: 'Optional[jnp.ndarray]' = None
+                        ) -> Tuple[jnp.ndarray, ...]:
     """[M, K] bf16 -> (int8 codes [M, K], scale [M, 1], zp, rowsum).
 
     zp is None for sym; rowsum is emitted unless sym and not need_rowsum
     (asym WEIGHTS still need the act rowsum for their zero-point term).
     One bandwidth-bound pass; with gelu=True this REPLACES the bf16 gelu
-    between fc1 and fc2 (int8 codes halve the write bandwidth)."""
+    between fc1 and fc2 (int8 codes halve the write bandwidth).
+    col_scale: optional [K]/[1, K] per-channel multiplier applied (post-
+    gelu) before the quantize — the smooth-quant 1/cs rescale of the
+    consuming layer(s), in-kernel."""
     M, K = x.shape
     # VMEM budget: bf16 in x2 buffers + int8 out x2 + f32 working set
     while block_m > 64 and block_m * K * 10 > 8 * 1024 * 1024:
@@ -500,13 +513,19 @@ def quantize_rows_fused(x: jnp.ndarray, sym: bool = True,
     Mp = _round_up(M, block_m)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    has_csc = col_scale is not None
     kernel = functools.partial(_quant_rows_kernel, sym=sym, gelu=gelu,
-                               need_rowsum=need_rowsum)
+                               need_rowsum=need_rowsum, has_csc=has_csc)
     s1 = jax.ShapeDtypeStruct((Mp, 1), jnp.float32)
+    in_specs = [pl.BlockSpec((block_m, K), lambda i: (i, 0))]
+    operands = [x]
+    if has_csc:
+        in_specs.append(pl.BlockSpec((1, K), lambda i: (0, 0)))
+        operands.append(col_scale.reshape(1, K).astype(jnp.float32))
     q, xs, xzp, xrs = pl.pallas_call(
         kernel,
         grid=(Mp // block_m,),
-        in_specs=[pl.BlockSpec((block_m, K), lambda i: (i, 0))],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((block_m, K), lambda i: (i, 0)),
                    pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
                    pl.BlockSpec((block_m, 1), lambda i: (i, 0)),
@@ -516,7 +535,7 @@ def quantize_rows_fused(x: jnp.ndarray, sym: bool = True,
             dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=8 * Mp * K, bytes_accessed=Mp * K * 3, transcendentals=0),
-    )(x)
+    )(*operands)
     if sym:
         return q[:M], xs[:M], None, (xrs[:M] if need_rowsum else None)
     return q[:M], xs[:M], xzp[:M], xrs[:M]

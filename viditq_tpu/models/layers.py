@@ -100,10 +100,19 @@ class Mlp(nn.Module):
         # fused int8 dataflow: gelu + row-quantize in ONE bandwidth-bound
         # Pallas pass emitting int8 codes + scales (half the write bytes of
         # a bf16 gelu), consumed by fc2's pure-MXU kernel
-        fused2 = (spec2 is not None and spec2.backend == "native"
-                  and spec2.impl == "fused" and spec2.act is not None
-                  and spec2.act.dynamic and spec2.act_quant
-                  and spec2.weight_quant and not spec2.smooth_quant.enable
+        fused2_static = (spec2 is not None and spec2.backend == "native"
+                         and spec2.impl == "fused" and spec2.act is not None
+                         and spec2.act.dynamic and spec2.act_quant
+                         and spec2.weight_quant)
+        ics2 = None
+        if fused2_static and spec2.smooth_quant.enable:
+            # fc2 is the SOLE consumer of the gelu producer, so its own
+            # 1/cs folds into the producer's quantize with no sharing
+            # deviation at all (declares the cbshare table; static gate)
+            from viditq_tpu.quant.qlinear import cbshare_inv_cs
+            ics2 = cbshare_inv_cs(self, "fc2", spec2, qctx, x.shape[-1])
+        fused2 = (fused2_static
+                  and (not spec2.smooth_quant.enable or ics2 is not None)
                   and qctx is not None and qctx.mode == "quant"
                   # capture mode must see fc2's REAL (post-gelu) input and
                   # its output sow — the prequant early-return would sow the
@@ -117,7 +126,8 @@ class Mlp(nn.Module):
             pre = quantize_rows_fused(
                 x.reshape(-1, x.shape[-1]), sym=spec2.act.sym, gelu=True,
                 need_rowsum=not (spec2.weight is not None
-                                 and spec2.weight.sym))
+                                 and spec2.weight.sym),
+                col_scale=ics2)
             return QuantLinear(out_features, lspec=spec2, name="fc2",
                                **kw)(x, qctx, prequant=pre,
                                      epilogue=epilogue)
@@ -333,10 +343,20 @@ class SelfAttention(nn.Module):
                   d_t=self.d_t, d_s=self.d_s, seg_len=self.seg_len)
         specs = [self.resolver(f"{self.prefix}.{n}") for n in ("q", "k", "v")]
         pre = prequant
-        if (pre is None and qctx is not None and qctx.mode == "quant"
-                and all(s == specs[0] for s in specs)):
-            from viditq_tpu.quant.qlinear import shared_prequant
-            pre = shared_prequant(x, specs[0])
+        if pre is None and all(s == specs[0] for s in specs):
+            from viditq_tpu.quant.qlinear import (cbshare_inv_cs,
+                                                  shared_prequant)
+            s0 = specs[0]
+            ics = None
+            if (s0 is not None and s0.smooth_quant.enable
+                    and s0.smooth_quant.qkv_share_cs):
+                # pooled q/k/v balancing scale: ONE shared rescale+quantize
+                # pass replaces three per-consumer in-kernel rescales
+                # (declares the cbshare table; static-spec-gated so init
+                # and apply agree)
+                ics = cbshare_inv_cs(self, "q", s0, qctx, C)
+            if qctx is not None and qctx.mode == "quant":
+                pre = shared_prequant(x, s0, col_scale=ics)
         q = QuantLinear(C, lspec=specs[0],
                         use_bias=self.qkv_bias, name="q", **kw)(
                             x, qctx, prequant=pre)

@@ -16,6 +16,7 @@ Steps 2/4 are pure functions over variable dicts.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -98,14 +99,18 @@ def _layer_dirs(quant_vars: Dict, leaf: str):
 
 
 def weight_qparams_for_layer(kernel: jnp.ndarray, lspec: LayerQuantSpec,
-                             act_scale: Optional[jnp.ndarray] = None
+                             act_scale: Optional[jnp.ndarray] = None,
+                             cb: Optional[jnp.ndarray] = None
                              ) -> Dict[str, jnp.ndarray]:
     """Compute the full [n_bw, n_tr, 1, F] weight tables for one layer.
 
     kernel: [C_in, F] (JAX layout). With smooth-quant enabled, the quantized
     weight is `kernel * cs[:, None]` per timerange, where
     cs = act_scale[tr]**alpha / w_absmax**(1-alpha)
-    (reference quant_layer.py:136,176-183).
+    (reference quant_layer.py:136,176-183). `cb`: optional precomputed
+    [n_tr, C_in] cs table (the layer's calibrated `cb_scale` — REQUIRED
+    for qkv_share_cs-pooled layers, whose cs is not a pure function of
+    this layer's own kernel).
     """
     wspec = lspec.weight
     smooth = lspec.smooth_quant
@@ -119,9 +124,12 @@ def weight_qparams_for_layer(kernel: jnp.ndarray, lspec: LayerQuantSpec,
             # dynamic CB: the scale depends on the live activations; the
             # runtime layer computes weight qparams on the fly instead.
             return kernel
-        alpha = smooth.alpha_for_range(tr)
-        cs = core.smooth_quant_scale(
-            act_scale[tr], jnp.max(jnp.abs(kernel), axis=-1), alpha)
+        if cb is not None:
+            cs = cb[tr]
+        else:
+            alpha = smooth.alpha_for_range(tr)
+            cs = core.smooth_quant_scale(
+                act_scale[tr], jnp.max(jnp.abs(kernel), axis=-1), alpha)
         return kernel * cs[:, None]
 
     deltas, zps = [], []
@@ -151,54 +159,39 @@ def calibrate_weight_tables(params: Dict, quant_vars: Dict,
     """
     flat_q = traverse_util.flatten_dict(quant_vars)
     flat_p = traverse_util.flatten_dict(params)
-    for layer_path in _layer_dirs(quant_vars, "w_delta"):
-        kernel = flat_p[layer_path + ("kernel",)]
-        if kernel.ndim >= 4:
-            # conv layout [*k, C_in, F] (QuantConv): flatten to the 2D
-            # [prod(k)*C_in, F] view the forward uses
-            kernel = kernel.reshape(-1, kernel.shape[-1])
-        act_scale = flat_q.get(layer_path + ("act_scale",))
-        if kernel.ndim == 3:
-            # scanned block stack: leading depth axis. Blocks resolve their
-            # own (unrolled-style) names — per-block overrides land in the
-            # per-block table contents.
-            specs = resolve_scanned(layer_path, kernel.shape[0], resolve)
-            if specs is None:
-                continue
-            if all(s == specs[0] for s in specs):
-                lspec = specs[0]
-                if act_scale is None:
-                    tables = jax.vmap(
-                        lambda k: weight_qparams_for_layer(k, lspec))(kernel)
-                else:
-                    tables = jax.vmap(
-                        lambda k, a: weight_qparams_for_layer(k, lspec, a))(
-                            kernel, act_scale)
-            else:
-                per_block = [
-                    weight_qparams_for_layer(
-                        kernel[d], specs[d],
-                        None if act_scale is None else act_scale[d])
-                    for d in range(kernel.shape[0])]
-                tables = {k: jnp.stack([t[k] for t in per_block])
-                          for k in per_block[0]}
-        else:
-            lspec = resolve(path_to_dotted(layer_path))
-            if lspec is None or lspec.weight is None:
-                continue
-            tables = weight_qparams_for_layer(kernel, lspec, act_scale)
-        for k, v in tables.items():
-            flat_q[layer_path + (k,)] = v
 
-    # smooth-quant balancing scales: cs is a pure function of the kernel +
-    # accumulated act_scale stats, so it is materialized per timerange here
-    # and the runtime forward gathers it (qlinear 'cb_scale') instead of
-    # re-reading the fp32 kernel for an absmax every call. Separate loop:
-    # CB also applies to weight-FP layers that carry no w_delta.
+    # --- smooth-quant balancing scales FIRST: cs is a pure function of the
+    # kernel(s) + accumulated act_scale stats, materialized per timerange
+    # here and gathered by the runtime forward (qlinear 'cb_scale') instead
+    # of re-reading the fp32 kernel for an absmax every call. Runs before
+    # the weight-table loop because pooled layers' w_delta depends on the
+    # pooled cs. Separate loop: CB also applies to weight-FP layers that
+    # carry no w_delta.
+    def _kernel2d(path):
+        k = flat_p[path + ("kernel",)]
+        if k.ndim >= 4:
+            k = k.reshape(-1, k.shape[-1])
+        return k
+
+    def _pool_absmax(layer_path, kernel, smooth):
+        """Per-channel weight absmax; with qkv_share_cs and this layer being
+        a q/k/v sibling, the MAX across the three kernels (the fused-qkv
+        granularity of the upstream attention, blocks.py:143)."""
+        def absmax(k):
+            return jnp.max(jnp.abs(k.astype(jnp.float32)), axis=-1)
+        if (not smooth.qkv_share_cs or not layer_path
+                or layer_path[-1] not in ("q", "k", "v")):
+            return absmax(kernel)
+        sibs = [layer_path[:-1] + (n,) for n in ("q", "k", "v")]
+        if not all(s + ("kernel",) in flat_p for s in sibs):
+            return absmax(kernel)
+        return functools.reduce(
+            jnp.maximum, [absmax(_kernel2d(s)) for s in sibs])
+
     for layer_path in _layer_dirs(quant_vars, "cb_scale"):
-        kernel = flat_p[layer_path + ("kernel",)]
-        if kernel.ndim >= 4:
-            kernel = kernel.reshape(-1, kernel.shape[-1])
+        if layer_path and layer_path[-1].startswith("cbshare__"):
+            continue  # shared-producer copies, filled below
+        kernel = _kernel2d(layer_path)
         if kernel.ndim == 3:
             cb_specs = [resolve(n) for n in scanned_block_names(
                 layer_path, kernel.shape[0])]
@@ -214,17 +207,79 @@ def calibrate_weight_tables(params: Dict, quant_vars: Dict,
                 f"scanned stack {path_to_dotted(layer_path)}: per-block "
                 f"smooth-quant configs differ; needs scan_blocks=False")
         act_scale = flat_q[layer_path + ("act_scale",)]
+        w_absmax = _pool_absmax(layer_path, kernel, smooth)
 
-        def cb_for(k, a, _s=smooth):
-            w_absmax = jnp.max(jnp.abs(k.astype(jnp.float32)), axis=-1)
+        def cb_for(wmax, a, _s=smooth):
             return jnp.stack([
-                core.smooth_quant_scale(a[tr], w_absmax,
-                                        _s.alpha_for_range(tr))
+                core.smooth_quant_scale(a[tr], wmax, _s.alpha_for_range(tr))
                 for tr in range(_s.n_timerange)])
 
         flat_q[layer_path + ("cb_scale",)] = (
-            jax.vmap(cb_for)(kernel, act_scale) if kernel.ndim == 3
-            else cb_for(kernel, act_scale))
+            jax.vmap(cb_for)(w_absmax, act_scale) if kernel.ndim == 3
+            else cb_for(w_absmax, act_scale))
+
+    # --- shared-producer cs copies: a leaf named 'cbshare__<rel__path>'
+    # at any module dir receives a COPY of that descendant layer's (pooled)
+    # cb_scale table, so a parent-scope producer (LN+modulate+quantize /
+    # shared qkv prequant) can fold 1/cs without reaching into child scopes.
+    flat_all = list(flat_q)
+    for path in flat_all:
+        leaf = path[-1]
+        if not leaf.startswith("cbshare__"):
+            continue
+        child = path[:-1] + tuple(leaf[len("cbshare__"):].split("__")) \
+            + ("cb_scale",)
+        src = flat_q.get(child)
+        if src is None:
+            raise KeyError(
+                f"{'.'.join(path)}: no cb_scale at referenced child "
+                f"{'.'.join(child)}")
+        flat_q[path] = src
+
+    # --- weight quant tables ---
+    for layer_path in _layer_dirs(quant_vars, "w_delta"):
+        kernel = flat_p[layer_path + ("kernel",)]
+        if kernel.ndim >= 4:
+            # conv layout [*k, C_in, F] (QuantConv): flatten to the 2D
+            # [prod(k)*C_in, F] view the forward uses
+            kernel = kernel.reshape(-1, kernel.shape[-1])
+        act_scale = flat_q.get(layer_path + ("act_scale",))
+        cb = flat_q.get(layer_path + ("cb_scale",))
+        if kernel.ndim == 3:
+            # scanned block stack: leading depth axis. Blocks resolve their
+            # own (unrolled-style) names — per-block overrides land in the
+            # per-block table contents.
+            specs = resolve_scanned(layer_path, kernel.shape[0], resolve)
+            if specs is None:
+                continue
+            if all(s == specs[0] for s in specs):
+                lspec = specs[0]
+                args = [kernel]
+                in_axes = [0]
+                for extra in (act_scale, cb):
+                    args.append(extra)
+                    in_axes.append(None if extra is None else 0)
+                tables = jax.vmap(
+                    lambda k, a, c, _l=lspec: weight_qparams_for_layer(
+                        k, _l, a, cb=c),
+                    in_axes=tuple(in_axes))(*args)
+            else:
+                per_block = [
+                    weight_qparams_for_layer(
+                        kernel[d], specs[d],
+                        None if act_scale is None else act_scale[d],
+                        cb=None if cb is None else cb[d])
+                    for d in range(kernel.shape[0])]
+                tables = {k: jnp.stack([t[k] for t in per_block])
+                          for k in per_block[0]}
+        else:
+            lspec = resolve(path_to_dotted(layer_path))
+            if lspec is None or lspec.weight is None:
+                continue
+            tables = weight_qparams_for_layer(kernel, lspec, act_scale,
+                                              cb=cb)
+        for k, v in tables.items():
+            flat_q[layer_path + (k,)] = v
     return traverse_util.unflatten_dict(flat_q)
 
 

@@ -159,19 +159,23 @@ def qparams_grid_search(x: jnp.ndarray, x_min: jnp.ndarray, x_max: jnp.ndarray,
     n_levels = spec.n_levels(n_bits)
     x = x.astype(jnp.float32)
     scalings = (jnp.arange(n_steps, dtype=jnp.float32) / n_steps)
-    shape = (n_steps,) + (1,) * x.ndim
-    s = scalings.reshape(shape)
-    cand_max = x_max[None] * s
-    cand_min = x_min[None] * s
-    xb = jnp.broadcast_to(x[None], (n_steps,) + x.shape)
-    x_q = _quantize_with_range(xb, cand_max, cand_min, b, n_levels,
-                               spec.always_zero)
-    # L2 loss per candidate (reference lp_loss reduction='none' semantics:
-    # sum of squared error, base_quantizer.py:367-399).
-    losses = jnp.sum((xb - x_q) ** 2, axis=tuple(range(1, xb.ndim)))
+
+    # Sequential over candidates (lax.map): the broadcast form materialized
+    # [n_steps, *x.shape] — 2.1GB for one XL fc2 kernel and 59GB under the
+    # scanned-stack vmap (round-4 on-chip OOM). One candidate in flight
+    # keeps the working set at |x|.
+    def loss_of(s):
+        x_q = _quantize_with_range(x, x_max * s, x_min * s, b, n_levels,
+                                   spec.always_zero)
+        # L2 loss per candidate (reference lp_loss reduction='none'
+        # semantics: sum of squared error, base_quantizer.py:367-399).
+        return jnp.sum((x - x_q) ** 2)
+
+    losses = jax.lax.map(loss_of, scalings)
     idx = jnp.argmin(losses)
-    best_max = jnp.take(cand_max, idx, axis=0)
-    best_min = jnp.take(cand_min, idx, axis=0)
+    s_best = jnp.take(scalings, idx)
+    best_max = x_max * s_best
+    best_min = x_min * s_best
     if spec.always_zero:
         delta = best_max / (2 ** b - 1)
         zero_point = jnp.zeros_like(delta)

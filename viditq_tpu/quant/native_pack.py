@@ -132,28 +132,20 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
         if w_alpha is not None and w_alpha.ndim > kernel.ndim:
             w_alpha = w_alpha.reshape(*kernel.shape)
         mp = wspec.mp_bits is not None
+        cb_full = flat_q.get(layer_path + ("cb_scale",))
         if scanned:
             acts = flat_q.get(layer_path + ("act_scale",))
             if all(s == lspec for s in specs):
                 # uniform specs: vmap the packing over the depth axis
-                def pack_one(k, wd, wz, a=None, al=None):
+                def pack_one(k, wd, wz, a=None, al=None, c=None):
                     return _pack_layer(k, wd, wz, wspec, smooth, a,
-                                       pack4=pack4, w_alpha=al)
+                                       pack4=pack4, w_alpha=al, cb=c)
 
                 args = [kernel, wd_full, wz_full]
                 in_axes = [0, 0, 0]
-                if acts is not None:
-                    args.append(acts)
-                    in_axes.append(0)
-                else:
-                    args.append(None)
-                    in_axes.append(None)
-                if w_alpha is not None:
-                    args.append(w_alpha)
-                    in_axes.append(0)
-                else:
-                    args.append(None)
-                    in_axes.append(None)
+                for extra in (acts, w_alpha, cb_full):
+                    args.append(extra)
+                    in_axes.append(None if extra is None else 0)
                 packed = jax.vmap(pack_one, in_axes=tuple(in_axes))(*args)
             else:
                 if any(s.weight.mp_bits is None for s in specs):
@@ -168,7 +160,8 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
                                 None if acts is None else acts[d],
                                 pack4=pack4,
                                 w_alpha=None if w_alpha is None
-                                else w_alpha[d])
+                                else w_alpha[d],
+                                cb=None if cb_full is None else cb_full[d])
                     for d in range(kernel.shape[0])]
                 packed = tuple(jnp.stack([pb[i] for pb in per_block])
                                for i in range(len(per_block[0])))
@@ -180,7 +173,8 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
             continue
         act_scale = flat_q.get(layer_path + ("act_scale",))
         packed = _pack_layer(kernel, wd_full, wz_full, wspec, smooth,
-                             act_scale, pack4=pack4, w_alpha=w_alpha)
+                             act_scale, pack4=pack4, w_alpha=w_alpha,
+                             cb=cb_full)
         flat_q[layer_path + ("w_int",)] = packed[0]
         flat_q[layer_path + ("w_colsum",)] = packed[1]
         if mp:
@@ -198,7 +192,7 @@ def _round_codes(w_eff, d, w_alpha):
 
 
 def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
-                pack4: bool = False, w_alpha=None):
+                pack4: bool = False, w_alpha=None, cb=None):
     """Quantize one [C_in, F] kernel into per-timerange int slabs + column
     sums. w_delta/w_zp: [n_bw, n_tr, 1, F] (full bit-axis tables). Full-
     native slabs are signed int8 (shifted codes); pack4 slabs hold two
@@ -207,7 +201,12 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
     With wspec.mp_bits set (timerange-gathered mixed precision), timerange
     tr packs at mp_bits[tr] and the return adds the per-range EFFECTIVE
     dequant tables (w_mp_scale, w_mp_zp with the signed shift pre-folded)
-    that qlinear gathers by tr_id at run time."""
+    that qlinear gathers by tr_id at run time.
+
+    cb: the layer's calibrated [n_tr, C_in] cs table; preferred over the
+    act_scale recompute so packing always matches calibration exactly
+    (REQUIRED under SmoothQuantSpec.qkv_share_cs, where cs is pooled
+    across sibling kernels)."""
     n_tr = w_delta.shape[1]
     bits_tuple = wspec.bits_tuple
     mp = wspec.mp_bits is not None
@@ -219,11 +218,14 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
         n_levels = float(2 ** bits)
         w_eff = kernel
         if smooth.enable and "momentum" in smooth.channel_wise_scale_type:
-            from viditq_tpu.quant import core as _core
-            alpha = smooth.alpha_for_range(tr)
-            cs = _core.smooth_quant_scale(
-                jnp.asarray(act_scale[tr]),
-                jnp.max(jnp.abs(kernel), axis=-1), alpha)
+            if cb is not None:
+                cs = jnp.asarray(cb[tr])
+            else:
+                from viditq_tpu.quant import core as _core
+                alpha = smooth.alpha_for_range(tr)
+                cs = _core.smooth_quant_scale(
+                    jnp.asarray(act_scale[tr]),
+                    jnp.max(jnp.abs(kernel), axis=-1), alpha)
             w_eff = kernel * cs[:, None]
         # frozen_tr0_weights (reference runtime semantics): every tr slab's
         # codes use TIMERANGE-0's qparams — the per-tr tables are saved but

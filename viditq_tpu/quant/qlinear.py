@@ -69,14 +69,21 @@ class QuantCtx:
     rng: Optional[jnp.ndarray] = None
 
 
-def shared_prequant(x: jnp.ndarray, lspec: Optional[LayerQuantSpec]):
+def shared_prequant(x: jnp.ndarray, lspec: Optional[LayerQuantSpec],
+                    col_scale: Optional[jnp.ndarray] = None):
     """Quantize an input ONCE for reuse across sibling native linears
     (q/k/v share their input; per-token scales are identical regardless of
-    which sibling computes them). Returns None when the spec isn't the
-    plain native-dynamic path (smooth-quant rescales per layer)."""
+    which sibling computes them).
+
+    Smooth-quant layers need the 1/cs act rescale BEFORE the quantize —
+    per layer in general, so CB disables sharing UNLESS the caller passes
+    `col_scale` (the shared inv-cs of SmoothQuantSpec.qkv_share_cs-pooled
+    siblings, gathered by timerange). Returns None when the spec isn't
+    representable as one shared pass."""
     if (lspec is None or lspec.backend != "native" or lspec.act is None
             or not lspec.act.dynamic or not lspec.act_quant
-            or not lspec.weight_quant or lspec.smooth_quant.enable):
+            or not lspec.weight_quant
+            or (lspec.smooth_quant.enable and col_scale is None)):
         return None
     if lspec.impl == "fused":
         from viditq_tpu.kernels.fused_matmul import (fused_available,
@@ -85,11 +92,51 @@ def shared_prequant(x: jnp.ndarray, lspec: Optional[LayerQuantSpec]):
             q, xs, xzp, xrs = quantize_rows_fused(
                 x.reshape(-1, x.shape[-1]), sym=lspec.act.sym,
                 need_rowsum=not (lspec.weight is not None
-                                 and lspec.weight.sym))
+                                 and lspec.weight.sym),
+                col_scale=col_scale)
             return q, xs, xzp, xrs
     from viditq_tpu.kernels.int_matmul import dynamic_quant_rows_ref
-    return dynamic_quant_rows_ref(x.reshape(-1, x.shape[-1]),
-                                  sym=lspec.act.sym)
+    x2 = x.reshape(-1, x.shape[-1])
+    if col_scale is not None:
+        x2 = (x2.astype(jnp.float32)
+              * col_scale.reshape(1, -1)).astype(x2.dtype)
+    return dynamic_quant_rows_ref(x2, sym=lspec.act.sym)
+
+
+def cbshare_inv_cs(module, child_rel: str,
+                   lspec: Optional[LayerQuantSpec],
+                   qctx: Optional[QuantCtx], n_in: int):
+    """Declare (in `module`'s scope) and gather the shared smooth-quant
+    inverse balancing scale of the child layer at dotted `child_rel`.
+
+    The variable is a COPY of that child's calibrated `cb_scale` table —
+    `calibrate_weight_tables` fills any quant leaf named
+    'cbshare__<rel__path>' from `<rel.path>.cb_scale` — so parent-scope
+    producers (the block's LN+modulate+quantize, the attention's shared
+    q/k/v prequant) can fold 1/cs without reaching into child variable
+    scopes. Declaration depends only on the STATIC spec (so init and
+    apply agree); the gather returns None outside quant mode."""
+    if lspec is None:
+        return None
+    smooth = lspec.smooth_quant
+    if not (smooth.enable and "momentum" in smooth.channel_wise_scale_type
+            and lspec.backend == "native" and lspec.act is not None
+            and lspec.act.dynamic and lspec.act_quant and lspec.weight_quant):
+        return None
+    var = module.variable(
+        "quant", "cbshare__" + child_rel.replace(".", "__"),
+        lambda: jnp.zeros((smooth.n_timerange, n_in), jnp.float32))
+    if qctx is None or qctx.mode != "quant":
+        return None
+    if smooth.n_timerange == 1:
+        cs = var.value[0]
+    else:
+        tr_map = jnp.asarray(timerange_lookup(smooth))
+        tr_id = tr_map[jnp.clip(qctx.t_id, 0, 1000)]
+        cs = jax.lax.dynamic_index_in_dim(var.value, tr_id, 0, False)
+    # uncalibrated rows are 0: treat as identity (matches qlinear's gather)
+    cs = jnp.where(cs > 0, cs, 1.0)
+    return 1.0 / cs
 
 
 def timerange_lookup(smooth: SmoothQuantSpec) -> np.ndarray:

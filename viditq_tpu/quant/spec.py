@@ -156,6 +156,17 @@ class SmoothQuantSpec:
     # per-timerange tables the reference saves but never reads (the
     # self-consistent "corrected" semantics).
     frozen_tr0_weights: bool = True
+    # TPU-native perf knob: pool the CB balancing scale across sibling
+    # q/k/v projections (one cs for the three, computed with the MAX of
+    # their per-channel weight absmaxes). The upstream OpenSora attention
+    # is ONE fused qkv linear (blocks.py:143 `nn.Linear(dim, dim*3)`) — a
+    # single cs per input channel IS that granularity; the reference quant
+    # flow splits qkv (separate_qkv=True, blocks.py:124) and balances each
+    # separately. With a shared cs the q/k/v input quantize collapses to
+    # ONE pass (shared_prequant / the block's LN+modulate+quantize
+    # producer), removing CB's main runtime cost; quality delta is gated
+    # in tests/benchmarks alongside the sym-act deviation.
+    qkv_share_cs: bool = False
 
     def __post_init__(self):
         if not self.enable:

@@ -89,7 +89,12 @@ def parse_smooth_spec(cfg: Dict[str, Any]) -> SmoothQuantSpec:
         # the reference runtime, which freezes the weight qparams at
         # timerange 0 (SmoothQuantSpec.frozen_tr0_weights)
         frozen_tr0_weights=not bool(sq.get("corrected_tr_weight_tables",
-                                           False)))
+                                           False)),
+        # extension key: pool the balancing scale across sibling q/k/v
+        # (the upstream fused-qkv granularity) so their input rescale +
+        # quantize collapses to one shared producer pass — the TPU-native
+        # perf plans' knob (SmoothQuantSpec.qkv_share_cs)
+        qkv_share_cs=bool(sq.get("qkv_share_cs", False)))
 
 
 @dataclasses.dataclass(frozen=True)
