@@ -6,14 +6,24 @@ program per arm, so timing is a single device dispatch (the TPU relay adds
 ~3-4ms per dispatch and dedupes repeated identical calls; python-level
 step loops measure dispatch, not compute).
 
+Every number in the printed JSON is measured by THIS run (rel errs from the
+same-run outputs, serving batch from same-run B=4/B=8 arms, roofline from
+the compiled programs' cost analysis). VIDITQ_BENCH_SERVING=0 skips the
+serving-batch arms (saves ~4 compiles when iterating).
+
 Prints exactly ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# v5e (TPU v5 lite) public per-chip peaks; the MXU int8 rate is 2x bf16.
+PEAK_BF16 = 197e12
+PEAK_INT8 = 394e12
 
 
 def _tpu_reachable(timeout_s: int = 300) -> bool:
@@ -39,9 +49,8 @@ def main():
             "metric": "stdit_xl2_16x512x512_w8a8_best_denoise_speedup_vs_bf16",
             "value": 0.0, "unit": "x", "vs_baseline": 0.0,
             "detail": {"error": "TPU unreachable (axon tunnel down; "
-                                "jax.devices() hangs). Last measured: "
-                                "1.259x round-3a, see BENCH_NOTES.md; "
-                                "rerun benchmarks/run_tpu_pending.sh when "
+                                "jax.devices() hangs). Rerun "
+                                "benchmarks/run_tpu_pending.sh when "
                                 "the tunnel returns."}}))
         return
     import jax
@@ -58,13 +67,17 @@ def main():
 
     latent = (16, 64, 64)       # 16x512x512 video, VAE /8
     n_steps = 20                # the reference's MP/t20 sampling budget
-    n_prompt = 1
     rng = np.random.default_rng(0)
-    z = jnp.asarray(rng.standard_normal((n_prompt, 4, *latent)) * 0.5,
-                    jnp.bfloat16)
-    y = jnp.asarray(rng.standard_normal((2 * n_prompt, 1, 120, 4096)) * 0.1,
-                    jnp.bfloat16)
-    mask = jnp.ones((n_prompt, 120), jnp.int32)
+
+    def prompt_batch(n):
+        z = jnp.asarray(rng.standard_normal((n, 4, *latent)) * 0.5,
+                        jnp.bfloat16)
+        y = jnp.asarray(rng.standard_normal((2 * n, 1, 120, 4096)) * 0.1,
+                        jnp.bfloat16)
+        mask = jnp.ones((n, 120), jnp.int32)
+        return z, y, mask
+
+    z, y, mask = prompt_batch(1)
 
     # fused-sym + softmax int8 PV scoped to temporal/cross attention
     # (the per-site winners; BENCH_NOTES round-2c)
@@ -88,7 +101,7 @@ def main():
 
     shapes = jax.eval_shape(
         lambda: model_q.init(jax.random.PRNGKey(0), jnp.concatenate([z, z]),
-                             jnp.zeros((2 * n_prompt,)), y, mask,
+                             jnp.zeros((2,)), y, mask,
                              QuantCtx(mode="fp")))
 
     @jax.jit
@@ -111,76 +124,54 @@ def main():
     q_vars = {"params": params, "quant": quant}
     fp_vars = {"params": params}
 
-    # hybrid variables: same shapes plus w_int slots for weight-only layers
-    h_shapes = jax.eval_shape(
-        lambda: model_h.init(jax.random.PRNGKey(0), jnp.concatenate([z, z]),
-                             jnp.zeros((2 * n_prompt,)), y, mask,
-                             QuantCtx(mode="fp")))
+    def build_variant(model, resolver):
+        vshapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.concatenate([z, z]), jnp.zeros((2,)),
+                               y, mask, QuantCtx(mode="fp")))
 
-    @jax.jit
-    def build_hybrid(params):
-        qshapes = dict(h_shapes)["quant"]
-        qz = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), qshapes)
-        qz = calibrate_weight_tables(params, qz, hyb_resolver)
-        qz = pack_native_weights(params, qz, hyb_resolver)
-        return qz
-    h_vars = {"params": params, "quant": build_hybrid(params)}
-    jax.block_until_ready(h_vars["quant"])
+        @jax.jit
+        def build(params):
+            qshapes = dict(vshapes)["quant"]
+            qz = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), qshapes)
+            qz = calibrate_weight_tables(params, qz, resolver)
+            return pack_native_weights(params, qz, resolver)
 
-    # sym-weight tables differ from asym: calibrate + pack separately
-    s_shapes = jax.eval_shape(
-        lambda: model_s.init(jax.random.PRNGKey(0), jnp.concatenate([z, z]),
-                             jnp.zeros((2 * n_prompt,)), y, mask,
-                             QuantCtx(mode="fp")))
+        v = {"params": params, "quant": build(params)}
+        jax.block_until_ready(v["quant"])
+        return v
 
-    @jax.jit
-    def build_sym(params):
-        qshapes = dict(s_shapes)["quant"]
-        qz = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), qshapes)
-        qz = calibrate_weight_tables(params, qz, sym_resolver)
-        qz = pack_native_weights(params, qz, sym_resolver)
-        return qz
-    s_vars = {"params": params, "quant": build_sym(params)}
-    jax.block_until_ready(s_vars["quant"])
+    h_vars = build_variant(model_h, hyb_resolver)
+    s_vars = build_variant(model_s, sym_resolver)
     print(f"calibration done in {time.time()-t0:.0f}s", file=sys.stderr)
 
     qf = default_qctx_factory("quant")
 
-    @jax.jit
-    def fp_denoise(vs, z):
-        def fp_apply(x, t, yy, mm, qctx):
-            return model_fp.apply(vs, x, t, yy, mm)
-        return sampler.sample(fp_apply, z, y, mask, sampler_type="ddim")
+    def make_denoise(model, yy, mm, quantized):
+        @jax.jit
+        def denoise(vs, zz):
+            def apply(x, t, y_, m_, qctx):
+                if quantized:
+                    return model.apply(vs, x, t, y_, m_, qctx)
+                return model.apply(vs, x, t, y_, m_)
+            return sampler.sample(apply, zz, yy, mm, sampler_type="ddim",
+                                  qctx_factory=qf if quantized else None)
+        return denoise
 
-    @jax.jit
-    def q_denoise(vs, z):
-        def q_apply(x, t, yy, mm, qctx):
-            return model_q.apply(vs, x, t, yy, mm, qctx)
-        return sampler.sample(q_apply, z, y, mask, sampler_type="ddim",
-                              qctx_factory=qf)
+    fp_denoise = make_denoise(model_fp, y, mask, False)
+    q_denoise = make_denoise(model_q, y, mask, True)
+    h_denoise = make_denoise(model_h, y, mask, True)
+    s_denoise = make_denoise(model_s, y, mask, True)
 
-    @jax.jit
-    def h_denoise(vs, z):
-        def h_apply(x, t, yy, mm, qctx):
-            return model_h.apply(vs, x, t, yy, mm, qctx)
-        return sampler.sample(h_apply, z, y, mask, sampler_type="ddim",
-                              qctx_factory=qf)
-
-    @jax.jit
-    def s_denoise(vs, z):
-        def s_apply(x, t, yy, mm, qctx):
-            return model_s.apply(vs, x, t, yy, mm, qctx)
-        return sampler.sample(s_apply, z, y, mask, sampler_type="ddim",
-                              qctx_factory=qf)
-
-    def bench(f, vs, tag, reps=3):
+    def bench(f, vs, tag, zz=None, reps=3):
+        zz = z if zz is None else zz
         t0 = time.time()
-        f(vs, z).block_until_ready()
+        f(vs, zz).block_until_ready()
         print(f"{tag}: compiled in {time.time()-t0:.0f}s", file=sys.stderr)
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            f(vs, z).block_until_ready()
+            f(vs, zz).block_until_ready()
             ts.append(time.time() - t0)
         return min(ts) / n_steps
 
@@ -190,8 +181,70 @@ def main():
     t_s = bench(s_denoise, s_vars, "w8a8-fused-sym")
     best = min(t_q, t_h, t_s)
     speedup = t_fp / best
-    best_name = {t_q: "w8a8_tpu_fused_sm8", t_h: "w8a8_tpu_fused",
-                 t_s: "w8a8_tpu_fused_sym"}[best]
+    best_name, best_fn, best_vars = {
+        t_q: ("w8a8_tpu_fused_sm8", q_denoise, q_vars),
+        t_h: ("w8a8_tpu_fused", h_denoise, h_vars),
+        t_s: ("w8a8_tpu_fused_sym", s_denoise, s_vars)}[best]
+
+    # on-chip generation quality: same-run quant outputs vs the bf16 output
+    # on the SAME weights (replaces round-3's pasted tiny-CPU gate numbers)
+    out_fp = np.asarray(fp_denoise(fp_vars, z), np.float32)
+    nrm = float(np.linalg.norm(out_fp))
+
+    def rel_err(f, vs):
+        o = np.asarray(f(vs, z), np.float32)
+        return round(float(np.linalg.norm(o - out_fp)) / nrm, 4)
+
+    rels = {"w8a8_tpu_fused_sm8": rel_err(q_denoise, q_vars),
+            "w8a8_tpu_fused": rel_err(h_denoise, h_vars),
+            "w8a8_tpu_fused_sym": rel_err(s_denoise, s_vars)}
+
+    # roofline: flops from the compiled programs' own cost analysis (the
+    # Pallas kernels carry explicit pl.CostEstimate), achieved rate vs the
+    # chip peaks. int8 MACs are counted as 2 flops by the estimates, so
+    # "effective TFLOP/s" for quant arms is comparable against PEAK_INT8.
+    def flops_of(f, vs, zz=None):
+        try:
+            ca = f.lower(vs, z if zz is None else zz).compile(
+                ).cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception as e:  # cost analysis is best-effort
+            print(f"cost_analysis failed: {e}", file=sys.stderr)
+            return 0.0
+
+    fl_fp = flops_of(fp_denoise, fp_vars)
+    fl_best = flops_of(best_fn, best_vars)
+    roofline = {
+        "peak_bf16_tflops": PEAK_BF16 / 1e12,
+        "peak_int8_tops": PEAK_INT8 / 1e12,
+        "bf16_e2e_tflops": round(fl_fp / (t_fp * n_steps) / 1e12, 1),
+        "bf16_mfu": round(fl_fp / (t_fp * n_steps) / PEAK_BF16, 3),
+        "best_e2e_eff_tflops": round(fl_best / (best * n_steps) / 1e12, 1),
+        "best_mfu_vs_int8_peak": round(
+            fl_best / (best * n_steps) / PEAK_INT8, 3),
+        "e2e_flops_per_step_bf16": fl_fp / n_steps,
+        "e2e_flops_per_step_best": fl_best / n_steps,
+        "note": ("MFU<1 headroom is dominated by attention softmax (VPU) "
+                 "and producer/consumer HBM traffic; per-phase bisects in "
+                 "BENCH_NOTES.md"),
+    }
+
+    # serving batch: the B>1 case amortizes the dynamic-quant producers;
+    # measured IN-RUN vs the bf16 baseline at the same batch
+    serving = {}
+    if os.environ.get("VIDITQ_BENCH_SERVING", "1") == "1":
+        for nb in (4, 8):
+            zb, yb, mb = prompt_batch(nb)
+            fp_b = make_denoise(model_fp, yb, mb, False)
+            q_b = make_denoise(
+                {"w8a8_tpu_fused_sm8": model_q, "w8a8_tpu_fused": model_h,
+                 "w8a8_tpu_fused_sym": model_s}[best_name], yb, mb, True)
+            tb_fp = bench(fp_b, fp_vars, f"bf16-B{nb}", zz=zb)
+            tb_q = bench(q_b, best_vars, f"{best_name}-B{nb}", zz=zb)
+            serving[f"B{nb}"] = round(tb_fp / tb_q, 3)
+
     result = {
         "metric": "stdit_xl2_16x512x512_w8a8_best_denoise_speedup_vs_bf16",
         "value": round(speedup, 3),
@@ -205,23 +258,18 @@ def main():
             "best_config": best_name,
             "denoise_steps_per_sec": round(1.0 / best, 3),
             "weight_mem_reduction_x": 4,
-            "serving_batch_speedup": {"B4": 1.357, "B8": 1.347},
-            # generation-quality gates (tiny-e2e rel err vs FP; BENCH_NOTES
-            # round-3d + tests/test_quality_gates.py — plan semantics are
-            # backend-independent)
-            "quality_rel_err_vs_fp": {"w8a8_tpu_fused": 0.0095,
-                                      "w8a8_tpu_fused_sym": 0.0119,
-                                      "w8a8_tpu_fused_sm8": 0.0119},
+            "serving_batch_speedup_in_run": serving,
+            "quality_rel_err_vs_bf16_in_run": rels,
+            "roofline": roofline,
             "sampler": f"ddim-{n_steps} cfg2x", "latent": list(latent),
-            "note": ("round-2: the v5e MXU delivers the full 2x int8 rate "
-                     "(384 vs 183 TOPS measured); 'fused' runs every linear "
-                     "as one Pallas quantize+int8-matmul+epilogue kernel "
-                     "with LN+modulate+quantize producers, shared q/k/v "
+            "note": ("'fused' runs every linear as one Pallas "
+                     "quantize+int8-matmul+epilogue kernel with "
+                     "LN+modulate+quantize producers, shared q/k/v "
                      "quantize, a gelu+quantize fc1->fc2 int8 handoff and "
                      "int8-emitting attention outputs; 'sm8' adds softmax "
                      "int8 PV on the temporal/cross attentions; attention "
-                     "runs layout-native "
-                     "Pallas kernels in both arms (BENCH_NOTES.md)"),
+                     "runs layout-native Pallas kernels in both arms "
+                     "(BENCH_NOTES.md)"),
         },
     }
     print(json.dumps(result))

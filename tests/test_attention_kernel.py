@@ -183,3 +183,17 @@ def test_int8out_emission_matches_quantized_output():
     deq3 = (codes3.astype(jnp.float32) - zp3) * scales3
     err3 = float(jnp.linalg.norm(deq3 - ref2) / jnp.linalg.norm(ref2))
     assert err3 < 0.01, err3
+    # smooth-quant col_scale fold: the emitted codes quantize the RESCALED
+    # output (of * 1/cs) — the consuming CB proj's act-side semantics
+    ocs = jnp.asarray(rng.uniform(0.5, 2.0, (C,)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        codes4, scales4, zp4, rs4 = attention_bnhd_int8out(
+            q, k, v, D ** -0.5, block_q=128, need_rowsum=True,
+            col_scale=ocs)
+    deq4 = codes4.astype(jnp.float32) * scales4
+    ref4 = ref2 * ocs.reshape(1, 1, C)
+    err4 = float(jnp.linalg.norm(deq4 - ref4) / jnp.linalg.norm(ref4))
+    assert err4 < 0.01, err4
+    np.testing.assert_allclose(
+        np.asarray(rs4[..., 0]),
+        np.asarray(jnp.sum(codes4.astype(jnp.float32), axis=-1)), atol=0.5)

@@ -91,6 +91,55 @@ def test_self_attention_kernel_dispatch_matches_fallback(with_sm8, wspec,
     assert err < 0.05, err  # int8-exec vs fake-quant, both 8-bit paths
 
 
+@pytest.mark.parametrize("share_cs", [False, True])
+def test_self_attention_cb_emit_fold_matches_fallback(share_cs):
+    """CB (smooth-quant) plans keep the int8-emitting attention: the proj's
+    per-timerange 1/cs folds into the kernel's output quantize
+    (attention_bnhd_int8out col_scale) and matches the XLA fallback, which
+    applies the rescale as a standalone pass."""
+    from viditq_tpu.models.layers import SelfAttention
+    from viditq_tpu.quant import calibrate_weight_tables
+    from viditq_tpu.quant.spec import SmoothQuantSpec
+    from viditq_tpu.quant.native_pack import add_native_slots, \
+        pack_native_weights
+    smooth = SmoothQuantSpec(
+        enable=True, channel_wise_scale_type="momentum_act_max",
+        alpha=(0.5, 0.6), timerange=((0, 500), (501, 1000)),
+        qkv_share_cs=share_cs)
+    spec = LayerQuantSpec(weight=W8S, act=A8S, backend="native",
+                          impl="fused", smooth_quant=smooth)
+    C, H = 64, 2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 128, C)), jnp.float32)
+    attn = SelfAttention(C, H, resolver=_mk_resolver(spec), prefix="a",
+                         dtype=jnp.float32, name="attn")
+    res = _mk_resolver(spec)
+    vs = dict(attn.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    for t_id in (100, 900):
+        _, muts = attn.apply(
+            vs, x, QuantCtx(mode="sq_stat", t_id=jnp.asarray(t_id)),
+            mutable=["quant", "qstats"])
+        vs["quant"] = muts["quant"]
+        if "qstats" in muts:
+            vs["qstats"] = muts["qstats"]
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], res)
+    vs["quant"] = add_native_slots(vs["quant"], vs["params"], res)
+    vs["quant"] = pack_native_weights(vs["params"], vs["quant"], res)
+    for t in (300, 800):  # one per timerange: the 1/cs gather is per-tr
+        qctx = QuantCtx(mode="quant", t_id=jnp.asarray(t))
+        want = attn.apply(vs, x, qctx)
+        os.environ["VIDITQ_FORCE_ATTN_KERNEL"] = "1"
+        os.environ["VIDITQ_FORCE_FUSED"] = "1"
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = attn.apply(vs, x, qctx)
+        finally:
+            del os.environ["VIDITQ_FORCE_ATTN_KERNEL"]
+            del os.environ["VIDITQ_FORCE_FUSED"]
+        err = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert err < 0.05, (t, err)
+
+
 def test_cross_attention_kernel_dispatch_matches_fallback():
     from viditq_tpu.models.layers import CrossAttention
     spec = LayerQuantSpec(weight=W8S, act=A8S, backend="native",

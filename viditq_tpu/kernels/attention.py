@@ -73,8 +73,8 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
                  head_dim: int, has_mask: bool,
                  int8_pv: bool = False, v_int8_in: bool = False,
                  emit_int8: bool = False, emit_sym: bool = True,
-                 need_rowsum: bool = False, block_b: int = 1,
-                 diag: str = ""):
+                 need_rowsum: bool = False, out_col_scale: bool = False,
+                 block_b: int = 1, diag: str = ""):
     """diag (BENCH-ONLY occupancy decomposition, benchmarks/attn_sched.py):
     '' normal; 'qk_only' emits raw scores (no softmax/PV); 'dots_only'
     runs QK+PV with the softmax replaced by a cast (MXU-only arm). The
@@ -89,6 +89,10 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
     # and removes the per-grid-step requantize
     vs_ref = refs.pop(0) if v_int8_in else None
     m_ref = refs.pop(0) if has_mask else None
+    # smooth-quant 1/cs of the consuming proj linear, folded into the
+    # emit-path output quantize (keeps the int8-emitting attention
+    # available under CB plans)
+    ocs_ref = refs.pop(0) if (emit_int8 and out_col_scale) else None
     if emit_int8:
         # int8-emitting output: the proj linear consumes (codes, scales[,
         # zp, rowsum]) directly (int8_consumer_matmul) — the bf16 attention
@@ -198,6 +202,10 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
         # row quantize of the assembled output (reference dynamic per-token
         # semantics — same math as fused_matmul._quantize_rows_f32)
         of = oacc_ref[:]
+        if out_col_scale:
+            # smooth-quant 1/cs of the consuming proj: rescale before the
+            # row quantize, exactly as quantize_rows_fused(col_scale=...)
+            of = of * ocs_ref[0]
         if emit_sym:
             smax = jnp.maximum(jnp.max(jnp.abs(of), axis=-1, keepdims=True),
                                1e-6)
@@ -408,9 +416,11 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          emit_int8: bool = False,
                          emit_sym: bool = True,
                          need_rowsum: bool = False,
+                         out_col_scale: Optional[jnp.ndarray] = None,
                          block_b: int = 1,
                          diag: str = ""):
     B, N, H, D = q.shape
+    assert out_col_scale is None or emit_int8
     assert block_b == 1 or (not emit_int8 and B % block_b == 0), \
         (B, block_b, emit_int8)
     M = k.shape[1]
@@ -449,6 +459,7 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                int8_pv=int8_pv,
                                v_int8_in=v_int8_in, emit_int8=emit_int8,
                                emit_sym=emit_sym, need_rowsum=need_rowsum,
+                               out_col_scale=out_col_scale is not None,
                                block_b=block_b, diag=diag)
     # kv block: same rows as q for block-diagonal; full M otherwise
     bkv = block_q if seg_len > 0 else M
@@ -468,6 +479,10 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         in_specs.append(pl.BlockSpec((block_b, 1, M),
                                      lambda b, i: (b, 0, 0)))
         operands.append(kv_mask.astype(jnp.int32).reshape(B, 1, M))
+    if out_col_scale is not None:
+        in_specs.append(pl.BlockSpec((1, 1, C), lambda b, i: (0, 0, 0)))
+        operands.append(
+            out_col_scale.reshape(1, 1, C).astype(jnp.float32))
     cost = pl.CostEstimate(
         flops=4 * B * H * N * bkv * D,
         bytes_accessed=4 * B * N * H * D * q.dtype.itemsize,
@@ -515,7 +530,8 @@ def attention_bnhd_int8out(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            block_q: Optional[int] = None,
                            int8_qk: bool = False, int8_pv: bool = False,
                            emit_sym: bool = True,
-                           need_rowsum: bool = False):
+                           need_rowsum: bool = False,
+                           col_scale: Optional[jnp.ndarray] = None):
     """attention_bnhd that emits its output PRE-QUANTIZED: (int8 codes
     [B, N, C], per-row scales [B, N, 1], zp [B, N, 1] | None,
     rowsum [B, N, 1] | None).
@@ -525,10 +541,16 @@ def attention_bnhd_int8out(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     in-kernel dynamic-quant pass. emit_sym selects symmetric (sym plans) or
     shifted-signed asymmetric (reference dynamic per-token semantics)
     codes; rowsum is emitted for asym proj weights. Inference-only — no
-    custom_vjp (the native int8 consumer path has no gradient either)."""
+    custom_vjp (the native int8 consumer path has no gradient either).
+
+    col_scale: optional [C] per-channel multiplier applied to the output
+    before the row quantize — the consuming proj linear's smooth-quant
+    1/cs act rescale (gathered by timerange OUTSIDE the kernel), which
+    keeps this int8-emitting path available under CB plans."""
     return _attention_bnhd_impl(q, k, v, kv_mask, scale, seg_len, block_q,
                                 int8_qk, int8_pv, emit_int8=True,
-                                emit_sym=emit_sym, need_rowsum=need_rowsum)
+                                emit_sym=emit_sym, need_rowsum=need_rowsum,
+                                out_col_scale=col_scale)
 
 
 def attention_ok(n: int, h: int, d: int, seg_len: int = 0,

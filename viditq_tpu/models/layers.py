@@ -276,18 +276,23 @@ def attn_quant_exec_flags(spec, qctx):
     return int8_qk, int8_pv, pallas_ok
 
 
-def attn_emit_int8_ok(pspec, qctx) -> bool:
+def attn_emit_int8_ok(pspec, qctx, has_col_scale: bool = False) -> bool:
     """Whether the attention kernel should emit its output pre-quantized
     for the proj linear (kernels/attention.py attention_bnhd_int8out):
     requires the plain fused-dynamic-sym proj path (mirrors the
-    _ln_mod_prequant / shared_prequant gating) and is inference-only."""
+    _ln_mod_prequant / shared_prequant gating) and is inference-only.
+
+    has_col_scale: the caller gathered the proj's smooth-quant 1/cs
+    (cbshare_inv_cs) — CB plans then keep the emit path, with the rescale
+    folded into the kernel's output quantize."""
     if (qctx is None or qctx.mode != "quant" or qctx.capture
             or pspec is None or pspec.backend != "native"
             or pspec.impl != "fused" or pspec.act is None
             or not pspec.act.dynamic
             or pspec.act.n_bits != 8 or pspec.weight is None
             or not pspec.act_quant or not pspec.weight_quant
-            or pspec.smooth_quant.enable or pspec.split):
+            or (pspec.smooth_quant.enable and not has_col_scale)
+            or pspec.split):
         return False
     from viditq_tpu.kernels.fused_matmul import fused_available
     return fused_available()
@@ -386,6 +391,15 @@ class SelfAttention(nn.Module):
                     name="proj", **kw)(out, qctx, epilogue=epilogue)
         attn_spec = specs[0].attn_act if specs[0] is not None else None
         sm_spec0 = specs[0].softmax if specs[0] is not None else None
+        pspec = self.resolver(f"{self.prefix}.proj")
+        ics_p = None
+        if pspec is not None and pspec.smooth_quant.enable:
+            # proj under CB: gather its 1/cs so the int8-emitting attention
+            # can fold the act rescale into its output quantize. Declared
+            # HERE (outside the TPU-only dispatch branch, static-spec-gated)
+            # so init and apply agree on the variable structure.
+            from viditq_tpu.quant.qlinear import cbshare_inv_cs
+            ics_p = cbshare_inv_cs(self, "proj", pspec, qctx, C)
         from viditq_tpu.kernels.attention import attention_bnhd, attention_ok
         # attention-internal quantizers: when the plan's specs are exec-
         # compatible (8-bit dynamic sym q/k, 8-bit softmax) and the layer
@@ -410,8 +424,8 @@ class SelfAttention(nn.Module):
             if self.qk_norm:
                 q4 = AffineLayerNorm(dtype=self.dtype, name="q_norm")(q4)
                 k4 = AffineLayerNorm(dtype=self.dtype, name="k_norm")(k4)
-            pspec = self.resolver(f"{self.prefix}.proj")
-            if attn_emit_int8_ok(pspec, qctx):
+            if attn_emit_int8_ok(pspec, qctx,
+                                 has_col_scale=ics_p is not None):
                 # proj consumes the attention output pre-quantized straight
                 # from the kernel (no bf16 HBM round trip, consumer-rate
                 # int8 matmul)
@@ -420,7 +434,8 @@ class SelfAttention(nn.Module):
                     q4, k4, v4, scale=D ** -0.5, seg_len=self.seg_len,
                     int8_qk=int8_qk, int8_pv=int8_pv,
                     emit_sym=pspec.act.sym,
-                    need_rowsum=not pspec.weight.sym)
+                    need_rowsum=not pspec.weight.sym,
+                    col_scale=ics_p)
                 return QuantLinear(C, lspec=pspec, name="proj", **kw)(
                     codes, qctx,
                     prequant=(codes.reshape(-1, C), xs.reshape(-1, 1),
@@ -599,6 +614,13 @@ class CrossAttention(nn.Module):
         sm_spec = qspec.softmax if qspec is not None else None
         int8_qk, int8_pv, pallas_quant_ok = attn_quant_exec_flags(
             qspec, qctx)
+        pspec = self.resolver(f"{self.prefix}.proj")
+        ics_p = None
+        if pspec is not None and pspec.smooth_quant.enable:
+            # declared OUTSIDE the TPU-only branch so init/apply agree
+            # (see SelfAttention)
+            from viditq_tpu.quant.qlinear import cbshare_inv_cs
+            ics_p = cbshare_inv_cs(self, "proj", pspec, qctx, C)
         # dispatch: layout-native kernel whenever it applies (see the
         # SelfAttention dispatch note — isolated flash wins did not hold
         # in-model)
@@ -606,15 +628,16 @@ class CrossAttention(nn.Module):
             # layout-native cross-attention: no [B,H,N,D] transposes, the
             # (small) prompt k/v stay VMEM-resident, padding masked in-
             # kernel (kernels/attention.py)
-            pspec = self.resolver(f"{self.prefix}.proj")
-            if attn_emit_int8_ok(pspec, qctx):
+            if attn_emit_int8_ok(pspec, qctx,
+                                 has_col_scale=ics_p is not None):
                 from viditq_tpu.kernels.attention import attention_bnhd_int8out
                 codes, xs, xzp, xrs = attention_bnhd_int8out(
                     q.reshape(B, N, H, D), k.reshape(B, P, H, D),
                     v.reshape(B, P, H, D), scale=D ** -0.5, kv_mask=kv_mask,
                     int8_qk=int8_qk, int8_pv=int8_pv,
                     emit_sym=pspec.act.sym,
-                    need_rowsum=not pspec.weight.sym)
+                    need_rowsum=not pspec.weight.sym,
+                    col_scale=ics_p)
                 return QuantLinear(C, lspec=pspec, name="proj", **kw)(
                     codes, qctx,
                     prequant=(codes.reshape(-1, C), xs.reshape(-1, 1),

@@ -505,7 +505,9 @@ class QuantLinear(nn.Module):
                     # the 1/cs rescale folds into the fused matmul's
                     # in-kernel quantize — no standalone [M, K] pass
                     fold_cs = 1.0 / cs
-            if fold_cs is None:
+            if fold_cs is None and prequant is None:
+                # (prequant inputs arrive already rescaled — either by the
+                # producer's col_scale fold or the attention emit kernel)
                 x = (x.astype(jnp.float32) / cs).astype(x.dtype)
 
         # ---- native int8 execution path ----
