@@ -145,6 +145,77 @@ def test_int8_attention_seg_and_mask():
     assert float(jnp.linalg.norm(gm - wm) / jnp.linalg.norm(wm)) < 0.01
 
 
+def test_streaming_kernel_matches_oneshot_math():
+    """M > ONESHOT_MAX_M dispatches the kv-streaming online-softmax kernel;
+    outputs must match the XLA oracle in every mode (bf16, masked cross,
+    int8 PV, int8 emission with col_scale)."""
+    from viditq_tpu.kernels.attention import (ONESHOT_MAX_M,
+                                              attention_bnhd_int8out,
+                                              attention_bnhd_xla,
+                                              attention_bnhd_xla_quant)
+    rng = np.random.default_rng(11)
+    B, H, D = 1, 2, 72
+    C = H * D
+    N, M = 256, ONESHOT_MAX_M + 256   # cross shape, bkv=256 -> 9 kv steps
+    mk = lambda n: jnp.asarray(rng.standard_normal((B, n, H, D)),
+                               jnp.float32)
+    q, k, v = mk(N), mk(M), mk(M)
+    want = attention_bnhd_xla(q, k, v, D ** -0.5)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_bnhd(q, k, v, D ** -0.5)
+    err = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert err < 2e-2, err  # bf16 MXU dots vs f32 oracle
+    # padding mask (fully-masked later kv blocks exercise the -inf guard)
+    mask = jnp.zeros((B, M), jnp.int32).at[:, :300].set(1)
+    want_m = attention_bnhd_xla(q, k, v, D ** -0.5, kv_mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got_m = attention_bnhd(q, k, v, D ** -0.5, kv_mask=mask)
+    err_m = float(jnp.linalg.norm(got_m - want_m)
+                  / jnp.linalg.norm(want_m))
+    assert err_m < 3e-2, err_m  # bf16 QK noise; exactness vs the one-shot
+    # kernel (same bf16 dots) is asserted below
+    import viditq_tpu.kernels.attention as attn_mod
+    k1, v1 = mk(1024), mk(1024)
+    mask1 = jnp.zeros((B, 1024), jnp.int32).at[:, :300].set(1)
+    with pltpu.force_tpu_interpret_mode():
+        one = attention_bnhd(q, k1, v1, D ** -0.5, kv_mask=mask1)
+        old = attn_mod.ONESHOT_MAX_M
+        attn_mod.ONESHOT_MAX_M = 512  # force the streaming dispatch
+        try:
+            strm = attention_bnhd(q, k1, v1, D ** -0.5, kv_mask=mask1)
+        finally:
+            attn_mod.ONESHOT_MAX_M = old
+    err_x = float(jnp.linalg.norm(strm - one) / jnp.linalg.norm(one))
+    assert err_x < 2e-3, err_x  # identical bf16 dots, online vs one-shot
+    # int8 PV (per-channel v quantized over the full token axis). The
+    # streaming codes quantize against the RUNNING max (kernel comment) —
+    # near the oracle, and no worse vs fp than the oracle itself is.
+    with pltpu.force_tpu_interpret_mode():
+        got_pv = attention_bnhd(q, k, v, D ** -0.5, int8_pv=True)
+    want_pv = attention_bnhd_xla_quant(q, k, v, D ** -0.5, int8_pv=True)
+    err_pv = float(jnp.linalg.norm(got_pv - want_pv)
+                   / jnp.linalg.norm(want_pv))
+    assert err_pv < 4e-2, err_pv
+    err_pv_fp = float(jnp.linalg.norm(got_pv - want)
+                      / jnp.linalg.norm(want))
+    oracle_fp = float(jnp.linalg.norm(want_pv - want)
+                      / jnp.linalg.norm(want))
+    assert err_pv_fp < oracle_fp * 1.5 + 1e-3, (err_pv_fp, oracle_fp)
+    # int8 emission + smooth-quant col_scale fold
+    ocs = jnp.asarray(rng.uniform(0.5, 2.0, (C,)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        codes, scales, zp, rs = attention_bnhd_int8out(
+            q, k, v, D ** -0.5, need_rowsum=True, col_scale=ocs)
+    assert zp is None
+    deq = codes.astype(jnp.float32) * scales
+    ref = want.reshape(B, N, C) * ocs.reshape(1, 1, C)
+    err_e = float(jnp.linalg.norm(deq - ref) / jnp.linalg.norm(ref))
+    assert err_e < 2.5e-2, err_e
+    np.testing.assert_allclose(
+        np.asarray(rs[..., 0]),
+        np.asarray(jnp.sum(codes.astype(jnp.float32), axis=-1)), atol=0.5)
+
+
 def test_int8out_emission_matches_quantized_output():
     """attention_bnhd_int8out's (codes, scales) dequantize to the regular
     kernel output; rowsum matches the code sum."""

@@ -138,18 +138,22 @@ def test_attention_seg_walk_finds_packing_divisor():
     assert select_block_q(4 * 300, 300) == 300
 
 
-def test_attention_ok_rejects_vmem_overflow_shapes():
-    """Shapes whose full kv cannot stay VMEM-resident must be REJECTED by
-    the dispatch gate (they fall back to XLA attention), not admitted and
-    left to fail a Mosaic compile: sigma-1024 UNcompressed self-attention
-    (M=4096 kv -> 18.9MB kv blocks alone) and oversized head dims."""
+def test_attention_ok_dispatch_gate():
+    """The dispatch gate must admit exactly what the kernels handle:
+    one-shot for VMEM-resident kv (m <= ONESHOT_MAX_M), the kv-streaming
+    kernel beyond that (block sizes must tile N and M), and REJECT shapes
+    neither path compiles (odd lengths, oversized head dims) so they fall
+    back to XLA attention instead of failing a Mosaic compile."""
     import os
     from viditq_tpu.kernels.attention import attention_ok
     os.environ["VIDITQ_FORCE_ATTN_KERNEL"] = "1"
     try:
         assert attention_ok(4096, 16, 72, 0, m=1024)   # kv-compressed: ok
-        assert not attention_ok(4096, 16, 72, 0, m=4096)  # full kv: reject
+        assert attention_ok(4096, 16, 72, 0, m=4096)   # full kv: streams
+        assert attention_ok(4096, 16, 72, 0, m=4224)   # joint attn: streams
+        assert not attention_ok(4096, 16, 72, 0, m=4100)  # m % 128 != 0
         assert not attention_ok(1024, 16, 160, 0)      # H*D*2 > 4096
+        assert not attention_ok(4096, 160, 24, 0, m=4096)  # H > 128 streams
     finally:
         del os.environ["VIDITQ_FORCE_ATTN_KERNEL"]
 

@@ -18,7 +18,11 @@ Why not the stock flash kernel (jax.experimental.pallas.ops.tpu):
 At DiT sizes K/V for one batch row fit comfortably in VMEM (N <= ~2048,
 H*D <= ~1536), so each grid step computes full softmax blocks in one shot —
 no streaming-flash running-max machinery needed. Softmax is f32; matmuls
-run on the MXU in bf16 (or int8, see below).
+run on the MXU in bf16 (or int8, see below). For longer sequences
+(M > ONESHOT_MAX_M: PixArt-Σ 1024's N=4096 self-attention, MMDiT joint
+attention) the same API dispatches to a kv-streaming online-softmax kernel
+(_attn_stream_kernel) that keeps the layout-native [B, N, C] blocks and
+all the int8/emission modes.
 
 Round-3 softmax/VPU optimizations (BENCH_NOTES round-3):
 - base-2 softmax: log2(e) folds into the score scale so the VPU runs the
@@ -67,6 +71,10 @@ _LOG2E = float(np.log2(np.e))
 # it mid-process would silently serve stale jit cache entries — use a
 # fresh process per arm.
 _BF16P = os.environ.get("VIDITQ_ATTN_BF16P") == "1"
+
+# one-shot kv VMEM residence bound (rows): beyond this the seg0 path
+# switches to the kv-streaming kernel (_attn_stream_kernel)
+ONESHOT_MAX_M = 2048
 
 
 def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
@@ -223,6 +231,140 @@ def _attn_kernel(*refs, scale: float, seg_len: int, n_heads: int,
         os_ref[0] = oscale
         if need_rowsum:
             ors_ref[0] = jnp.sum(codes, axis=-1, keepdims=True)
+
+
+def _attn_stream_kernel(*refs, scale: float, n_heads: int, head_dim: int,
+                        has_mask: bool, int8_pv: bool, v_int8_in: bool,
+                        emit_int8: bool, emit_sym: bool, need_rowsum: bool,
+                        out_col_scale: bool, n_kv: int):
+    """kv-streaming (online-softmax) variant of _attn_kernel for seq
+    lengths whose K/V exceed the one-shot VMEM budget (M > 2048: PixArt-Σ
+    1024 N=4096, MMDiT joint attention). Grid (B, N/bq, M/bkv) with the kv
+    axis innermost+sequential; running (max, sum, acc) live in VMEM scratch
+    and the output flushes once per (b, qi) after the last kv step —
+    the flash-attention recurrence on the layout-native [B, N, C] blocks."""
+    refs = list(refs)
+    q_ref = refs.pop(0)
+    k_ref = refs.pop(0)
+    v_ref = refs.pop(0)
+    vs_ref = refs.pop(0) if v_int8_in else None
+    m_ref = refs.pop(0) if has_mask else None
+    ocs_ref = refs.pop(0) if (emit_int8 and out_col_scale) else None
+    if emit_int8:
+        oq_ref = refs.pop(0)
+        os_ref = refs.pop(0)
+        ozp_ref = None if emit_sym else refs.pop(0)
+        ors_ref = refs.pop(0) if need_rowsum else None
+    else:
+        o_ref = refs.pop(0)
+    acc_ref = refs.pop(0)    # f32 [bq, C] unnormalized PV accumulator
+    mstat_ref = refs.pop(0)  # f32 [bq, 128] running max, col h = head h
+    rstat_ref = refs.pop(0)  # f32 [bq, 128] running sum
+    kj = pl.program_id(2)
+    scale2 = scale * _LOG2E
+    d = head_dim
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        mstat_ref[...] = jnp.full_like(mstat_ref, -jnp.inf)
+        rstat_ref[...] = jnp.zeros_like(rstat_ref)
+
+    bias = None
+    if has_mask:
+        bias = jnp.where(m_ref[0] != 0, 0.0, -jnp.inf)  # [1, bkv]
+    for h in range(n_heads):
+        q = q_ref[0, :, h * d:(h + 1) * d]
+        k = k_ref[0, :, h * d:(h + 1) * d]
+        v = v_ref[0, :, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            (q.astype(jnp.float32) * scale2).astype(jnp.bfloat16),
+            k.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if bias is not None:
+            s = s + bias
+        m_old = mstat_ref[:, h:h + 1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        # fully-masked-so-far rows keep m == -inf; exp2(s - 0) with
+        # s == -inf still yields 0, so a zero substitute is exact
+        m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+        e = jnp.exp2(s - m_safe)
+        corr = jnp.exp2(m_old - m_safe)  # -inf - 0 -> 0: zeroes empty acc
+        rstat_ref[:, h:h + 1] = (rstat_ref[:, h:h + 1] * corr
+                                 + jnp.sum(e, axis=-1, keepdims=True))
+        mstat_ref[:, h:h + 1] = m_new
+        if int8_pv:
+            # always_zero softmax codes, quantized against the RUNNING max
+            # (the corr rescale then folds earlier blocks onto the final
+            # max). This deviates from the one-shot/oracle semantics —
+            # codes there quantize exp(s - GLOBAL max) — by one extra
+            # rounding realization; measured effect is quality-neutral
+            # (streaming-vs-fp rel err == one-shot-vs-fp int8-PV noise,
+            # ~2.9e-2; tests/test_attention_kernel.py streaming test)
+            pq = jnp.round(e * 127.0).astype(jnp.int8)
+            if v_int8_in:
+                vq = v
+                vs = vs_ref[0, :, h * d:(h + 1) * d]  # [1, d]
+            else:
+                vf = v.astype(jnp.float32)
+                vs = jnp.maximum(
+                    jnp.max(jnp.abs(vf), axis=0, keepdims=True), 1e-6)
+                vq = jnp.round(vf * (127.0 / vs)).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                pq, vq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            # pq ~= e*127, vq ~= v*127/vs: pv = (pq @ vq) * vs/127^2 ~= e @ v
+            # — the accumulator then matches the bf16 branch exactly and
+            # the final normalize is shared
+            pv = pv * (vs * (1.0 / (127.0 * 127.0)))
+        else:
+            pv = jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc_ref[:, h * d:(h + 1) * d] = (
+            acc_ref[:, h * d:(h + 1) * d] * corr + pv)
+
+    @pl.when(kj == n_kv - 1)
+    def _emit():
+        C = n_heads * d
+        r = rstat_ref[:, :n_heads]                       # [bq, H]
+        inv_r = 1.0 / jnp.maximum(r, 1e-30)
+        # per-head normalize: broadcast [bq, H] -> [bq, H, d] -> [bq, C]
+        of = (acc_ref[:].reshape(-1, n_heads, d)
+              * inv_r[..., None]).reshape(-1, C)
+        if emit_int8:
+            if out_col_scale:
+                of = of * ocs_ref[0]
+            if emit_sym:
+                smax = jnp.maximum(
+                    jnp.max(jnp.abs(of), axis=-1, keepdims=True), 1e-6)
+                oscale = smax / 127.0
+                codes = jnp.clip(jnp.round(of * (127.0 / smax)), -128, 127)
+            else:
+                o_min = jnp.minimum(jnp.min(of, axis=-1, keepdims=True), 0.0)
+                o_max = jnp.maximum(jnp.max(of, axis=-1, keepdims=True), 0.0)
+                oscale = jnp.maximum((o_max - o_min) / 255.0, 1e-6)
+                inv = 1.0 / oscale
+                zp = jnp.round(-o_min * inv) - 128.0
+                codes = jnp.clip(jnp.round(of * inv) + zp, -128, 127)
+                ozp_ref[0] = zp
+            oq_ref[0] = codes.astype(jnp.int8)
+            os_ref[0] = oscale
+            if need_rowsum:
+                ors_ref[0] = jnp.sum(codes, axis=-1, keepdims=True)
+        else:
+            o_ref[0] = of.astype(o_ref.dtype)
+
+
+def select_stream_blocks(n: int, m: int) -> "tuple[int, int]":
+    """(block_q, block_kv) for the kv-streaming kernel: the largest
+    power-of-two blocks (<=512 q rows / <=1024 kv rows) dividing the
+    actual lengths — VMEM at C=1152: q 1.2MB + k/v 2x2.4MB(x2 buf) +
+    acc f32 2.4MB + scores 2MB stays under the 16MB budget."""
+    bq = next((b for b in (512, 256, 128) if n % b == 0), 0)
+    bkv = next((b for b in (1024, 512, 256, 128) if m % b == 0), 0)
+    return bq, bkv
 
 
 def attention_bnhd_xla(q, k, v, scale: float, seg_len: int = 0,
@@ -451,6 +593,79 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         vsc = jnp.maximum(jnp.max(jnp.abs(vf), axis=1, keepdims=True), 1e-6)
         v3 = jnp.round(vf * (127.0 / vsc)).astype(jnp.int8)
         vs3 = vsc  # [B, 1, C]
+    if seg_len == 0 and M > ONESHOT_MAX_M:
+        # kv-streaming path: K/V too large for one-shot VMEM residence
+        # (PixArt-Σ 1024 / MMDiT joint attention) — online-softmax over
+        # kv blocks, everything else (layouts, int8 modes, emission)
+        # identical to the one-shot kernel
+        assert H <= 128, H
+        bq, bkv = select_stream_blocks(N, M)
+        assert bq and bkv, (N, M)
+        grid = (B, N // bq, M // bkv)
+        kernel = functools.partial(
+            _attn_stream_kernel, scale=scale, n_heads=H, head_dim=D,
+            has_mask=kv_mask is not None, int8_pv=int8_pv,
+            v_int8_in=v_int8_in, emit_int8=emit_int8, emit_sym=emit_sym,
+            need_rowsum=need_rowsum,
+            out_col_scale=out_col_scale is not None, n_kv=M // bkv)
+        in_specs = [
+            pl.BlockSpec((1, bq, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bkv, C), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, C), lambda b, i, j: (b, j, 0)),
+        ]
+        operands = [q3, k3, v3]
+        if v_int8_in:
+            in_specs.append(pl.BlockSpec((1, 1, C),
+                                         lambda b, i, j: (b, 0, 0)))
+            operands.append(vs3)
+        if kv_mask is not None:
+            in_specs.append(pl.BlockSpec((1, 1, bkv),
+                                         lambda b, i, j: (b, 0, j)))
+            operands.append(kv_mask.astype(jnp.int32).reshape(B, 1, M))
+        if out_col_scale is not None:
+            in_specs.append(pl.BlockSpec((1, 1, C),
+                                         lambda b, i, j: (0, 0, 0)))
+            operands.append(
+                out_col_scale.reshape(1, 1, C).astype(jnp.float32))
+        cost = pl.CostEstimate(
+            flops=4 * B * H * N * M * D,
+            bytes_accessed=(2 * B * N * C + 2 * B * M * C * (N // bq))
+            * q.dtype.itemsize,
+            transcendentals=B * H * N * M)
+        params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+        scratch = [pltpu.VMEM((bq, C), jnp.float32),
+                   pltpu.VMEM((bq, 128), jnp.float32),
+                   pltpu.VMEM((bq, 128), jnp.float32)]
+        s1 = pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0))
+        if emit_int8:
+            out_specs = [pl.BlockSpec((1, bq, C),
+                                      lambda b, i, j: (b, i, 0)), s1]
+            out_shape = [jax.ShapeDtypeStruct((B, N, C), jnp.int8),
+                         jax.ShapeDtypeStruct((B, N, 1), jnp.float32)]
+            if not emit_sym:
+                out_specs.append(s1)
+                out_shape.append(jax.ShapeDtypeStruct((B, N, 1),
+                                                      jnp.float32))
+            if need_rowsum:
+                out_specs.append(s1)
+                out_shape.append(jax.ShapeDtypeStruct((B, N, 1),
+                                                      jnp.float32))
+            outs = list(pl.pallas_call(
+                kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+                out_shape=out_shape, scratch_shapes=scratch,
+                compiler_params=params, cost_estimate=cost)(*operands))
+            codes, scales = outs.pop(0), outs.pop(0)
+            zp = None if emit_sym else outs.pop(0)
+            rowsum = outs.pop(0) if need_rowsum else None
+            return codes, scales, zp, rowsum
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bq, C), lambda b, i, j: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+            scratch_shapes=scratch,
+            compiler_params=params, cost_estimate=cost)(*operands)
+        return out.reshape(B, N, H, D)
     block_q = select_block_q(N, seg_len, block_q)
     grid = (B // block_b, N // block_q)
     kernel = functools.partial(_attn_kernel, scale=scale,
@@ -574,6 +789,12 @@ def attention_ok(n: int, h: int, d: int, seg_len: int = 0,
         return False
     if seg_len > 0:
         return n % seg_len == 0
-    # one-shot per batch row: k/v [M, H, D] must stay VMEM-resident
     m = n if m is None else m
-    return n % 128 == 0 and n >= 128 and 8 <= m <= 2048
+    if not (n % 128 == 0 and n >= 128):
+        return False
+    # one-shot per batch row: k/v [M, H, D] must stay VMEM-resident;
+    # larger M takes the kv-streaming kernel (block sizes must divide)
+    if 8 <= m <= ONESHOT_MAX_M:
+        return True
+    bq, bkv = select_stream_blocks(n, m)
+    return bool(bq and bkv and h <= 128)
