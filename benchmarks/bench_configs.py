@@ -97,7 +97,21 @@ def arm_w4a8():
 
     VIDITQ_W4A8_SCALE=grid_search_lp switches the weight-scale init to the
     reference's Lp grid search (base_quantizer.py:230-249) — a quality
-    knob with zero runtime cost (packed offline)."""
+    knob with zero runtime cost (packed offline).
+
+    VIDITQ_W4A8_FLOOR=1: weights-only variant (act quant off) — measures
+    the W4 weight-quantization INFORMATION FLOOR of this recipe on these
+    (synthetic gaussian) weights; the full arm's rel err should sit within
+    a few percent of it. AdaRound was measured a no-op on gaussian weights
+    (1.05x layer MSE at 2000 iters — it needs correlated real activations),
+    so on synthetic weights the floor is not recoverable; see BENCH_NOTES.
+
+    VIDITQ_W4A8_MIDBITS=6: TPU-native alternative allocation — the t20
+    plan's W4 mid-range layers run W6 instead. On this backend W6 codes
+    live in the same int8 slabs as W4, so THROUGHPUT IS IDENTICAL; the
+    trade is weight memory (2x vs 4x reduction) for quality. The
+    reference's 4-vs-8 tradeoff (README quality claims) lands differently
+    on TPU hardware."""
     import yaml
     import dataclasses
     import jax
@@ -130,6 +144,12 @@ def arm_w4a8():
         plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
             d, smooth_quant=dataclasses.replace(d.smooth_quant,
                                                 qkv_share_cs=True)))
+    floor = os.environ.get("VIDITQ_W4A8_FLOOR") == "1"
+    if floor:
+        d = plan.default_layer
+        plan = dataclasses.replace(
+            plan, default_layer=dataclasses.replace(d, act_quant=False))
+    midbits = int(os.environ.get("VIDITQ_W4A8_MIDBITS", "4"))
     res = plan.resolver()
 
     from viditq_tpu.models.stdit import STDiT
@@ -173,6 +193,11 @@ def arm_w4a8():
         mp_w = yaml.safe_load(f)
     with open("configs/opensora/mixed_precision/t20_act_8_mp.yaml") as f:
         mp_a = yaml.safe_load(f)
+    if midbits != 4:  # TPU-native allocation: W<midbits> mid ranges
+        mp_w = {k: (v if k == "fp_layers"
+                    else {n: (midbits if b == 4 else b)
+                          for n, b in v.items()})
+                for k, v in mp_w.items()}
     if TINY:  # retile the 20-step ranges onto the 2-step smoke sampler
         vals = [v for k, v in mp_w.items() if k != "fp_layers"]
         mp_w = {"1-1": vals[0], "0-0": vals[1], "fp_layers": []}
@@ -206,6 +231,8 @@ def arm_w4a8():
         "recipe": "timerange CB + t20 timestep-MP, single-scan native",
         "scale_method": scale_method or "min_max",
         "qkv_share_cs": cb_share,
+        "weights_only_floor": floor,
+        "mid_range_bits": midbits,
         "single_scan": hasattr(mp_fn, "n_ranges"),
         "bf16_ms_per_step": round(t_fp * 1e3, 2),
         "w4a8_ms_per_step": round(t_q * 1e3, 2),
@@ -235,8 +262,14 @@ def arm_t20mp():
     # the t20 MP plan executed on the native int8 dataflow (fused Pallas
     # producer/consumer kernels); build_mp_sampler repacks the int slabs
     # per range at that range's bit allocation inside the jit
+    import dataclasses
     plan = load_quant_config(
         "configs/opensora/w4a8_timestep_aware_cb.yaml").with_backend("fused")
+    if os.environ.get("VIDITQ_CB_SHARE") == "1":
+        d = plan.default_layer
+        plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
+            d, smooth_quant=dataclasses.replace(d.smooth_quant,
+                                                qkv_share_cs=True)))
     res = plan.resolver()
 
     from viditq_tpu.models.stdit import STDiT
@@ -304,8 +337,14 @@ def arm_sigma1024():
     # The first on-chip run used with_backend("native") (impl=None -> the
     # unfused XLA int8 path) and measured 0.914x — slower than bf16; the
     # dequant/correction passes never fused (BENCH_NOTES round-3g).
+    import dataclasses
     plan = load_quant_config(
         "configs/pixart_sigma/w4a8.yaml").with_backend("fused")
+    if os.environ.get("VIDITQ_CB_SHARE") == "1":
+        d = plan.default_layer
+        plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
+            d, smooth_quant=dataclasses.replace(d.smooth_quant,
+                                                qkv_share_cs=True)))
     res = plan.resolver()
     size = 16 if TINY else 128
     kw = dict(input_size=size, caption_channels=4096, model_max_length=300,
@@ -385,8 +424,14 @@ def arm_latte():
 
     latent = (4, 8, 8) if TINY else (16, 32, 32)
     n_steps = 20  # mp_w tiles 20 steps
+    import dataclasses
     plan = load_quant_config(
         "configs/opensora/w4a8_timestep_aware_cb.yaml").with_backend("fused")
+    if os.environ.get("VIDITQ_CB_SHARE") == "1":
+        d = plan.default_layer
+        plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
+            d, smooth_quant=dataclasses.replace(d.smooth_quant,
+                                                qkv_share_cs=True)))
     res = plan.resolver()
 
     from viditq_tpu.models.dit import Latte
@@ -487,7 +532,13 @@ def arm_mmdit():
     from viditq_tpu.utils.config import load_quant_config
 
     plan = load_quant_config("configs/opensora/w4a8_tpu_fused.yaml")
-    res = plan.resolver()
+    res0 = plan.resolver()
+    if os.environ.get("VIDITQ_MMDIT_TXT_FP") == "1":
+        # A/B: leave the tiny-M txt-stream linears (154 rows) in bf16 —
+        # isolates their quant-overhead contribution to the arm
+        res = lambda name: (None if ".txt_" in name else res0(name))
+    else:
+        res = res0
     size = 16 if TINY else 128
     kw = dict(input_size=size, patch_size=2, in_channels=4,
               hidden_size=1152, depth=24, num_heads=16,

@@ -129,6 +129,21 @@ def main(arms):
         dataclasses.replace(FUSED_CB, smooth_quant=SQ_SHARE))
     ARMS["fused-cb-share-w4"] = mk_resolver(
         dataclasses.replace(FUSED_CB4, smooth_quant=SQ_SHARE))
+    # MP-cost isolation (round-4: cb-mp measured +1.4 ms/block over
+    # cb-share-w4): -same44 keeps the w_mp gather machinery but with
+    # IDENTICAL bits per range (isolates machinery cost from content);
+    # -share adds the pooled qkv cs on top of mp
+    MPW44 = dataclasses.replace(W48_4, mp_bits=(4, 4))
+    FUSED_CB_MP44 = dataclasses.replace(FUSED_CB4, weight=MPW44)
+    ARMS["fused-cb-mp-same44"] = mk_resolver(
+        FUSED_CB4, {"attn.q": FUSED_CB_MP44, "attn.k": FUSED_CB_MP44,
+                    "attn.v": FUSED_CB_MP44, "proj": FUSED_CB_MP44})
+    FUSED_CB_MP_SH = dataclasses.replace(
+        FUSED_CB_MP, smooth_quant=SQ_SHARE)
+    ARMS["fused-cb-share-mp"] = mk_resolver(
+        dataclasses.replace(FUSED_CB4, smooth_quant=SQ_SHARE),
+        {"attn.q": FUSED_CB_MP_SH, "attn.k": FUSED_CB_MP_SH,
+         "attn.v": FUSED_CB_MP_SH, "proj": FUSED_CB_MP_SH})
     arms = arms or list(ARMS)
 
     rng = np.random.default_rng(0)

@@ -327,12 +327,13 @@ def _attn_stream_kernel(*refs, scale: float, n_heads: int, head_dim: int,
 
     @pl.when(kj == n_kv - 1)
     def _emit():
-        C = n_heads * d
-        r = rstat_ref[:, :n_heads]                       # [bq, H]
-        inv_r = 1.0 / jnp.maximum(r, 1e-30)
-        # per-head normalize: broadcast [bq, H] -> [bq, H, d] -> [bq, C]
-        of = (acc_ref[:].reshape(-1, n_heads, d)
-              * inv_r[..., None]).reshape(-1, C)
+        # per-head normalize IN PLACE via column slices (a
+        # [bq, C] -> [bq, H, d] reshape doesn't lower on Mosaic at d=72)
+        for h in range(n_heads):
+            inv = 1.0 / jnp.maximum(rstat_ref[:, h:h + 1], 1e-30)
+            acc_ref[:, h * d:(h + 1) * d] = (
+                acc_ref[:, h * d:(h + 1) * d] * inv)
+        of = acc_ref[:]
         if emit_int8:
             if out_col_scale:
                 of = of * ocs_ref[0]
@@ -361,9 +362,13 @@ def select_stream_blocks(n: int, m: int) -> "tuple[int, int]":
     """(block_q, block_kv) for the kv-streaming kernel: the largest
     power-of-two blocks (<=512 q rows / <=1024 kv rows) dividing the
     actual lengths — VMEM at C=1152: q 1.2MB + k/v 2x2.4MB(x2 buf) +
-    acc f32 2.4MB + scores 2MB stays under the 16MB budget."""
-    bq = next((b for b in (512, 256, 128) if n % b == 0), 0)
-    bkv = next((b for b in (1024, 512, 256, 128) if m % b == 0), 0)
+    acc f32 2.4MB + scores 2MB stays under the 16MB budget.
+    VIDITQ_STREAM_BQ / VIDITQ_STREAM_BKV override the caps (bench A/B)."""
+    cap_q = int(os.environ.get("VIDITQ_STREAM_BQ", "512"))
+    cap_kv = int(os.environ.get("VIDITQ_STREAM_BKV", "1024"))
+    bq = next((b for b in (512, 256, 128) if b <= cap_q and n % b == 0), 0)
+    bkv = next((b for b in (1024, 512, 256, 128)
+                if b <= cap_kv and m % b == 0), 0)
     return bq, bkv
 
 
@@ -793,8 +798,11 @@ def attention_ok(n: int, h: int, d: int, seg_len: int = 0,
     if not (n % 128 == 0 and n >= 128):
         return False
     # one-shot per batch row: k/v [M, H, D] must stay VMEM-resident;
-    # larger M takes the kv-streaming kernel (block sizes must divide)
+    # larger M takes the kv-streaming kernel (block sizes must divide).
+    # VIDITQ_ATTN_STREAM=0 pins the XLA fallback for M > one-shot (A/B).
     if 8 <= m <= ONESHOT_MAX_M:
         return True
+    if os.environ.get("VIDITQ_ATTN_STREAM") == "0":
+        return False
     bq, bkv = select_stream_blocks(n, m)
     return bool(bq and bkv and h <= 128)

@@ -276,6 +276,58 @@ def attn_quant_exec_flags(spec, qctx):
     return int8_qk, int8_pv, pallas_ok
 
 
+def ln_mod_prequant(module, resolver, prefix, inp, shift, scale,
+                    spec_names, qctx, sp_mesh=None):
+    """Fused LN + adaLN modulate + row-quantize producer: ONE Pallas pass
+    emits the int8 codes every consumer linear takes, and the unfused x_m
+    becomes dead code (kernels/fused_matmul.py ln_modulate_quantize).
+    Engaged on the fused-dynamic path (mirrors shared_prequant gating).
+    Smooth-quant plans fold the 1/cs act rescale into the adaLN
+    shift/scale vectors — FREE in the producer — when the consumers share
+    one cs (single consumer, or q/k/v under SmoothQuantSpec.qkv_share_cs).
+
+    Shared by STDiTBlock and PixArtBlock (the t2i adaLN-single block has
+    the same LN + t2i_modulate -> consumers structure, PixArt.py:25-56)."""
+    import os
+    if os.environ.get("VIDITQ_FUSE_PRODUCER", "1") != "1":
+        return None  # ablation switch (benchmarks/block_bisect.py)
+    if sp_mesh is not None:
+        return None
+    specs = [resolver(f"{prefix}.{n}") for n in spec_names]
+    s0 = specs[0]
+    if (s0 is None or any(s != s0 for s in specs)
+            or s0.backend != "native" or s0.impl != "fused"
+            or s0.act is None or not s0.act.dynamic
+            or not s0.act_quant or not s0.weight_quant):
+        return None
+    inv_cs = None
+    if s0.smooth_quant.enable:
+        if len(spec_names) > 1 and not s0.smooth_quant.qkv_share_cs:
+            return None  # per-layer cs: one shared pass can't serve
+        from viditq_tpu.quant.qlinear import cbshare_inv_cs
+        # declares the block-scope cbshare table (static-spec-gated;
+        # returns the gathered 1/cs only in quant mode)
+        inv_cs = cbshare_inv_cs(module, spec_names[0], s0, qctx,
+                                inp.shape[-1])
+    if (qctx is None or qctx.mode != "quant" or qctx.capture
+            or inp.shape[1] % 256 != 0):
+        return None
+    from viditq_tpu.kernels.fused_matmul import (fused_available,
+                                                 ln_modulate_quantize)
+    if not fused_available():
+        return None
+    if s0.smooth_quant.enable:
+        if inv_cs is None:
+            return None
+        # x_m * inv_cs == LN(x) * ((1+scale)*inv_cs) + shift*inv_cs
+        shift = (shift.astype(jnp.float32) * inv_cs).astype(shift.dtype)
+        scale = ((1.0 + scale.astype(jnp.float32)) * inv_cs
+                 - 1.0).astype(scale.dtype)
+    return ln_modulate_quantize(
+        inp, shift, scale, sym=s0.act.sym,
+        need_rowsum=not (s0.weight is not None and s0.weight.sym))
+
+
 def attn_emit_int8_ok(pspec, qctx, has_col_scale: bool = False) -> bool:
     """Whether the attention kernel should emit its output pre-quantized
     for the proj linear (kernels/attention.py attention_bnhd_int8out):
@@ -285,6 +337,9 @@ def attn_emit_int8_ok(pspec, qctx, has_col_scale: bool = False) -> bool:
     has_col_scale: the caller gathered the proj's smooth-quant 1/cs
     (cbshare_inv_cs) — CB plans then keep the emit path, with the rescale
     folded into the kernel's output quantize."""
+    import os
+    if os.environ.get("VIDITQ_ATTN_EMIT") == "0":  # bench A/B switch
+        return False
     if (qctx is None or qctx.mode != "quant" or qctx.capture
             or pspec is None or pspec.backend != "native"
             or pspec.impl != "fused" or pspec.act is None

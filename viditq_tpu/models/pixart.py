@@ -49,30 +49,41 @@ class PixArtBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = \
             jnp.split(mods, 6, axis=1)
 
+        from viditq_tpu.models.layers import ln_mod_prequant
         x_m = t2i_modulate(LayerNorm(dtype=self.dtype, name="norm1")(x),
                            shift_msa, scale_msa)
         if self.sr_ratio > 1 or self.sampling is not None:
+            # kv-compressed: k/v consume the DOWNSAMPLED stream — the
+            # shared producer only serves same-input consumers, so the
+            # attention does its own (shared q + separate kv) quantizes
             attn_out = KVCompressSelfAttention(
                 C, self.num_heads, qk_norm=self.qk_norm,
                 sampling=self.sampling, sr_ratio=self.sr_ratio,
                 resolver=self.resolver, prefix=f"{self.prefix}.attn",
                 dtype=self.dtype, name="attn")(x_m, qctx, HW=HW)
         else:
+            pre_attn = ln_mod_prequant(
+                self, self.resolver, self.prefix, x, shift_msa, scale_msa,
+                ("attn.q", "attn.k", "attn.v"), qctx)
             attn_out = SelfAttention(
                 C, self.num_heads, qk_norm=self.qk_norm,
                 resolver=self.resolver, prefix=f"{self.prefix}.attn",
-                dtype=self.dtype, name="attn")(x_m, qctx)
+                dtype=self.dtype, name="attn")(x_m, qctx,
+                                               prequant=pre_attn)
         x = x + gate_msa * attn_out
         x = x + CrossAttention(
             C, self.num_heads, resolver=self.resolver,
             prefix=f"{self.prefix}.cross_attn", dtype=self.dtype,
             name="cross_attn")(x, y, mask, qctx)
+        pre_mlp = ln_mod_prequant(
+            self, self.resolver, self.prefix, x, shift_mlp, scale_mlp,
+            ("mlp.fc1",), qctx)
         x = x + gate_mlp * Mlp(
             int(C * self.mlp_ratio), resolver=self.resolver,
             prefix=f"{self.prefix}.mlp", dtype=self.dtype,
             name="mlp")(t2i_modulate(
                 LayerNorm(dtype=self.dtype, name="norm2")(x),
-                shift_mlp, scale_mlp), qctx)
+                shift_mlp, scale_mlp), qctx, prequant=pre_mlp)
         if qctx is not None and qctx.capture:
             self.sow("intermediates", "block_out", x)
         return x

@@ -60,54 +60,12 @@ class STDiTBlock(nn.Module):
             m for m in jnp.split(mods, 6, axis=1)]
 
         def _ln_mod_prequant(inp, shift, scale, spec_names):
-            """Fused LN + adaLN modulate + row-quantize producer: ONE Pallas
-            pass emits the int8 codes every consumer linear takes, and the
-            unfused x_m becomes dead code (kernels/fused_matmul.py
-            ln_modulate_quantize). Engaged on the fused-dynamic path
-            (mirrors shared_prequant gating). Smooth-quant plans fold the
-            1/cs act rescale into the adaLN shift/scale vectors — FREE in
-            the producer — when the consumers share one cs (single
-            consumer, or q/k/v under SmoothQuantSpec.qkv_share_cs)."""
-            import os
-            if os.environ.get("VIDITQ_FUSE_PRODUCER", "1") != "1":
-                return None  # ablation switch (benchmarks/block_bisect.py)
-            if self.sp_mesh is not None:
-                return None
-            specs = [self.resolver(f"{self.prefix}.{n}") for n in spec_names]
-            s0 = specs[0]
-            if (s0 is None or any(s != s0 for s in specs)
-                    or s0.backend != "native" or s0.impl != "fused"
-                    or s0.act is None or not s0.act.dynamic
-                    or not s0.act_quant or not s0.weight_quant):
-                return None
-            inv_cs = None
-            if s0.smooth_quant.enable:
-                if (len(spec_names) > 1
-                        and not s0.smooth_quant.qkv_share_cs):
-                    return None  # per-layer cs: one shared pass can't serve
-                from viditq_tpu.quant.qlinear import cbshare_inv_cs
-                # declares the block-scope cbshare table (static-spec-
-                # gated; returns the gathered 1/cs only in quant mode)
-                inv_cs = cbshare_inv_cs(self, spec_names[0], s0, qctx,
-                                        inp.shape[-1])
-            if (qctx is None or qctx.mode != "quant" or qctx.capture
-                    or inp.shape[1] % 256 != 0):
-                return None
-            from viditq_tpu.kernels.fused_matmul import (fused_available,
-                                                         ln_modulate_quantize)
-            if not fused_available():
-                return None
-            if s0.smooth_quant.enable:
-                if inv_cs is None:
-                    return None
-                # x_m * inv_cs == LN(x) * ((1+scale)*inv_cs) + shift*inv_cs
-                shift = (shift.astype(jnp.float32) * inv_cs).astype(
-                    shift.dtype)
-                scale = ((1.0 + scale.astype(jnp.float32)) * inv_cs
-                         - 1.0).astype(scale.dtype)
-            return ln_modulate_quantize(
-                inp, shift, scale, sym=s0.act.sym,
-                need_rowsum=not (s0.weight is not None and s0.weight.sym))
+            # shared fused LN+modulate+quantize producer (layers.py
+            # ln_mod_prequant — also used by PixArtBlock)
+            from viditq_tpu.models.layers import ln_mod_prequant
+            return ln_mod_prequant(self, self.resolver, self.prefix, inp,
+                                   shift, scale, spec_names, qctx,
+                                   sp_mesh=self.sp_mesh)
 
         # kernel-fused residual epilogues are opt-in (VIDITQ_FUSE_EPILOGUE;
         # measured a net loss on v5e — BENCH_NOTES.md round-2b); the

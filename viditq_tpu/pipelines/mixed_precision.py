@@ -145,6 +145,7 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
     bits outside the calibrated mixed_precision list)."""
     base = plan.default_layer
     if not (plan.uses_native() and base.weight is not None
+            and base.weight_quant and base.act_quant
             and base.act is not None and base.act.dynamic
             and base.act.n_bits == 8 and base.smooth_quant.enable
             and "momentum" in base.smooth_quant.channel_wise_scale_type):

@@ -180,6 +180,18 @@ def model_reconstruction(variables: Dict, layer_io: Dict[str, Tuple],
             continue
         kernel = flat_p[layer_path + ("kernel",)]
         bias = flat_p.get(layer_path + ("bias",))
+        if lspec.smooth_quant.enable:
+            # CB layers quantize the FOLDED weight w*cs (and rescale acts
+            # by 1/cs): learn the rounding on that grid — alphas learned on
+            # the raw kernel would pick floor/ceil against a different
+            # lattice than the one native packing rounds on
+            # (native_pack._round_codes uses w_eff = w*cs(tr)). Timerange 0
+            # is the runtime weight-table range (frozen_tr0_weights).
+            cs = flat_q.get(layer_path + ("cb_scale",))
+            if cs is not None:
+                cs0 = jnp.where(cs[0] > 0, cs[0], 1.0).astype(jnp.float32)
+                kernel = kernel.astype(jnp.float32) * cs0[:, None]
+                x_fp = x_fp.astype(jnp.float32) / cs0
         res = layer_reconstruction(kernel, bias, x_fp, y_fp, lspec, cfg,
                                    jax.random.fold_in(rng, i))
         flat_q[layer_path + ("w_alpha",)] = res["w_alpha"]
