@@ -531,14 +531,15 @@ def arm_mmdit():
     from viditq_tpu.quant import QuantCtx
     from viditq_tpu.utils.config import load_quant_config
 
-    plan = load_quant_config("configs/opensora/w4a8_tpu_fused.yaml")
-    res0 = plan.resolver()
-    if os.environ.get("VIDITQ_MMDIT_TXT_FP") == "1":
-        # A/B: leave the tiny-M txt-stream linears (154 rows) in bf16 —
-        # isolates their quant-overhead contribution to the arm
-        res = lambda name: (None if ".txt_" in name else res0(name))
-    else:
-        res = res0
+    # the dedicated MMDiT plan: txt-stream linears fp BY PLAN (tiny-M
+    # quant overhead costs more than it saves — measured round-4 A/B,
+    # 0.632x -> 0.936x; the img stream holds ~93% of weights/FLOPs).
+    # VIDITQ_MMDIT_TXT_QUANT=1 re-enables the all-quant A/B.
+    cfg = ("configs/opensora/w4a8_tpu_fused.yaml"
+           if os.environ.get("VIDITQ_MMDIT_TXT_QUANT") == "1"
+           else "configs/mmdit/w4a8_tpu_fused.yaml")
+    plan = load_quant_config(cfg)
+    res = plan.resolver()
     size = 16 if TINY else 128
     kw = dict(input_size=size, patch_size=2, in_channels=4,
               hidden_size=1152, depth=24, num_heads=16,

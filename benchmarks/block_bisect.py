@@ -184,11 +184,23 @@ def main(arms):
             variables["quant"] = pack_native_weights(
                 variables["params"], variables["quant"], resolver)
 
+        # VIDITQ_BISECT_TRACED_T=1: t_id varies per loop iteration (a
+        # TRACED value, like the real sampler scan) instead of the static
+        # default — exercises the per-step timerange slab/table gathers
+        # that constant-fold away under a static t_id (round-4: the
+        # gather-MP e2e arms pay ~75 ms/step the static bisect never saw)
+        import os
+        traced_t = os.environ.get("VIDITQ_BISECT_TRACED_T") == "1"
+
         def mk(iters):
             @jax.jit
             def f(x, vs):
                 def body(i, x):
-                    return block.apply(vs, x, y, t0, qctx=qctx
+                    qc = qctx
+                    if qctx is not None and traced_t:
+                        qc = QuantCtx(mode="quant",
+                                      t_id=(i * 97) % 1000)
+                    return block.apply(vs, x, y, t0, qctx=qc
                                        ).astype(x.dtype) * 0.5
                 return jax.lax.fori_loop(0, iters, body, x)
             return f

@@ -34,12 +34,14 @@ def main(arms):
         layer_shapes += [(1152, 1152)] * 4 + [(1152, 4608), (4608, 1152)]
 
     def make_slabs(n_tr, pack):
-        return [jnp.asarray(rng.integers(-8, 8, (n_tr, k // pack, n)),
-                            jnp.int8) for k, n in layer_shapes]
+        # content is irrelevant for timing; distinct buffers per layer so
+        # HBM traffic is realistic (no aliased reads)
+        return [jnp.full((n_tr, k // pack, n), li % 7 - 3, jnp.int8)
+                for li, (k, n) in enumerate(layer_shapes)]
 
     def make_tables(n_tr):
-        return [(jnp.asarray(rng.random((n_tr, 1, n)), jnp.float32),
-                 jnp.asarray(rng.random((n_tr, 1, n)), jnp.float32))
+        return [(jnp.full((n_tr, 1, n), 0.01, jnp.float32),
+                 jnp.full((n_tr, 1, n), 0.5, jnp.float32))
                 for _, n in layer_shapes]
 
     M = 8192

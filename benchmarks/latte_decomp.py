@@ -35,7 +35,9 @@ def main(arms):
     from viditq_tpu.utils.config import load_quant_config
     from benchmarks.bench_configs import _build_variables
 
-    latent = (16, 32, 32)
+    import os
+    latent = tuple(int(s) for s in os.environ.get(
+        "VIDITQ_LATTE_LATENT", "16,32,32").split(","))
     n_steps = 20
     rng = np.random.default_rng(0)
     z = jnp.asarray(rng.standard_normal((1, 4, *latent)) * 0.5, jnp.bfloat16)

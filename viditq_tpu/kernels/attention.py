@@ -273,6 +273,13 @@ def _attn_stream_kernel(*refs, scale: float, n_heads: int, head_dim: int,
     bias = None
     if has_mask:
         bias = jnp.where(m_ref[0] != 0, 0.0, -jnp.inf)  # [1, bkv]
+    # stat tiles: ONE [bq, 128] read per grid step, per-head columns
+    # sliced in registers, ONE write at the end — instead of 4 single-lane
+    # VMEM read-modify-writes per head (the lane-sliced RMWs dominate the
+    # VPU cost at H=16; round-4 streaming-attn bisect)
+    mst = mstat_ref[...]
+    rst = rstat_ref[...]
+    new_m, new_r = [], []
     for h in range(n_heads):
         q = q_ref[0, :, h * d:(h + 1) * d]
         k = k_ref[0, :, h * d:(h + 1) * d]
@@ -284,16 +291,16 @@ def _attn_stream_kernel(*refs, scale: float, n_heads: int, head_dim: int,
             preferred_element_type=jnp.float32)
         if bias is not None:
             s = s + bias
-        m_old = mstat_ref[:, h:h + 1]
+        m_old = mst[:, h:h + 1]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
         # fully-masked-so-far rows keep m == -inf; exp2(s - 0) with
         # s == -inf still yields 0, so a zero substitute is exact
         m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
         e = jnp.exp2(s - m_safe)
         corr = jnp.exp2(m_old - m_safe)  # -inf - 0 -> 0: zeroes empty acc
-        rstat_ref[:, h:h + 1] = (rstat_ref[:, h:h + 1] * corr
-                                 + jnp.sum(e, axis=-1, keepdims=True))
-        mstat_ref[:, h:h + 1] = m_new
+        new_r.append(rst[:, h:h + 1] * corr
+                     + jnp.sum(e, axis=-1, keepdims=True))
+        new_m.append(m_new)
         if int8_pv:
             # always_zero softmax codes, quantized against the RUNNING max
             # (the corr rescale then folds earlier blocks onto the final
@@ -324,6 +331,9 @@ def _attn_stream_kernel(*refs, scale: float, n_heads: int, head_dim: int,
                 preferred_element_type=jnp.float32)
         acc_ref[:, h * d:(h + 1) * d] = (
             acc_ref[:, h * d:(h + 1) * d] * corr + pv)
+    # single [bq, n_heads]-wide stat write (lane-aligned at col 0)
+    mstat_ref[:, :n_heads] = jnp.concatenate(new_m, axis=1)
+    rstat_ref[:, :n_heads] = jnp.concatenate(new_r, axis=1)
 
     @pl.when(kj == n_kv - 1)
     def _emit():
