@@ -6,16 +6,26 @@ program per arm, so timing is a single device dispatch (the TPU relay adds
 ~3-4ms per dispatch and dedupes repeated identical calls; python-level
 step loops measure dispatch, not compute).
 
+Timeout-proof (round-4 lesson: a 1361s cold bf16 compile ate the driver
+budget and the round published NOTHING):
+  * the headline JSON line is printed IMMEDIATELY once bf16 + the best
+    W8A8 arm are measured — before any enrichment arm compiles;
+  * every later arm re-prints an ENRICHED JSON line (the driver takes a
+    JSON line from stdout; first and last are both complete artifacts);
+  * a SIGTERM handler re-prints the best-so-far line (best-effort — it
+    cannot fire mid-C++-compile, which is why the early print exists);
+  * enrichment arms are skipped once the internal time budget
+    (VIDITQ_BENCH_BUDGET_S, default 1500s) is spent.
+
 Every number in the printed JSON is measured by THIS run (rel errs from the
 same-run outputs, serving batch from same-run B=4/B=8 arms, roofline from
 the compiled programs' cost analysis). VIDITQ_BENCH_SERVING=0 skips the
 serving-batch arms (saves ~4 compiles when iterating).
-
-Prints exactly ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -24,6 +34,32 @@ import numpy as np
 # v5e (TPU v5 lite) public per-chip peaks; the MXU int8 rate is 2x bf16.
 PEAK_BF16 = 197e12
 PEAK_INT8 = 394e12
+
+BUDGET_S = float(os.environ.get("VIDITQ_BENCH_BUDGET_S", "1500"))
+_T_START = time.time()
+_RESULT = None  # best-so-far artifact, printed by emit()/SIGTERM
+
+
+def _elapsed():
+    return time.time() - _T_START
+
+
+def _remaining():
+    return BUDGET_S - _elapsed()
+
+
+def emit():
+    if _RESULT is not None:
+        print(json.dumps(_RESULT), flush=True)
+
+
+def _on_term(signum, frame):
+    emit()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
 
 
 def _tpu_reachable(timeout_s: int = 300) -> bool:
@@ -43,15 +79,17 @@ def _tpu_reachable(timeout_s: int = 300) -> bool:
 
 
 def main():
+    global _RESULT
     if not _tpu_reachable():
         # honest artifact instead of a hung driver run
-        print(json.dumps({
+        _RESULT = {
             "metric": "stdit_xl2_16x512x512_w8a8_best_denoise_speedup_vs_bf16",
             "value": 0.0, "unit": "x", "vs_baseline": 0.0,
             "detail": {"error": "TPU unreachable (axon tunnel down; "
                                 "jax.devices() hangs). Rerun "
                                 "benchmarks/run_tpu_pending.sh when "
-                                "the tunnel returns."}}))
+                                "the tunnel returns."}}
+        emit()
         return
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -141,8 +179,6 @@ def main():
         jax.block_until_ready(v["quant"])
         return v
 
-    h_vars = build_variant(model_h, hyb_resolver)
-    s_vars = build_variant(model_s, sym_resolver)
     print(f"calibration done in {time.time()-t0:.0f}s", file=sys.stderr)
 
     qf = default_qctx_factory("quant")
@@ -160,14 +196,13 @@ def main():
 
     fp_denoise = make_denoise(model_fp, y, mask, False)
     q_denoise = make_denoise(model_q, y, mask, True)
-    h_denoise = make_denoise(model_h, y, mask, True)
-    s_denoise = make_denoise(model_s, y, mask, True)
 
     def bench(f, vs, tag, zz=None, reps=3):
         zz = z if zz is None else zz
         t0 = time.time()
         f(vs, zz).block_until_ready()
-        print(f"{tag}: compiled in {time.time()-t0:.0f}s", file=sys.stderr)
+        print(f"{tag}: compiled in {time.time()-t0:.0f}s "
+              f"(elapsed {_elapsed():.0f}s)", file=sys.stderr)
         ts = []
         for _ in range(reps):
             t0 = time.time()
@@ -175,29 +210,86 @@ def main():
             ts.append(time.time() - t0)
         return min(ts) / n_steps
 
+    # ---- HEADLINE: bf16 + sm8 (the historical winner) — measured FIRST so
+    # the artifact exists before any enrichment compile can eat the budget.
     t_fp = bench(fp_denoise, fp_vars, "bf16")
     t_q = bench(q_denoise, q_vars, "w8a8-fused-sm8")
-    t_h = bench(h_denoise, h_vars, "w8a8-fused")
-    t_s = bench(s_denoise, s_vars, "w8a8-fused-sym")
-    best = min(t_q, t_h, t_s)
-    speedup = t_fp / best
-    best_name, best_fn, best_vars = {
-        t_q: ("w8a8_tpu_fused_sm8", q_denoise, q_vars),
-        t_h: ("w8a8_tpu_fused", h_denoise, h_vars),
-        t_s: ("w8a8_tpu_fused_sym", s_denoise, s_vars)}[best]
+
+    arms_ms = {"w8a8_tpu_fused_sm8": round(t_q * 1e3, 2)}
+
+    def assemble(best, best_name, extra):
+        detail = {
+            "bf16_ms_per_denoise_step": round(t_fp * 1e3, 2),
+            "best_config": best_name,
+            "denoise_steps_per_sec": round(1.0 / best, 3),
+            "weight_mem_reduction_x": 4,
+            "sampler": f"ddim-{n_steps} cfg2x", "latent": list(latent),
+            "note": ("'fused' runs every linear as one Pallas "
+                     "quantize+int8-matmul+epilogue kernel with "
+                     "LN+modulate+quantize producers, shared q/k/v "
+                     "quantize, a gelu+quantize fc1->fc2 int8 handoff and "
+                     "int8-emitting attention outputs; 'sm8' adds softmax "
+                     "int8 PV on the temporal/cross attentions; attention "
+                     "runs layout-native Pallas kernels in both arms "
+                     "(BENCH_NOTES.md)"),
+        }
+        for k, v in arms_ms.items():
+            detail[f"{k}_ms_per_denoise_step"] = v
+        detail.update(extra)
+        return {
+            "metric":
+                "stdit_xl2_16x512x512_w8a8_best_denoise_speedup_vs_bf16",
+            "value": round(t_fp / best, 3),
+            "unit": "x",
+            "vs_baseline": round(t_fp / best / 2.5, 3),
+            "detail": detail,
+        }
+
+    _RESULT = assemble(t_q, "w8a8_tpu_fused_sm8",
+                       {"stage": "headline (enrichments pending)"})
+    emit()  # <-- the round's artifact is now safe
+
+    # ---- ENRICHMENTS: each guarded by the remaining budget; each success
+    # re-emits a fuller JSON line.
+    extra = {}
+    best, best_name, best_fn, best_vars = (
+        t_q, "w8a8_tpu_fused_sm8", q_denoise, q_vars)
+
+    variants = []
+    if _remaining() > 120:
+        h_vars = build_variant(model_h, hyb_resolver)
+        h_denoise = make_denoise(model_h, y, mask, True)
+        t_h = bench(h_denoise, h_vars, "w8a8-fused")
+        arms_ms["w8a8_tpu_fused"] = round(t_h * 1e3, 2)
+        variants.append((t_h, "w8a8_tpu_fused", h_denoise, h_vars))
+    if _remaining() > 120:
+        s_vars = build_variant(model_s, sym_resolver)
+        s_denoise = make_denoise(model_s, y, mask, True)
+        t_s = bench(s_denoise, s_vars, "w8a8-fused-sym")
+        arms_ms["w8a8_tpu_fused_sym"] = round(t_s * 1e3, 2)
+        variants.append((t_s, "w8a8_tpu_fused_sym", s_denoise, s_vars))
+    for t_v, name, fn, vs in variants:
+        if t_v < best:
+            best, best_name, best_fn, best_vars = t_v, name, fn, vs
+    _RESULT = assemble(best, best_name, extra)
+    emit()
 
     # on-chip generation quality: same-run quant outputs vs the bf16 output
-    # on the SAME weights (replaces round-3's pasted tiny-CPU gate numbers)
-    out_fp = np.asarray(fp_denoise(fp_vars, z), np.float32)
-    nrm = float(np.linalg.norm(out_fp))
+    # on the SAME weights
+    if _remaining() > 60:
+        out_fp = np.asarray(fp_denoise(fp_vars, z), np.float32)
+        nrm = float(np.linalg.norm(out_fp))
 
-    def rel_err(f, vs):
-        o = np.asarray(f(vs, z), np.float32)
-        return round(float(np.linalg.norm(o - out_fp)) / nrm, 4)
+        def rel_err(f, vs):
+            o = np.asarray(f(vs, z), np.float32)
+            return round(float(np.linalg.norm(o - out_fp)) / nrm, 4)
 
-    rels = {"w8a8_tpu_fused_sm8": rel_err(q_denoise, q_vars),
-            "w8a8_tpu_fused": rel_err(h_denoise, h_vars),
-            "w8a8_tpu_fused_sym": rel_err(s_denoise, s_vars)}
+        rels = {"w8a8_tpu_fused_sm8": rel_err(q_denoise, q_vars)}
+        for t_v, name, fn, vs in variants:
+            rels[name] = rel_err(fn, vs)
+        extra["quality_rel_err_vs_bf16_in_run"] = rels
+        _RESULT = assemble(best, best_name, extra)
+        emit()
 
     # roofline: flops from the compiled programs' own cost analysis (the
     # Pallas kernels carry explicit pl.CostEstimate), achieved rate vs the
@@ -214,65 +306,52 @@ def main():
             print(f"cost_analysis failed: {e}", file=sys.stderr)
             return 0.0
 
-    fl_fp = flops_of(fp_denoise, fp_vars)
-    fl_best = flops_of(best_fn, best_vars)
-    roofline = {
-        "peak_bf16_tflops": PEAK_BF16 / 1e12,
-        "peak_int8_tops": PEAK_INT8 / 1e12,
-        "bf16_e2e_tflops": round(fl_fp / (t_fp * n_steps) / 1e12, 1),
-        "bf16_mfu": round(fl_fp / (t_fp * n_steps) / PEAK_BF16, 3),
-        "best_e2e_eff_tflops": round(fl_best / (best * n_steps) / 1e12, 1),
-        "best_mfu_vs_int8_peak": round(
-            fl_best / (best * n_steps) / PEAK_INT8, 3),
-        "e2e_flops_per_step_bf16": fl_fp / n_steps,
-        "e2e_flops_per_step_best": fl_best / n_steps,
-        "note": ("MFU<1 headroom is dominated by attention softmax (VPU) "
-                 "and producer/consumer HBM traffic; per-phase bisects in "
-                 "BENCH_NOTES.md"),
-    }
+    if _remaining() > 30:
+        fl_fp = flops_of(fp_denoise, fp_vars)
+        fl_best = flops_of(best_fn, best_vars)
+        extra["roofline"] = {
+            "peak_bf16_tflops": PEAK_BF16 / 1e12,
+            "peak_int8_tops": PEAK_INT8 / 1e12,
+            "bf16_e2e_tflops": round(fl_fp / (t_fp * n_steps) / 1e12, 1),
+            "bf16_mfu": round(fl_fp / (t_fp * n_steps) / PEAK_BF16, 3),
+            "best_e2e_eff_tflops": round(
+                fl_best / (best * n_steps) / 1e12, 1),
+            "best_mfu_vs_int8_peak": round(
+                fl_best / (best * n_steps) / PEAK_INT8, 3),
+            "e2e_flops_per_step_bf16": fl_fp / n_steps,
+            "e2e_flops_per_step_best": fl_best / n_steps,
+            "note": ("MFU<1 headroom is dominated by attention softmax "
+                     "(VPU) and producer/consumer HBM traffic; per-phase "
+                     "bisects in BENCH_NOTES.md"),
+        }
+        _RESULT = assemble(best, best_name, extra)
+        emit()
 
     # serving batch: the B>1 case amortizes the dynamic-quant producers;
-    # measured IN-RUN vs the bf16 baseline at the same batch
-    serving = {}
+    # measured IN-RUN vs the bf16 baseline at the same batch. These are the
+    # most expensive enrichments (2 XL compiles each) — last, budget-gated.
     if os.environ.get("VIDITQ_BENCH_SERVING", "1") == "1":
+        serving = {}
+        model_best = {"w8a8_tpu_fused_sm8": model_q,
+                      "w8a8_tpu_fused": model_h,
+                      "w8a8_tpu_fused_sym": model_s}[best_name]
         for nb in (4, 8):
+            if _remaining() < 300:
+                print(f"budget: skipping serving B{nb} "
+                      f"({_remaining():.0f}s left)", file=sys.stderr)
+                break
             zb, yb, mb = prompt_batch(nb)
             fp_b = make_denoise(model_fp, yb, mb, False)
-            q_b = make_denoise(
-                {"w8a8_tpu_fused_sm8": model_q, "w8a8_tpu_fused": model_h,
-                 "w8a8_tpu_fused_sym": model_s}[best_name], yb, mb, True)
+            q_b = make_denoise(model_best, yb, mb, True)
             tb_fp = bench(fp_b, fp_vars, f"bf16-B{nb}", zz=zb)
             tb_q = bench(q_b, best_vars, f"{best_name}-B{nb}", zz=zb)
             serving[f"B{nb}"] = round(tb_fp / tb_q, 3)
+        if serving:
+            extra["serving_batch_speedup_in_run"] = serving
+            _RESULT = assemble(best, best_name, extra)
 
-    result = {
-        "metric": "stdit_xl2_16x512x512_w8a8_best_denoise_speedup_vs_bf16",
-        "value": round(speedup, 3),
-        "unit": "x",
-        "vs_baseline": round(speedup / 2.5, 3),
-        "detail": {
-            "bf16_ms_per_denoise_step": round(t_fp * 1e3, 2),
-            "w8a8_tpu_fused_sm8_ms_per_denoise_step": round(t_q * 1e3, 2),
-            "w8a8_tpu_fused_ms_per_denoise_step": round(t_h * 1e3, 2),
-            "w8a8_tpu_fused_sym_ms_per_denoise_step": round(t_s * 1e3, 2),
-            "best_config": best_name,
-            "denoise_steps_per_sec": round(1.0 / best, 3),
-            "weight_mem_reduction_x": 4,
-            "serving_batch_speedup_in_run": serving,
-            "quality_rel_err_vs_bf16_in_run": rels,
-            "roofline": roofline,
-            "sampler": f"ddim-{n_steps} cfg2x", "latent": list(latent),
-            "note": ("'fused' runs every linear as one Pallas "
-                     "quantize+int8-matmul+epilogue kernel with "
-                     "LN+modulate+quantize producers, shared q/k/v "
-                     "quantize, a gelu+quantize fc1->fc2 int8 handoff and "
-                     "int8-emitting attention outputs; 'sm8' adds softmax "
-                     "int8 PV on the temporal/cross attentions; attention "
-                     "runs layout-native Pallas kernels in both arms "
-                     "(BENCH_NOTES.md)"),
-        },
-    }
-    print(json.dumps(result))
+    _RESULT["detail"].pop("stage", None)
+    emit()
 
 
 if __name__ == "__main__":

@@ -368,18 +368,35 @@ def _attn_stream_kernel(*refs, scale: float, n_heads: int, head_dim: int,
             o_ref[0] = of.astype(o_ref.dtype)
 
 
-def select_stream_blocks(n: int, m: int) -> "tuple[int, int]":
+def select_stream_blocks(n: int, m: int, c: int = 1152) -> "tuple[int, int]":
     """(block_q, block_kv) for the kv-streaming kernel: the largest
     power-of-two blocks (<=512 q rows / <=1024 kv rows) dividing the
-    actual lengths — VMEM at C=1152: q 1.2MB + k/v 2x2.4MB(x2 buf) +
-    acc f32 2.4MB + scores 2MB stays under the 16MB budget.
+    actual lengths whose estimated VMEM working set fits the budget —
+    sized by the model width c, so wider models (C>=1536) down-select
+    smaller blocks instead of failing Mosaic compilation. At C=1152 the
+    estimate reproduces the measured (512, 1024) optimum: q 1.2MB +
+    k/v 2x2.4MB(x2 buf) + f32 acc 2.4MB + scores 2MB + stat tiles ~15.6MB.
     VIDITQ_STREAM_BQ / VIDITQ_STREAM_BKV override the caps (bench A/B)."""
     cap_q = int(os.environ.get("VIDITQ_STREAM_BQ", "512"))
     cap_kv = int(os.environ.get("VIDITQ_STREAM_BKV", "1024"))
-    bq = next((b for b in (512, 256, 128) if b <= cap_q and n % b == 0), 0)
-    bkv = next((b for b in (1024, 512, 256, 128)
-                if b <= cap_kv and m % b == 0), 0)
-    return bq, bkv
+    budget = float(os.environ.get("VIDITQ_STREAM_VMEM", "16e6"))
+
+    def vmem(bq, bkv):
+        return (bq * c * 2          # q block, bf16
+                + 4 * bkv * c * 2   # k+v blocks, double-buffered, bf16
+                + bq * c * 4        # f32 PV accumulator scratch
+                + bq * bkv * 4      # f32 per-head score/e tile (live copy)
+                + 2 * bq * 128 * 4)  # running max/sum stat tiles
+
+    for bq in (512, 256, 128):
+        if bq > cap_q or n % bq:
+            continue
+        for bkv in (1024, 512, 256, 128):
+            if bkv > cap_kv or m % bkv:
+                continue
+            if vmem(bq, bkv) <= budget:
+                return bq, bkv
+    return 0, 0
 
 
 def attention_bnhd_xla(q, k, v, scale: float, seg_len: int = 0,
@@ -614,7 +631,7 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # kv blocks, everything else (layouts, int8 modes, emission)
         # identical to the one-shot kernel
         assert H <= 128, H
-        bq, bkv = select_stream_blocks(N, M)
+        bq, bkv = select_stream_blocks(N, M, C)
         assert bq and bkv, (N, M)
         grid = (B, N // bq, M // bkv)
         kernel = functools.partial(
@@ -814,5 +831,5 @@ def attention_ok(n: int, h: int, d: int, seg_len: int = 0,
         return True
     if os.environ.get("VIDITQ_ATTN_STREAM") == "0":
         return False
-    bq, bkv = select_stream_blocks(n, m)
+    bq, bkv = select_stream_blocks(n, m, h * d)
     return bool(bq and bkv and h <= 128)

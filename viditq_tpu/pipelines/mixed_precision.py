@@ -153,6 +153,19 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
     w_ranges = parse_mp_ranges(mp_weight_cfg)
     if not w_ranges:
         return None
+    # same tiling validation as _build_segments: without it a gapped
+    # config would silently absorb uncovered steps into the nearest
+    # range's midpoint span, and a short top range would crash later in
+    # _union_partition with an opaque 't outside partition' error
+    n_steps = sampler.schedule.n_steps
+    covered = []
+    for (hi, lo), _ in w_ranges:
+        covered.extend(range(min(hi, n_steps - 1), lo - 1, -1))
+    if sorted(covered, reverse=True) != list(range(n_steps - 1, -1, -1)):
+        raise ValueError(
+            f"mixed-precision step ranges {[r for r, _ in w_ranges]} do "
+            f"not tile the {n_steps}-step sampler schedule (covered: "
+            f"{sorted(set(covered), reverse=True)})")
     for _, layer_bits in parse_mp_ranges(mp_act_cfg or {}):
         if any(b != base.act.n_bits for b in layer_bits.values()):
             return None  # varying act bits: segmented fallback
@@ -281,8 +294,10 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
             if all(tuple(flat_src.get(p, jnp.zeros(())).shape)
                    == tuple(sd.shape) for p, sd in flat_tmp.items()):
                 return variables
-        if cache.get("prep_key") is not id(variables):
-            cache["prep_key"] = id(variables)
+        # key on the object itself (held strongly), not id(): a freed
+        # dict's id can be reused and would return stale packed slabs
+        if cache.get("prep_src") is not variables:
+            cache["prep_src"] = variables
             cache["prep_val"] = adapt(variables)
         return cache["prep_val"]
 

@@ -126,9 +126,13 @@ class ClipScorer:
                 max_length=self.max_len, truncation=True)["input_ids"]
         # hash tokenizer for the config-built smoke model: stable ids in
         # [2, vocab) with BOS=0 / EOS=1 framing
+        import zlib
         ids = np.ones((len(prompts), self.max_len), np.int32)
         for i, p in enumerate(prompts):
-            toks = [0] + [2 + (hash(w) % (self.vocab - 2))
+            # crc32, not hash(): python's hash is salted per-process
+            # (PYTHONHASHSEED) and would make smoke-CLIP rankings
+            # non-reproducible across runs
+            toks = [0] + [2 + (zlib.crc32(w.encode()) % (self.vocab - 2))
                           for w in p.lower().split()][: self.max_len - 2]
             toks.append(1)
             ids[i, : len(toks)] = toks
@@ -193,11 +197,13 @@ def make_sensitivity_metric(name: str, prompts: Optional[List[str]] = None,
         cache = {}
 
         def clip_degradation(out, ref) -> float:
-            key = id(ref)
-            if key not in cache:
-                cache.clear()
-                cache[key] = scorer.score(ref, ps)
-            return cache[key] - scorer.score(out, ps)
+            # key on the array object itself (held strongly): a freed
+            # array's id() can be reused, which would subtract a stale
+            # FP baseline from every later sensitivity score
+            if cache.get("ref") is not ref:
+                cache["ref"] = ref
+                cache["score"] = scorer.score(ref, ps)
+            return cache["score"] - scorer.score(out, ps)
 
         return clip_degradation
     raise ValueError(f"unknown sensitivity metric {name!r} "
