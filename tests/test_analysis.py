@@ -395,3 +395,70 @@ def test_block_group_sensitivity_and_mp_closed_loop():
                           mp_weight_cfg=mp_cfg, mp_act_cfg=None)
     assert out.shape == z.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_multi_metric_scan_and_combine():
+    """flow/clip_temp proxies + combine_sensitivity close the reference's
+    metric-decoupled MP loop (clip/flow/vqa vectors -> metric.ipynb
+    combination -> MP config)."""
+    from viditq_tpu.utils.metrics import make_sensitivity_metric
+
+    base = LayerQuantSpec(weight=QuantSpec(n_bits=3, granularity="channel",
+                                           channel_axis=-1,
+                                           round_mode="nearest"), act=A8)
+    z, y, mask = inputs()
+    sampler = IDDPM(num_sampling_steps=2, cfg_scale=4.0)
+    ref_model = tiny_model()
+    variables = ref_model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                               y[:1], mask, QuantCtx(mode="fp"))
+    params = variables["params"]
+
+    def run_with_resolver(resolver):
+        model = tiny_model(resolver)
+        vs = dict(model.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)),
+                             y[:1], mask, QuantCtx(mode="fp")))
+        vs["params"] = params
+        if "quant" in vs:
+            vs["quant"] = calibrate_weight_tables(params, vs["quant"],
+                                                  resolver)
+
+        def apply_fn(x, t, yy, mm, qctx):
+            return model.apply(vs, x, t, yy, mm, qctx)
+        from viditq_tpu.samplers.iddpm import default_qctx_factory
+        return sampler.sample(apply_fn, z, y, mask, sampler_type="ddim",
+                              qctx_factory=default_qctx_factory("quant"))
+
+    metric_fns = {m: make_sensitivity_metric(m)
+                  for m in ("mse", "flow", "clip_temp")}
+    vectors = analysis.sensitivity_scan_multi(
+        run_with_resolver, base, targets=list(analysis.QUANT_GROUPS),
+        metric_fns=metric_fns, fp_patterns=FP)
+    assert set(vectors) == {"mse", "flow", "clip_temp"}
+    for vec in vectors.values():
+        assert set(vec) == set(analysis.QUANT_GROUPS)
+        assert all(np.isfinite(v) for v in vec.values())
+    # mse scores must match the single-metric scan (same generations)
+    solo = analysis.sensitivity_scan(
+        run_with_resolver, base, targets=list(analysis.QUANT_GROUPS),
+        fp_patterns=FP)
+    for k in solo:
+        np.testing.assert_allclose(vectors["mse"][k], solo[k], rtol=1e-5)
+
+    combined = analysis.combine_sensitivity(vectors)
+    assert set(combined) == set(analysis.QUANT_GROUPS)
+    assert all(0.0 <= v <= 1.0 for v in combined.values())
+    # rank-combination sanity: a layer that every metric ranks highest
+    # must top the combined ranking
+    tops = {max(vec, key=vec.get) for vec in vectors.values()}
+    if len(tops) == 1:
+        assert max(combined, key=combined.get) == tops.pop()
+    # the combined vector feeds generate_mp_config unchanged
+    cfg = analysis.generate_mp_config({"1-0": combined}, high_fraction=0.5)
+    assert "1-0" in cfg and set(cfg["1-0"]) == set(analysis.QUANT_GROUPS)
+
+    # weights: zeroing all but one metric reproduces that metric's ranking
+    only_flow = analysis.combine_sensitivity(
+        vectors, weights={"flow": 1.0, "mse": 0.0, "clip_temp": 0.0})
+    flow_rank = sorted(vectors["flow"], key=vectors["flow"].get)
+    comb_rank = sorted(only_flow, key=only_flow.get)
+    assert flow_rank == comb_rank

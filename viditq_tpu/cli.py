@@ -401,9 +401,16 @@ def cmd_get_sensitivity(args):
                 prompts = [ln.strip() for ln in f if ln.strip()]
         else:
             prompts = args.prompts.split(",")
-    metric_fn = make_sensitivity_metric(
-        getattr(args, "metric", "mse"), prompts=prompts,
-        clip_model_path=getattr(args, "clip_model", None))
+    # comma-separated metrics run the multi-vector loop (the reference's
+    # clip/flow/vqa sensitivity vectors combined in metric.ipynb): one
+    # generation per target, every metric scores it, rank-combined.
+    metric_names = getattr(args, "metric", "mse").split(",")
+    metric_fns = {
+        m: make_sensitivity_metric(
+            m, prompts=prompts,
+            clip_model_path=getattr(args, "clip_model", None))
+        for m in metric_names}
+    metric_fn = metric_fns[metric_names[0]]
 
     def run_with_resolver(resolver):
         from viditq_tpu.quant import calibrate_weight_tables
@@ -461,9 +468,16 @@ def cmd_get_sensitivity(args):
     else:
         targets = (args.targets.split(",") if args.targets
                    else list(analysis.QUANT_GROUPS))
-        scores = analysis.sensitivity_scan(run_with_resolver, base, targets,
-                                           fp_patterns=plan.fp_patterns,
-                                           metric_fn=metric_fn)
+        if len(metric_fns) > 1:
+            vectors = analysis.sensitivity_scan_multi(
+                run_with_resolver, base, targets, metric_fns,
+                fp_patterns=plan.fp_patterns)
+            scores = {"combined": analysis.combine_sensitivity(vectors),
+                      "per_metric": vectors}
+        else:
+            scores = analysis.sensitivity_scan(
+                run_with_resolver, base, targets,
+                fp_patterns=plan.fp_patterns, metric_fn=metric_fn)
     os.makedirs(args.save_dir, exist_ok=True)
     out = os.path.join(args.save_dir, "sensitivity.json")
     with open(out, "w") as f:
@@ -672,11 +686,12 @@ def main(argv=None):
                                 "block_group_wise_quant)")
             s.add_argument("--split_timestep", type=int, default=4)
             s.add_argument("--metric", default="mse",
-                           choices=("mse", "clip"),
-                           help="sensitivity score: frame-MSE vs FP "
-                                "(metric.ipynb cell 2) or CLIP-score "
-                                "degradation (the metric-decoupled "
-                                "perceptual ranking)")
+                           help="sensitivity score(s): any of mse / clip "
+                                "/ clip_temp / flow, comma-separated for "
+                                "the multi-vector loop (per-metric "
+                                "vectors + rank-combined ranking, the "
+                                "reference's clip/flow/vqa "
+                                "metric-decoupled flow)")
             s.add_argument("--clip_model", default=None,
                            help="local FlaxCLIPModel dir for --metric "
                                 "clip (default: tiny random-init CLIP — "

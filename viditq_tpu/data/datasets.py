@@ -46,9 +46,12 @@ def load_image(path: str, size: Tuple[int, int]) -> np.ndarray:
 
 
 def load_raw_frames(path: str) -> np.ndarray:
-    """-> [T, H, W, C] uint8. Accepts a .npz (key 'video') or a directory
-    of frame images (the formats `save_sample` writes; mp4 decode needs
-    codecs this image lacks)."""
+    """-> [T, H, W, C] uint8. Accepts a .npz (key 'video'), a directory
+    of frame images (the formats `save_sample` writes), or a video FILE —
+    decoded natively for .y4m / MJPEG .avi / PIL multiframe formats, or
+    through an ffmpeg subprocess for general codecs when the binary
+    exists (viditq_tpu.data.video_io; reference route is torchvision.io,
+    datasets.py:38-116)."""
     if path.endswith(".npz"):
         return np.load(path)["video"]
     if os.path.isdir(path):
@@ -56,8 +59,8 @@ def load_raw_frames(path: str) -> np.ndarray:
         names = sorted(os.listdir(path))
         return np.stack([np.asarray(Image.open(os.path.join(path, n))
                                     .convert("RGB")) for n in names])
-    raise ValueError(f"unsupported video source {path} "
-                     "(mp4 decode unavailable; use frames dir or npz)")
+    from viditq_tpu.data.video_io import decode_video
+    return decode_video(path)
 
 
 def load_video(path: str, num_frames: int, size: Tuple[int, int],

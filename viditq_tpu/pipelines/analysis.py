@@ -111,6 +111,56 @@ def sensitivity_scan(run_with_resolver: Callable, base: LayerQuantSpec,
     return scores
 
 
+def sensitivity_scan_multi(run_with_resolver: Callable,
+                           base: LayerQuantSpec,
+                           targets: Sequence[str],
+                           metric_fns: Mapping[str, Callable],
+                           fp_patterns: Sequence[str] = (),
+                           fp_reference: Optional[jnp.ndarray] = None
+                           ) -> Dict[str, Dict[str, float]]:
+    """sensitivity_scan scored under SEVERAL metrics from one generation
+    per target — the reference computes its clip/clip_temp/flow sensitivity
+    vectors as separate offline passes over saved videos
+    (qdiff/analysis_tools/mixed_precision/sensitivity/*); here each
+    target's sample is generated once and every metric scores it.
+
+    Returns {metric_name: {target: score}} — feed through
+    combine_sensitivity (+ generate_mp_config) to close the
+    metric-decoupled MP loop."""
+    if fp_reference is None:
+        fp_reference = run_with_resolver(lambda name: None)
+    scores: Dict[str, Dict[str, float]] = {m: {} for m in metric_fns}
+    for tgt in targets:
+        res = single_target_resolver(base, tgt, fp_patterns)
+        out = run_with_resolver(res)
+        for m, fn in metric_fns.items():
+            scores[m][tgt] = float(fn(out, fp_reference))
+    return scores
+
+
+def combine_sensitivity(metric_vectors: Mapping[str, Mapping[str, float]],
+                        weights: Optional[Mapping[str, float]] = None
+                        ) -> Dict[str, float]:
+    """Merge per-metric sensitivity vectors into one ranking (the role of
+    the reference's metric.ipynb combination cell over its clip/flow/vqa
+    vectors). Each metric's scores are rank-normalized to [0, 1] (scale-
+    free — frame-MSE and CLIP-degradation units are incommensurate), then
+    weighted-averaged per layer. Missing layers score 0 for that metric."""
+    layers = sorted({n for v in metric_vectors.values() for n in v})
+    if not layers:
+        return {}
+    w = {m: 1.0 for m in metric_vectors} if weights is None else dict(weights)
+    total_w = sum(w.get(m, 0.0) for m in metric_vectors) or 1.0
+    combined = {n: 0.0 for n in layers}
+    for m, vec in metric_vectors.items():
+        ranked = sorted(vec, key=lambda n: vec[n])
+        denom = max(len(ranked) - 1, 1)
+        rank01 = {n: i / denom for i, n in enumerate(ranked)}
+        for n in layers:
+            combined[n] += w.get(m, 0.0) * rank01.get(n, 0.0)
+    return {n: s / total_w for n, s in combined.items()}
+
+
 def _segmented_sample(sampler, fp_apply, q_apply, z, y, mask, hi, lo,
                       qctx_factory):
     """One generation that runs q_apply inside spaced-step window [lo, hi]

@@ -186,11 +186,27 @@ class ClipScorer:
 def make_sensitivity_metric(name: str, prompts: Optional[List[str]] = None,
                             clip_model_path: Optional[str] = None):
     """metric_fn(out, fp_reference) -> float (higher = more sensitive) for
-    the sensitivity scans. 'mse' = frame-MSE vs the FP generation
-    (metric.ipynb cell 2); 'clip' = CLIP-score degradation
-    clip(fp) - clip(out) — the metric-decoupled perceptual ranking."""
+    the sensitivity scans — one per axis of the reference's metric-decoupled
+    MP loop (qdiff/analysis_tools/mixed_precision: clip / clip_temp / flow
+    sensitivity vectors combined offline in metric.ipynb):
+      'mse'       frame-MSE vs the FP generation (metric.ipynb cell 2)
+      'clip'      CLIP-score degradation clip(fp) - clip(out)
+      'clip_temp' temporal-consistency degradation (frame-cosine proxy of
+                  the VBench clip_temp axis — no CLIP model needed)
+      'flow'      flow-score degradation |motion(out) - motion(fp)| (mean
+                  inter-frame |diff| proxy of the optical-flow axis)"""
     if name == "mse":
         return frame_mse
+    if name == "flow":
+        def flow_degradation(out, ref) -> float:
+            return abs(motion_magnitude(out) - motion_magnitude(ref))
+
+        return flow_degradation
+    if name == "clip_temp":
+        def tempcons_degradation(out, ref) -> float:
+            return temporal_consistency(ref) - temporal_consistency(out)
+
+        return tempcons_degradation
     if name == "clip":
         scorer = ClipScorer(clip_model_path)
         ps = prompts or ["a sample"]
@@ -207,7 +223,7 @@ def make_sensitivity_metric(name: str, prompts: Optional[List[str]] = None,
 
         return clip_degradation
     raise ValueError(f"unknown sensitivity metric {name!r} "
-                     "(expected 'mse' or 'clip')")
+                     "(expected 'mse', 'clip', 'clip_temp' or 'flow')")
 
 
 def quality_report(sample, fp_reference=None) -> dict:
