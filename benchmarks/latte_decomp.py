@@ -22,7 +22,11 @@ import time
 import numpy as np
 
 
-def main(arms):
+def setup():
+    """Build the arm registry once; returns (ARMS, z, n_steps). Split out
+    of main so profile_arm.py can compile an arm OUTSIDE a profiler trace
+    and trace only the steady-state call (a whole-main trace exceeds the
+    2GB XSpace protobuf cap)."""
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -152,6 +156,12 @@ def main(arms):
         "mp": lambda: mp_sampler(plan_cb),
         "mpshare": lambda: mp_sampler(share(plan_cb)),
     }
+    return ARMS, z, n_steps
+
+
+def main(arms):
+    import jax
+    ARMS, z, n_steps = setup()
     arms = arms or list(ARMS)
     results = {}
     for name in arms:
