@@ -199,10 +199,19 @@ def main():
 
     def bench(f, vs, tag, zz=None, reps=3):
         zz = z if zz is None else zz
+        # persistent-cache diagnostics (round-4 asked: is .jax_cache
+        # persisting across driver runs? new entries after compile = MISS)
+        cache_dir = "/root/repo/.jax_cache"
+        n_before = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) \
+            else 0
         t0 = time.time()
         f(vs, zz).block_until_ready()
+        n_after = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) \
+            else n_before
         print(f"{tag}: compiled in {time.time()-t0:.0f}s "
-              f"(elapsed {_elapsed():.0f}s)", file=sys.stderr)
+              f"(elapsed {_elapsed():.0f}s, persistent-cache "
+              f"{'MISS' if n_after > n_before else 'hit'})",
+              file=sys.stderr)
         ts = []
         for _ in range(reps):
             t0 = time.time()

@@ -118,6 +118,57 @@ def test_pixart_dpm_solver_flow(pixart_setup):
     assert np.isfinite(np.asarray(out_q)).all()
 
 
+def test_resume_with_w_quantized(pixart_setup, tmp_path):
+    """`resume_with_w_quantized` (dead key in the reference YAMLs, e.g.
+    w8a8_dynamic.yaml:42 — we implement the evident intent): a second PTQ
+    run reuses a prior checkpoint's weight tables verbatim instead of
+    recalibrating from the (changed) live weights."""
+    plan, model, variables, z, y, mask = pixart_setup
+    sampler = IDDPM(num_sampling_steps=4, cfg_scale=4.0, cfg_split=False)
+    model_apply = _model_apply_kw(model, variables)
+    _, traj = sampler.sample(model_apply, z, y, mask, sampler_type="ddim",
+                             return_trajectory=True)
+    calib = {"xs": traj["xs"], "ts": traj["ts"], "y": y, "mask": mask}
+    res = run_ptq(model, variables, calib, plan, plan.resolver(),
+                  n_calib_steps=2, batch_size=4)
+
+    from viditq_tpu.utils.ckpt import save_quant_ckpt
+    ck = str(tmp_path / "quant_ckpt.npz")
+    save_quant_ckpt(ck, res.variables["quant"])
+
+    # perturb the live weights: fresh calibration would now give different
+    # w_delta; a resumed run must reproduce the checkpoint's tables
+    pert = jax.tree.map(lambda p: p * 1.7, variables["params"])
+    v2 = {**variables, "params": pert}
+    res_fresh = run_ptq(model, v2, calib, plan, plan.resolver(),
+                        n_calib_steps=2, batch_size=4)
+    res_resumed = run_ptq(model, v2, calib, plan, plan.resolver(),
+                          n_calib_steps=2, batch_size=4,
+                          resume_w_quantized=ck)
+    w0 = np.asarray(res.variables["quant"]["blocks_0"]["attn"]["q"]["w_delta"])
+    wf = np.asarray(res_fresh.variables["quant"]["blocks_0"]["attn"]["q"]["w_delta"])
+    wr = np.asarray(res_resumed.variables["quant"]["blocks_0"]["attn"]["q"]["w_delta"])
+    assert not np.allclose(wf, w0), "perturbation should change fresh tables"
+    np.testing.assert_array_equal(wr, w0)
+
+    # YAML path plumbing: resume_with_w_quantized.path parses into the plan
+    import dataclasses as dc
+    assert plan.resume_w_path is None  # shipped configs say path: None
+    plan2 = dc.replace(plan, resume_w_path=ck)
+    res_via_plan = run_ptq(model, v2, calib, plan2, plan.resolver(),
+                           n_calib_steps=2, batch_size=4)
+    np.testing.assert_array_equal(
+        np.asarray(res_via_plan.variables["quant"]["blocks_0"]["attn"]["q"]
+                   ["w_delta"]), w0)
+
+    with pytest.raises(ValueError, match="no weight tables"):
+        import numpy as onp
+        onp.savez(str(tmp_path / "empty.npz"))
+        run_ptq(model, v2, calib, plan, plan.resolver(), n_calib_steps=2,
+                batch_size=4,
+                resume_w_quantized=str(tmp_path / "empty.npz"))
+
+
 def test_stdit_static_act_timestep_wise_flow():
     plan = load_quant_config("configs/opensora/w8a8_dynamic.yaml",
                              timestep_wise=True, calib_n_timestep=3)

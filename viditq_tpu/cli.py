@@ -234,7 +234,9 @@ def cmd_ptq(args):
     mask = (jnp.asarray(calib["mask"]) if calib["mask"] is not None else None)
     z = jnp.asarray(calib["xs"][0, :n])
     variables = _init_variables(model, args, z, y, mask)
-    res = run_ptq(model, variables, calib, plan, resolver)
+    res = run_ptq(model, variables, calib, plan, resolver,
+                  resume_w_quantized=getattr(
+                      args, "resume_with_w_quantized", None))
     # optimization-based reconstruction: runs when the plan's YAML carries
     # `quant.weight.optimization.params` and AdaRound rounding — the
     # reference's use_optimization gate (t2i/scripts/ptq.py:320-359)
@@ -708,6 +710,10 @@ def main(argv=None):
     _common(s)
     _quant_args(s)
     s.add_argument("--calib_data", required=True)
+    s.add_argument("--resume_with_w_quantized", default=None,
+                   help="prior quant-ckpt npz whose weight tables are "
+                        "reused (skips weight calibration; the YAML "
+                        "resume_with_w_quantized.path key works too)")
     s.set_defaults(fn=cmd_ptq)
 
     s = sub.add_parser("export")

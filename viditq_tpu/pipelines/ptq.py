@@ -50,12 +50,19 @@ class PTQResult:
 
 def run_ptq(model, variables: Dict, calib_data: Dict, plan,
             resolver: Callable, n_calib_steps: Optional[int] = None,
-            batch_size: Optional[int] = None) -> PTQResult:
+            batch_size: Optional[int] = None,
+            resume_w_quantized: Optional[str] = None) -> PTQResult:
     """Run the full PTQ calibration.
 
     calib_data: {'xs': [n_steps, NB, ...], 'ts': [n_steps, NB],
                  'y': [NB, 1, L, C_cap], 'mask': [B0, L] or None}
     (the sampler trajectory capture, gaussian_diffusion.py:679-689).
+
+    resume_w_quantized: path to a prior quant checkpoint whose WEIGHT
+    tables (w_delta/w_zp/w_alpha) are loaded instead of recalibrating —
+    the `resume_with_w_quantized:` YAML key (dead in the reference code,
+    present in every shipped config, e.g. w8a8_dynamic.yaml:42; we
+    implement the evident intent). Defaults to plan.resume_w_path.
     """
     xs = np.asarray(calib_data["xs"])
     ts = np.asarray(calib_data["ts"])
@@ -133,9 +140,15 @@ def run_ptq(model, variables: Dict, calib_data: Dict, plan,
         variables["quant"] = quant
         variables["qstats"] = qstats
 
-    # Phase 2 — weight tables, offline (replaces ptq.py:266-293 forwards)
-    variables["quant"] = calibrate.calibrate_weight_tables(
-        variables["params"], variables["quant"], resolver)
+    # Phase 2 — weight tables, offline (replaces ptq.py:266-293 forwards);
+    # or resumed verbatim from a prior quant checkpoint
+    resume_w = resume_w_quantized or getattr(plan, "resume_w_path", None)
+    if resume_w:
+        variables["quant"] = _merge_resumed_weight_tables(
+            variables["quant"], resume_w)
+    else:
+        variables["quant"] = calibrate.calibrate_weight_tables(
+            variables["params"], variables["quant"], resolver)
 
     # Phase 3 — static act ranges per timestep slot (ptq.py:296-361);
     # skipped entirely for dynamic act quant (:308-309)
@@ -166,6 +179,43 @@ def run_ptq(model, variables: Dict, calib_data: Dict, plan,
 
     return PTQResult(variables=variables, act_slot_map=slot_map,
                      calib_ts=calib_ts)
+
+
+def _merge_resumed_weight_tables(quant_vars: Dict, path: str) -> Dict:
+    """Overwrite this model's weight-quantizer entries (w_delta/w_zp/
+    w_alpha) with those from a saved quant checkpoint; act-side entries
+    (a_delta/a_zp/act_scale and attention-internal tables) keep their
+    current values so act calibration proceeds normally."""
+    from flax import traverse_util
+    from viditq_tpu.quant.calibrate import path_to_dotted
+    data = np.load(path, allow_pickle=False)
+    flat_cur = traverse_util.flatten_dict(quant_vars)
+    by_name = {path_to_dotted(p[:-1]): p[:-1] for p in flat_cur}
+    n = 0
+    for key in data.files:
+        if key == "__meta__" or "::" not in key:
+            continue
+        name, tab = key.split("::")
+        if tab not in ("w_delta", "w_zp", "w_alpha"):
+            continue  # act-side tables come from THIS run's calibration
+        base = by_name.get(name)
+        if base is None:
+            raise ValueError(
+                f"resume_with_w_quantized: checkpoint layer {name} not in "
+                "this model/plan — plan mismatch")
+        v = data[key]
+        cur = flat_cur[base + (tab,)]
+        if tuple(cur.shape) != tuple(v.shape):
+            raise ValueError(
+                f"resume_with_w_quantized: {name}.{tab} shape {v.shape} != "
+                f"model's {tuple(cur.shape)} (different bit list / "
+                "timerange count?)")
+        flat_cur[base + (tab,)] = jnp.asarray(v)
+        n += 1
+    if n == 0:
+        raise ValueError(f"resume_with_w_quantized: {path} holds no "
+                         "weight tables")
+    return traverse_util.unflatten_dict(flat_cur)
 
 
 def _mask_slice(mask, b0, bs, nb):

@@ -162,6 +162,13 @@ class QuantPlanConfig:
     n_prompt: int = 120
     weight_opt: Optional["OptimizationConfig"] = None
     act_opt: Optional["OptimizationConfig"] = None
+    # `resume_with_w_quantized: {path: ...}` — present in every reference
+    # YAML but read by no reference code (dead key, e.g.
+    # t2v/configs/quant/opensora/w8a8_dynamic.yaml:42). We implement the
+    # evident intent: resume PTQ from a prior quant checkpoint's WEIGHT
+    # tables (w_delta/w_zp/w_alpha) and skip weight calibration; act
+    # calibration still runs. `path: None` (all shipped configs) is a no-op.
+    resume_w_path: Optional[str] = None
 
     # restrict the attention-internal quantizers to matching layer-name
     # patterns (e.g. softmax int8 on the temporal/cross attentions only —
@@ -328,7 +335,15 @@ def load_quant_config(path: str, part_fp: bool = True,
         weight_opt=parse_optimization(quant["weight"].get("optimization")),
         act_opt=parse_optimization(
             quant["activation"].get("optimization")),
+        resume_w_path=_resume_w_path(cfg.get("resume_with_w_quantized")),
     )
+
+
+def _resume_w_path(sec) -> Optional[str]:
+    p = sec.get("path") if isinstance(sec, dict) else sec
+    if p in (None, "", "None", "none"):
+        return None
+    return str(p)
 
 
 def load_bitwidth_config(path: str) -> Dict[str, Dict[str, int]]:

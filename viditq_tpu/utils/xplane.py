@@ -124,11 +124,96 @@ def latest_xplane(logdir: str) -> str:
     return max(paths, key=os.path.getmtime)
 
 
+def latest_trace_json(logdir: str) -> str:
+    paths = glob.glob(os.path.join(logdir, "plugins", "profile", "*",
+                                   "*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {logdir}")
+    return max(paths, key=os.path.getmtime)
+
+
+def parse_trace_json_op_times(path: str,
+                              device_filter: str = "TPU") -> Dict[str, dict]:
+    """Aggregate the Chrome-trace companion file (<host>.trace.json.gz) by
+    op name for the device process. The axon relay's xplane.pb export ships
+    event METADATA but empty XLine event lists, so this is the working
+    source of device op times on that platform. Durations are microseconds.
+
+    Returns {op_name: {total_ps, count, category, bytes}} (ps to match the
+    xplane parser)."""
+    import gzip
+    import json
+    with open(path, "rb") as f:
+        data = json.load(gzip.open(f))
+    events = data.get("traceEvents", [])
+    dev_pids = set()
+    op_tids = {}
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if (e.get("name") == "process_name"
+                and device_filter in e.get("args", {}).get("name", "")):
+            dev_pids.add(e.get("pid"))
+        if (e.get("name") == "thread_name"
+                and e.get("args", {}).get("name") == "XLA Ops"):
+            op_tids[e.get("pid")] = e.get("tid")
+    out: Dict[str, dict] = collections.defaultdict(
+        lambda: {"total_ps": 0, "count": 0, "category": "", "bytes": 0})
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        if op_tids.get(e.get("pid")) not in (None, e.get("tid")):
+            continue
+        args = e.get("args", {})
+        # strip the .NN hlo instruction suffix so repeated instances of the
+        # same op (scan iterations, CSE copies) aggregate together
+        name = e.get("name", "?")
+        base, dot, suf = name.rpartition(".")
+        if dot and suf.isdigit():
+            name = base
+        rec = out[name]
+        rec["total_ps"] += int(float(e.get("dur", 0)) * 1e6)
+        rec["count"] += 1
+        if not rec["category"]:
+            rec["category"] = args.get("hlo_category", "")
+        rec["bytes"] += int(args.get("bytes_accessed", 0) or 0)
+    return dict(out)
+
+
 def top_ops(logdir: str, n: int = 30,
             plane_filter: str = "TPU") -> List[dict]:
-    """Top-n ops by total device time from the newest trace in logdir."""
-    times = parse_xspace_op_times(latest_xplane(logdir), plane_filter)
-    rows = [{"op": k, "ms": v["total_ps"] / 1e9, "count": v["count"]}
+    """Top-n ops by total device time from the newest trace in logdir.
+    Prefers the xplane.pb planes; falls back to the Chrome-trace companion
+    when the xplane export carries no events (axon relay)."""
+    try:
+        times = parse_xspace_op_times(latest_xplane(logdir), plane_filter)
+    except FileNotFoundError:
+        times = {}
+    if not times:
+        times = parse_trace_json_op_times(latest_trace_json(logdir),
+                                          plane_filter)
+    rows = [{"op": k, "ms": v["total_ps"] / 1e9, "count": v["count"],
+             **({"category": v["category"], "bytes": v["bytes"]}
+                if "category" in v else {})}
             for k, v in times.items()]
     rows.sort(key=lambda r: -r["ms"])
     return rows[:n]
+
+
+def category_summary(logdir: str,
+                     plane_filter: str = "TPU") -> List[dict]:
+    """Total device ms per hlo_category — the phase-attribution view."""
+    times = parse_trace_json_op_times(latest_trace_json(logdir),
+                                      plane_filter)
+    agg: Dict[str, dict] = collections.defaultdict(
+        lambda: {"ms": 0.0, "count": 0, "bytes": 0})
+    for v in times.values():
+        c = v["category"] or "?"
+        agg[c]["ms"] += v["total_ps"] / 1e9
+        agg[c]["count"] += v["count"]
+        agg[c]["bytes"] += v["bytes"]
+    rows = [{"category": k, **{kk: (round(vv, 2) if kk == "ms" else vv)
+                               for kk, vv in v.items()}}
+            for k, v in agg.items()]
+    rows.sort(key=lambda r: -r["ms"])
+    return rows
