@@ -145,6 +145,7 @@ def test_int8_attention_seg_and_mask():
     assert float(jnp.linalg.norm(gm - wm) / jnp.linalg.norm(wm)) < 0.01
 
 
+@pytest.mark.heavy
 def test_streaming_kernel_matches_oneshot_math():
     """M > ONESHOT_MAX_M dispatches the kv-streaming online-softmax kernel;
     outputs must match the XLA oracle in every mode (bf16, masked cross,

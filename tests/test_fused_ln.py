@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from viditq_tpu.kernels.fused_matmul import ln_modulate_quantize
@@ -99,6 +100,7 @@ def test_matmul_residual_gate_epilogue():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_stdit_block_epilogue_fallback_matches_external_add():
     """On the non-fused (CPU/simulate) path the epilogue applies in XLA —
     the block must equal the round-start external-residual math."""

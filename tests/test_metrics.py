@@ -1,6 +1,7 @@
 """Quality metric tests."""
 
 import numpy as np
+import pytest
 
 from viditq_tpu.utils.metrics import (
     frame_mse, motion_magnitude, psnr, quality_report, temporal_consistency)
@@ -25,6 +26,7 @@ def test_basic_metrics():
                         "mse_vs_fp", "psnr_vs_fp"}
 
 
+@pytest.mark.heavy
 def test_clip_scorer_and_sensitivity_metric():
     """ClipScorer plumbing (config-built tiny CLIP — no weights in this
     image) end-to-end on image + video inputs, and the

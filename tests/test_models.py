@@ -45,6 +45,7 @@ def stdit_inputs(B=2):
     return x, t, y, mask
 
 
+@pytest.mark.heavy
 def test_stdit_fp_forward_shapes():
     model = tiny_stdit()
     x, t, y, mask = stdit_inputs()

@@ -308,6 +308,7 @@ def test_native_pack_honors_adaround_alphas():
     assert (codes != nearest).any()
 
 
+@pytest.mark.heavy
 def test_cb_qkv_share_pooled_tables_and_quality():
     """SmoothQuantSpec.qkv_share_cs: q/k/v pool one balancing scale (the
     upstream fused-qkv granularity, blocks.py:143), the parent-scope
@@ -385,6 +386,7 @@ def test_cb_qkv_share_pooled_tables_and_quality():
     assert rels[True] < rels[False] * 1.25 + 0.01, rels
 
 
+@pytest.mark.heavy
 def test_cb_share_producer_bitexact_vs_unfused(monkeypatch):
     """With qkv_share_cs, the block's LN+modulate+quantize producer (1/cs
     folded into the adaLN vectors) and the gelu->fc2 handoff re-engage
