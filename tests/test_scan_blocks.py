@@ -262,3 +262,69 @@ def test_pixart_sigma_kv_compress_scan_matches_unrolled():
     v2 = sc2.init(jax.random.PRNGKey(0), x, t, y, mask)
     out2 = sc2.apply(v2, x, t, y, mask)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_mp_static_segments_match_gather():
+    """The static-segment union-MP runner (one denoise_range per union
+    span, tr_id pinned as a compile-time constant) computes the SAME
+    sampling trajectory as the single-scan gather runner — identical
+    packed variables, identical per-step bits, only static vs dynamic
+    timerange indexing."""
+    from viditq_tpu.pipelines.mixed_precision import build_mp_sampler_gather
+    from viditq_tpu.quant.native_pack import pack_native_weights
+    from viditq_tpu.quant.spec import SmoothQuantSpec
+    from viditq_tpu.samplers import IDDPM
+    from viditq_tpu.utils.config import QuantPlanConfig
+
+    sq = SmoothQuantSpec(enable=True,
+                         channel_wise_scale_type="momentum_act_max",
+                         alpha=(0.3, 0.5),
+                         timerange=((0, 500), (501, 1000)))
+    w4n = dataclasses.replace(W8, n_bits=4, mixed_precision=(4, 8))
+    base = LayerQuantSpec(weight=w4n, act=A8, smooth_quant=sq,
+                          backend="native")
+    plan = QuantPlanConfig(default_layer=base, fp_patterns=FP,
+                           mixed_precision=(4, 8))
+    res = plan.resolver()
+
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.standard_normal((1, 4, 4, 8, 8)), jnp.float32)
+    y_c = jnp.asarray(rng.standard_normal((1, 1, 8, 32)), jnp.float32)
+    y = jnp.concatenate([y_c, y_c * 0], axis=0)
+    mask = jnp.ones((1, 8), jnp.int32)
+    kw = dict(input_size=(4, 8, 8), in_channels=4, patch_size=(1, 2, 2),
+              hidden_size=64, depth=2, num_heads=4, caption_channels=32,
+              model_max_length=8, dtype=jnp.float32)
+
+    def ctor(r):
+        return STDiT(scan_blocks=True, resolver=r or (lambda n: None), **kw)
+
+    un = STDiT(scan_blocks=False, resolver=res, **kw)
+    v_un = dict(un.init(jax.random.PRNGKey(0), z, jnp.zeros((1,)), y[:1],
+                        mask, QuantCtx(mode="fp")))
+    for t_id in (100, 900):
+        _, muts = un.apply(
+            v_un, z, jnp.full((1,), float(t_id)), y[:1], mask,
+            QuantCtx(mode="sq_stat", t_id=jnp.asarray(t_id, jnp.int32)),
+            mutable=["quant", "qstats"])
+        v_un["quant"] = muts["quant"]
+        v_un["qstats"] = muts["qstats"]
+    v_un["quant"] = calibrate_weight_tables(v_un["params"], v_un["quant"],
+                                            res)
+    v_un["quant"] = pack_native_weights(v_un["params"], v_un["quant"], res)
+    v_sc = _stack_all(v_un, 2)
+
+    mp_weight = {"3-2": {"model.blocks.0.attn.q": 8,
+                         "model.blocks.0.mlp.fc1": 8},
+                 "1-0": {"model.blocks.0.attn.q": 4}}
+    sampler = IDDPM(num_sampling_steps=4, cfg_scale=4.0)
+
+    fn_g = build_mp_sampler_gather(ctor, sampler, plan, mp_weight, None,
+                                   static_segments=False)
+    fn_s = build_mp_sampler_gather(ctor, sampler, plan, mp_weight, None,
+                                   static_segments=True)
+    assert fn_g is not None and fn_s is not None
+    out_g = np.asarray(fn_g(v_sc, z, y, mask))
+    out_s = np.asarray(fn_s(v_sc, z, y, mask))
+    assert np.isfinite(out_s).all()
+    np.testing.assert_allclose(out_s, out_g, rtol=0, atol=1e-5)

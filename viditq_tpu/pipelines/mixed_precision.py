@@ -127,18 +127,27 @@ def _clean(name: str) -> str:
 def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
                             mp_weight_cfg: Mapping,
                             mp_act_cfg: Optional[Mapping],
-                            act_slot_map: Optional[np.ndarray] = None):
-    """Single-scan timestep-MP sampler (native backend).
+                            act_slot_map: Optional[np.ndarray] = None,
+                            static_segments: bool = False):
+    """Union-packed timestep-MP sampler (native backend).
 
-    Instead of one jitted scan per step range (build_mp_sampler's segmented
-    fallback — the reference's mutable per-step bit flip translated range-
-    wise, gaussian_diffusion.py:740-767), this path packs EVERY range's
+    Instead of one jitted scan per step range with in-jit repacking
+    (build_mp_sampler's segmented fallback — the reference's mutable
+    per-step bit flip translated range-wise,
+    gaussian_diffusion.py:740-767), this path packs EVERY range's
     per-layer bit allocation into the smooth-quant timerange axis: the
     union of the CB timeranges and the MP step ranges becomes the new
-    timerange partition, per-range int slabs are packed at that range's
-    bits (int8 codes regardless of bit width), and the runtime gathers
-    slab + effective scale/zp by tr_id — so the WHOLE sampler is one
-    compiled `lax.scan` with zero in-jit repacking.
+    timerange partition, and per-range int slabs are packed OFFLINE at
+    that range's bits (int8 codes regardless of bit width). Two runtime
+    strategies over the same packed variables:
+
+    * gather (default): the WHOLE sampler is one compiled `lax.scan`;
+      every layer gathers slab + effective scale/zp by a traced tr_id.
+    * static_segments=True: one `denoise_range` scan per union span with
+      the span's timerange id pinned as a compile-time constant
+      (QuantCtx.tr_static) — every per-timerange gather constant-folds to
+      a static slice, so the matmuls read the slabs in place. Costs one
+      compiled program per span; zero dynamic indexing in steady state.
 
     Returns None when the configs aren't representable on this path (non-
     native backend, static/sub-8-bit acts, varying act bits, CB disabled,
@@ -301,12 +310,40 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
             cache["prep_val"] = adapt(variables)
         return cache["prep_val"]
 
-    @jax.jit
-    def _sample(vs, z, y, mask, rng=None):
-        def model_apply(x, t, yy, mm, qctx):
-            return model.apply(vs, x, t, yy, mm, qctx=qctx)
-        return sampler.sample(model_apply, z, y, mask, sampler_type="ddim",
-                              qctx_factory=qf, rng=rng)
+    if static_segments:
+        # sampler step indices per union span, in SAMPLING order
+        # (descending t). Every step's original timestep lands in exactly
+        # one span because the spans partition [0, 1000].
+        tmap = np.asarray(sampler.schedule.timestep_map)
+        span_steps = []
+        for si in range(len(spans) - 1, -1, -1):
+            lo, hi = spans[si]
+            idx = [i for i in range(len(tmap) - 1, -1, -1)
+                   if lo <= int(tmap[i]) <= hi]
+            if idx:
+                span_steps.append((si, idx))
+
+        @jax.jit
+        def _sample(vs, z, y, mask, rng=None):
+            x2 = jnp.concatenate([z, z], axis=0)
+            for si, idx in span_steps:
+                def qf_span(t_id, step_idx, _si=si):
+                    base_ctx = qf(t_id, step_idx)
+                    return dataclasses.replace(base_ctx, tr_static=_si)
+                def model_apply(x, t, yy, mm, qctx):
+                    return model.apply(vs, x, t, yy, mm, qctx=qctx)
+                x2 = sampler.denoise_range(model_apply, x2, y, mask, idx,
+                                           qctx_factory=qf_span, rng=rng)
+            samples, _ = jnp.split(x2, 2, axis=0)
+            return samples
+    else:
+        @jax.jit
+        def _sample(vs, z, y, mask, rng=None):
+            def model_apply(x, t, yy, mm, qctx):
+                return model.apply(vs, x, t, yy, mm, qctx=qctx)
+            return sampler.sample(model_apply, z, y, mask,
+                                  sampler_type="ddim",
+                                  qctx_factory=qf, rng=rng)
 
     def run(variables, z, y, mask, rng=None):
         vs = prepare(variables, z, y, mask)
@@ -323,7 +360,8 @@ def build_mp_sampler(model_ctor, sampler: IDDPM, plan,
                      mp_act_cfg: Optional[Mapping],
                      act_slot_map: Optional[np.ndarray] = None,
                      native_repack: Optional[bool] = None,
-                     force_segmented: bool = False):
+                     force_segmented: bool = False,
+                     static_segments: Optional[bool] = None):
     """Build a reusable jitted MP sampler: fn(variables, z, y, mask, rng).
 
     The whole range chain traces ONCE into a single XLA computation (each
@@ -346,9 +384,14 @@ def build_mp_sampler(model_ctor, sampler: IDDPM, plan,
     `variables["quant"]` must carry the native slots (calibrated + packed
     once at the plan's base bits)."""
     if not force_segmented:
+        if static_segments is None:
+            import os
+            static_segments = os.environ.get(
+                "VIDITQ_MP_STATIC_SEGMENTS", "1") == "1"
         run = build_mp_sampler_gather(model_ctor, sampler, plan,
                                       mp_weight_cfg, mp_act_cfg,
-                                      act_slot_map=act_slot_map)
+                                      act_slot_map=act_slot_map,
+                                      static_segments=static_segments)
         if run is not None:
             return run
     segments = _build_segments(model_ctor, sampler, plan,

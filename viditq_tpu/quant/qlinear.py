@@ -66,6 +66,13 @@ class QuantCtx:
     # qdiff/utils.py:72,446 DataSaverHook / GetLayerInOut) — used by
     # sweep-alpha, smooth-quant-list and AdaRound data collection.
     capture: bool = flax.struct.field(pytree_node=False, default=False)
+    # STATIC timerange pin: when a sampler segment runs entirely inside one
+    # smooth-quant timerange (mixed_precision.build_mp_sampler static
+    # mode), setting this compile-time constant folds every per-timerange
+    # dynamic_index gather (weight slabs, cb/act tables) into a static
+    # slice — XLA reads the slab in place instead of copying it per step.
+    tr_static: Optional[int] = flax.struct.field(pytree_node=False,
+                                                 default=None)
     rng: Optional[jnp.ndarray] = None
 
 
@@ -131,12 +138,22 @@ def cbshare_inv_cs(module, child_rel: str,
     if smooth.n_timerange == 1:
         cs = var.value[0]
     else:
-        tr_map = jnp.asarray(timerange_lookup(smooth))
-        tr_id = tr_map[jnp.clip(qctx.t_id, 0, 1000)]
+        tr_id = resolve_tr_id(smooth, qctx)
         cs = jax.lax.dynamic_index_in_dim(var.value, tr_id, 0, False)
     # uncalibrated rows are 0: treat as identity (matches qlinear's gather)
     cs = jnp.where(cs > 0, cs, 1.0)
     return 1.0 / cs
+
+
+def resolve_tr_id(smooth: SmoothQuantSpec,
+                  qctx: Optional[QuantCtx]) -> jnp.ndarray:
+    """Timerange id for this call: the static pin when the qctx carries
+    one (constant-folds downstream gathers), else the dynamic lookup of
+    qctx.t_id through the timerange table."""
+    if qctx is not None and qctx.tr_static is not None:
+        return jnp.asarray(qctx.tr_static, jnp.int32)
+    tr_map = jnp.asarray(timerange_lookup(smooth))
+    return tr_map[jnp.clip(qctx.t_id, 0, 1000)]
 
 
 def timerange_lookup(smooth: SmoothQuantSpec) -> np.ndarray:
@@ -454,10 +471,10 @@ class QuantLinear(nn.Module):
         mode = qctx.mode
         assert mode in MODES, mode
 
-        # ---- timerange id (dynamic gather over a static table) ----
+        # ---- timerange id (dynamic gather over a static table, or the
+        # qctx's compile-time pin — resolve_tr_id) ----
         if smooth.enable:
-            tr_map = jnp.asarray(timerange_lookup(smooth))
-            tr_id = tr_map[jnp.clip(qctx.t_id, 0, 1000)]
+            tr_id = resolve_tr_id(smooth, qctx)
         else:
             tr_id = jnp.zeros((), jnp.int32)
 
