@@ -6,6 +6,7 @@ scales, so exact equality is not expected at batch>1)."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 

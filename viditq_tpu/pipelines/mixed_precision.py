@@ -291,24 +291,75 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
                                          dict(tmpl["qstats"]))
         return out
 
+    n_tr_u = len(spans)
+    frozen = new_smooth.frozen_tr0_weights
+    # timerange-stacked quant leaves, tr axis counted from the END of the
+    # shape so block-scanned stacks ([L, n_tr, ...]) and unrolled leaves
+    # ([n_tr, ...]) both resolve: w_int [.., n_tr, rows, F], the per-tr
+    # row tables [.., n_tr, 1, F], the channel tables [.., n_tr, C]
+    _TR_AX_FROM_END = {"w_int": 3, "w_colsum": 3, "w_mp_scale": 3,
+                       "w_mp_zp": 3, "act_scale": 2, "cb_scale": 2}
+
+    def _slice_span(quant, si):
+        """Pre-slice every timerange-stacked quant leaf to union span si
+        (keepdims). Done OUTSIDE the jit: a tr-slab slice inside the scan
+        body feeds the Pallas matmul custom call as a fresh [rows, F]
+        buffer — an HBM copy of the layer's weights EVERY STEP (the
+        round-4 'timestep-MP overhead mystery': +6.4 ms/block e2e on
+        Latte, +75 ms/step on STDiT t20). Sliced offline, the in-module
+        gather (tr_static pinned to 0) is a full-extent slice XLA folds
+        into the operand read — zero steady-state copies, same total HBM
+        as the stacked original."""
+        flat = traverse_util.flatten_dict(dict(quant))
+        out = {}
+        for path, v in flat.items():
+            name = path[-1]
+            ax = None
+            if name in _TR_AX_FROM_END:
+                ax = v.ndim - _TR_AX_FROM_END[name]
+            elif name.startswith("cbshare__"):
+                ax = v.ndim - 2
+            elif name in ("w_delta", "w_zp") and not frozen:
+                # corrected per-tr weight tables: [.., n_bitwidth, n_tr,
+                # 1, F]. Under frozen_tr0_weights (the default) the module
+                # reads index 0 = tr0 directly, so they must stay whole.
+                ax = v.ndim - 3
+            if (ax is not None and 0 <= ax < v.ndim
+                    and v.shape[ax] == n_tr_u):
+                v = jax.lax.slice_in_dim(v, si, si + 1, axis=ax)
+            out[path] = v
+        return traverse_util.unflatten_dict(out)
+
     def prepare(variables, z, y, mask):
+        if isinstance(variables, tuple):
+            return variables  # already per-span prepared (static mode)
         tmpl = _template(z, y, mask)
         # already-adapted variables pass through (shapes match the union
         # template); base-plan variables are adapted once and memoized so
         # repeated run() calls don't re-pack the slabs
         src_q = variables.get("quant")
+        vs = None
         if src_q is not None:
             flat_src = traverse_util.flatten_dict(dict(src_q))
             flat_tmp = traverse_util.flatten_dict(dict(tmpl["quant"]))
             if all(tuple(flat_src.get(p, jnp.zeros(())).shape)
                    == tuple(sd.shape) for p, sd in flat_tmp.items()):
-                return variables
+                vs = variables
         # key on the object itself (held strongly), not id(): a freed
         # dict's id can be reused and would return stale packed slabs
-        if cache.get("prep_src") is not variables:
-            cache["prep_src"] = variables
-            cache["prep_val"] = adapt(variables)
-        return cache["prep_val"]
+        if vs is None:
+            if cache.get("prep_src") is not variables:
+                cache["prep_src"] = variables
+                cache["prep_val"] = adapt(variables)
+            vs = cache["prep_val"]
+        if not static_segments:
+            return vs
+        if cache.get("span_src") is not vs:
+            cache["span_src"] = vs
+            cache["span_val"] = tuple(
+                {**vs, "quant": _slice_span(vs["quant"], si)}
+                for si in range(n_tr_u))
+        return cache["span_val"]
 
     if static_segments:
         # sampler step indices per union span, in SAMPLING order
@@ -324,14 +375,21 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
                 span_steps.append((si, idx))
 
         @jax.jit
-        def _sample(vs, z, y, mask, rng=None):
+        def _sample(vs_spans, z, y, mask, rng=None):
             x2 = jnp.concatenate([z, z], axis=0)
             for si, idx in span_steps:
-                def qf_span(t_id, step_idx, _si=si):
+                # the span's variables are PRE-SLICED to its timerange
+                # (prepare/_slice_span), so the pinned id is 0: the
+                # in-module gather is a full-extent slice (a bitcast),
+                # never a per-step slab copy
+                vs = vs_spans[si]
+
+                def qf_span(t_id, step_idx):
                     base_ctx = qf(t_id, step_idx)
-                    return dataclasses.replace(base_ctx, tr_static=_si)
-                def model_apply(x, t, yy, mm, qctx):
-                    return model.apply(vs, x, t, yy, mm, qctx=qctx)
+                    return dataclasses.replace(base_ctx, tr_static=0)
+
+                def model_apply(x, t, yy, mm, qctx, _vs=vs):
+                    return model.apply(_vs, x, t, yy, mm, qctx=qctx)
                 x2 = sampler.denoise_range(model_apply, x2, y, mask, idx,
                                            qctx_factory=qf_span, rng=rng)
             samples, _ = jnp.split(x2, 2, axis=0)
