@@ -46,6 +46,26 @@ def _timer(n_warm=1, reps=3):
     return bench
 
 
+def _maybe_profile(tag, fn, *args):
+    """VIDITQ_PROFILE=1: trace ONE steady-state call of `fn` and print the
+    top device ops (utils/xplane parser) — attributes where a weak arm's
+    time goes without a separate harness per model."""
+    if os.environ.get("VIDITQ_PROFILE") != "1":
+        return
+    import tempfile
+    import jax
+    logdir = tempfile.mkdtemp(prefix=f"viditq_prof_{tag}_")
+    with jax.profiler.trace(logdir):
+        fn(*args).block_until_ready()
+    from viditq_tpu.utils.xplane import top_ops
+    rows = top_ops(logdir, n=int(os.environ.get("VIDITQ_PROFILE_N", "30")))
+    total = sum(r["ms"] for r in rows)
+    print(json.dumps({"profile": tag, "top_total_ms": round(total, 2)}))
+    for r in rows:
+        print(json.dumps({"op": r["op"][:110], "ms": round(r["ms"], 3),
+                          "count": r["count"]}), flush=True)
+
+
 def _build_variables(model, resolver, init_args, jax, jnp):
     """Random-param init + weight-table calibration + native packing, all
     jitted (constant-folding the calibration is pathologically slow)."""
@@ -410,6 +430,8 @@ def arm_sigma1024():
         "speedup": round(t_fp / t_q, 3),
         "rel_err_vs_bf16": round(rel, 4),
     }))
+    _maybe_profile("sigma_bf16", fp_fwd, fp_vars, x)
+    _maybe_profile("sigma_q", q_fwd, q_vars, x)
 
 
 def arm_latte():
@@ -592,6 +614,8 @@ def arm_mmdit():
         "speedup": round(t_fp / t_q, 3),
         "rel_err_vs_bf16": round(rel, 4),
     }))
+    _maybe_profile("mmdit_bf16", fp_fwd, fp_vars, x)
+    _maybe_profile("mmdit_q", q_fwd, q_vars, x)
 
 
 ARMS = {"w4a8": arm_w4a8, "t20mp": arm_t20mp, "sigma1024": arm_sigma1024,
