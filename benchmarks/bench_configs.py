@@ -631,9 +631,18 @@ def main(names):
         jax.config.update("jax_platforms", plat.split(",")[0])
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    rc = 0
     for n in names or list(ARMS):
         print(f"=== {n} ===", file=sys.stderr, flush=True)
-        ARMS[n]()
+        try:
+            ARMS[n]()
+        except Exception:
+            # one arm's device fault (OOM, transient TPU error) must not
+            # void the remaining arms' measurements
+            import traceback
+            traceback.print_exc()
+            rc = 1
+    sys.exit(rc)
 
 
 if __name__ == "__main__":
