@@ -48,6 +48,13 @@ def main():
         "qk_only": dict(diag="qk_only"),
         "blockb2": dict(block_b=2),
         "blockb4": dict(block_b=4),
+        # q-tile sweep: the default 256 is the SPATIAL VMEM optimum; the
+        # cross site's kv block is tiny ([128, C]), so much larger q tiles
+        # fit and amortize the per-grid-step per-head op overhead (the
+        # round-5 profile shows cross at ~15x its MXU-ideal time)
+        "bq512": dict(block_q=512),
+        "bq1024": dict(block_q=1024),
+        "bq2048": dict(block_q=2048),
     }
 
     def _force(out):
@@ -64,20 +71,30 @@ def main():
         for aname, kw in arms.items():
             if kw.get("block_b", 1) > sh["b"]:
                 continue
+            bq = kw.get("block_q")
+            if bq is not None and (sh["n"] % bq
+                                   or (sh["seg"] and bq % sh["seg"])):
+                continue
 
             def mk_fn(iters, kw=kw):
+                kw = dict(kw)
+                bq = kw.pop("block_q", None)
+
                 @jax.jit
                 def f(q, k, v):
                     def body(i, carry):
                         q, k, v = carry
                         o = _attention_bnhd_impl(
-                            q, k, v, mask, D ** -0.5, sh["seg"], None,
+                            q, k, v, mask, D ** -0.5, sh["seg"], bq,
                             False, False, **kw)
                         q = (q + 0.001 * o).astype(q.dtype)
                         # k/v must depend on the carry or LICM deletes
-                        # their per-iteration handling (BENCH_NOTES)
-                        k2 = (k + 0.0 * o).astype(k.dtype)
-                        v2 = (v + 0.0 * o).astype(v.dtype)
+                        # their per-iteration handling (BENCH_NOTES);
+                        # scalar dependency — o and k/v differ in shape at
+                        # the cross site (n != m)
+                        dep = 0.0 * o[0, 0, 0, 0]
+                        k2 = (k + dep).astype(k.dtype)
+                        v2 = (v + dep).astype(v.dtype)
                         return (q, k2, v2)
                     return jax.lax.fori_loop(0, iters, body, (q, k, v))[0]
                 return f
@@ -92,7 +109,12 @@ def main():
                 return best
 
             lo, hi = 8, 32
-            per = (t(mk_fn(hi), 50.0) - t(mk_fn(lo), 10.0)) / (hi - lo)
+            try:
+                per = (t(mk_fn(hi), 50.0) - t(mk_fn(lo), 10.0)) / (hi - lo)
+            except Exception as e:  # e.g. a bq arm over the VMEM budget
+                print(f"{sname:9s} {aname:10s} FAILED: "
+                      f"{str(e).splitlines()[0][:90]}", flush=True)
+                continue
             res[aname] = per * 1e3
             print(f"{sname:9s} {aname:10s} {per*1e3:7.3f} ms", flush=True)
         if "full" in res and "dots_only" in res:

@@ -302,14 +302,16 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
 
     def _slice_span(quant, si):
         """Pre-slice every timerange-stacked quant leaf to union span si
-        (keepdims). Done OUTSIDE the jit: a tr-slab slice inside the scan
-        body feeds the Pallas matmul custom call as a fresh [rows, F]
-        buffer — an HBM copy of the layer's weights EVERY STEP (the
-        round-4 'timestep-MP overhead mystery': +6.4 ms/block e2e on
-        Latte, +75 ms/step on STDiT t20). Sliced offline, the in-module
-        gather (tr_static pinned to 0) is a full-extent slice XLA folds
-        into the operand read — zero steady-state copies, same total HBM
-        as the stacked original."""
+        (keepdims). Done at PREPARE time, outside the sampling scan: a
+        tr-slab slice inside the scan body feeds the Pallas matmul custom
+        call as a fresh [rows, F] buffer — an HBM copy of the layer's
+        weights EVERY STEP (the round-4 'timestep-MP overhead mystery':
+        +6.4 ms/block e2e on Latte, +75 ms/step on STDiT t20). Sliced
+        offline, the in-module gather (tr_static pinned to 0) is a
+        full-extent slice XLA folds into the operand read — zero
+        steady-state copies. The slicing runs INSIDE adapt's jit so the
+        stacked union arrays are jit-internal temporaries; persisting
+        stacked + sliced doubled quant HBM and OOMed the XL t20 arm."""
         flat = traverse_util.flatten_dict(dict(quant))
         out = {}
         for path, v in flat.items():
@@ -330,6 +332,17 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
             out[path] = v
         return traverse_util.unflatten_dict(out)
 
+    @jax.jit
+    def adapt_spans(variables):
+        vs = adapt(variables)
+        return tuple({**vs, "quant": _slice_span(vs["quant"], si)}
+                     for si in range(n_tr_u))
+
+    @jax.jit
+    def slice_spans(vs):
+        return tuple({**vs, "quant": _slice_span(vs["quant"], si)}
+                     for si in range(n_tr_u))
+
     def prepare(variables, z, y, mask):
         if isinstance(variables, tuple):
             return variables  # already per-span prepared (static mode)
@@ -338,28 +351,26 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
         # template); base-plan variables are adapted once and memoized so
         # repeated run() calls don't re-pack the slabs
         src_q = variables.get("quant")
-        vs = None
+        matches = False
         if src_q is not None:
             flat_src = traverse_util.flatten_dict(dict(src_q))
             flat_tmp = traverse_util.flatten_dict(dict(tmpl["quant"]))
-            if all(tuple(flat_src.get(p, jnp.zeros(())).shape)
-                   == tuple(sd.shape) for p, sd in flat_tmp.items()):
-                vs = variables
-        # key on the object itself (held strongly), not id(): a freed
-        # dict's id can be reused and would return stale packed slabs
-        if vs is None:
+            matches = all(tuple(flat_src.get(p, jnp.zeros(())).shape)
+                          == tuple(sd.shape) for p, sd in flat_tmp.items())
+        if not static_segments:
+            if matches:
+                return variables
+            # key on the object itself (held strongly), not id(): a freed
+            # dict's id can be reused and would return stale packed slabs
             if cache.get("prep_src") is not variables:
                 cache["prep_src"] = variables
                 cache["prep_val"] = adapt(variables)
-            vs = cache["prep_val"]
-        if not static_segments:
-            return vs
-        if cache.get("span_src") is not vs:
-            cache["span_src"] = vs
-            cache["span_val"] = tuple(
-                {**vs, "quant": _slice_span(vs["quant"], si)}
-                for si in range(n_tr_u))
-        return cache["span_val"]
+            return cache["prep_val"]
+        if cache.get("prep_src") is not variables:
+            cache["prep_src"] = variables
+            cache["prep_val"] = (slice_spans(variables) if matches
+                                 else adapt_spans(variables))
+        return cache["prep_val"]
 
     if static_segments:
         # sampler step indices per union span, in SAMPLING order
