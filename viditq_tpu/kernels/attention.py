@@ -368,7 +368,10 @@ def _attn_stream_kernel(*refs, scale: float, n_heads: int, head_dim: int,
             o_ref[0] = of.astype(o_ref.dtype)
 
 
-def select_stream_blocks(n: int, m: int, c: int = 1152) -> "tuple[int, int]":
+def select_stream_blocks(n: int, m: int, c: int = 1152,
+                         emit_int8: bool = False, emit_sym: bool = True,
+                         need_rowsum: bool = False,
+                         v_int8_in: bool = False) -> "tuple[int, int]":
     """(block_q, block_kv) for the kv-streaming kernel: the largest
     power-of-two blocks (<=512 q rows / <=1024 kv rows) dividing the
     actual lengths whose estimated VMEM working set fits the budget —
@@ -376,17 +379,28 @@ def select_stream_blocks(n: int, m: int, c: int = 1152) -> "tuple[int, int]":
     smaller blocks instead of failing Mosaic compilation. At C=1152 the
     estimate reproduces the measured (512, 1024) optimum: q 1.2MB +
     k/v 2x2.4MB(x2 buf) + f32 acc 2.4MB + scores 2MB + stat tiles ~15.6MB.
+    int8 EMISSION adds the extra stat-output tiles (scale / zp / rowsum,
+    each padded to [bq, 128] f32 and double-buffered) minus the int8-
+    for-bf16 code-tile saving — at (512, 1024) the asym+rowsum variant
+    measured 532KB over Mosaic's 16MB scoped stack (round-5 queue-3
+    sigma1024 compile OOM), so it must down-select (512, 512).
     VIDITQ_STREAM_BQ / VIDITQ_STREAM_BKV override the caps (bench A/B)."""
     cap_q = int(os.environ.get("VIDITQ_STREAM_BQ", "512"))
     cap_kv = int(os.environ.get("VIDITQ_STREAM_BKV", "1024"))
     budget = float(os.environ.get("VIDITQ_STREAM_VMEM", "16e6"))
 
     def vmem(bq, bkv):
-        return (bq * c * 2          # q block, bf16
-                + 4 * bkv * c * 2   # k+v blocks, double-buffered, bf16
-                + bq * c * 4        # f32 PV accumulator scratch
-                + bq * bkv * 4      # f32 per-head score/e tile (live copy)
-                + 2 * bq * 128 * 4)  # running max/sum stat tiles
+        est = (bq * c * 2          # q block, bf16
+               + 2 * bkv * c * 2   # k blocks, double-buffered, bf16
+               + 2 * bkv * c * (1 if v_int8_in else 2)  # v blocks, x2 buf
+               + bq * c * 4        # f32 PV accumulator scratch
+               + bq * bkv * 4      # f32 per-head score/e tile (live copy)
+               + 2 * bq * 128 * 4)  # running max/sum stat tiles
+        if emit_int8:
+            n_stats = 1 + (0 if emit_sym else 1) + (1 if need_rowsum else 0)
+            est += 2 * n_stats * bq * 128 * 4  # stat out tiles, x2 buf
+            est -= bq * c                      # int8 code tile vs bf16 out
+        return est
 
     for bq in (512, 256, 128):
         if bq > cap_q or n % bq:
@@ -631,7 +645,9 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # kv blocks, everything else (layouts, int8 modes, emission)
         # identical to the one-shot kernel
         assert H <= 128, H
-        bq, bkv = select_stream_blocks(N, M, C)
+        bq, bkv = select_stream_blocks(
+            N, M, C, emit_int8=emit_int8, emit_sym=emit_sym,
+            need_rowsum=need_rowsum, v_int8_in=v_int8_in)
         assert bq and bkv, (N, M)
         grid = (B, N // bq, M // bkv)
         kernel = functools.partial(

@@ -262,6 +262,42 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
                                    qctx=QuantCtx(mode="fp")))
         return cache["tmpl"]
 
+    # the per-span BIG slots: everything whose union-stacked form is
+    # O(model weights) per timerange. All small per-tr tables (act_scale,
+    # cb_scale, w_delta, ...) stay union-stacked through calibration and
+    # are sliced afterwards.
+    _BIG = ("w_int", "w_colsum", "w_mp_scale", "w_mp_zp")
+
+    def _union_q(variables, tmpl, span_slots: bool):
+        """Base-plan quant leaves -> union-template layout. With
+        span_slots=True the BIG slots are declared with a length-1 tr axis
+        (to be filled by pack_native_weights(tr_only=...)) so the full
+        union stack never exists."""
+        src_q = traverse_util.flatten_dict(dict(variables.get("quant", {})))
+        new_q = {}
+        for path, sd in traverse_util.flatten_dict(
+                dict(tmpl.get("quant", {}))).items():
+            leaf = path[-1]
+            src = src_q.get(path)
+            if span_slots and leaf in _BIG:
+                ax = sd.ndim - _TR_AX_FROM_END[leaf]
+                shape = list(sd.shape)
+                shape[ax] = 1
+                new_q[path] = jnp.zeros(tuple(shape), sd.dtype)
+            elif leaf == "act_scale" and src is not None:
+                new_q[path] = jnp.take(src, cb_idx_arr, axis=src.ndim - 2)
+            elif src is not None and tuple(src.shape) == tuple(sd.shape):
+                new_q[path] = src
+            else:
+                new_q[path] = jnp.zeros(sd.shape, sd.dtype)
+        return traverse_util.unflatten_dict(new_q)
+
+    def _qstats_zero(tmpl, out):
+        if "qstats" in tmpl:
+            out["qstats"] = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                         dict(tmpl["qstats"]))
+        return out
+
     @jax.jit
     def adapt(variables):
         """Base-plan variables (CB timeranges) -> union-plan variables:
@@ -270,26 +306,10 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
         inputs — run once offline, reuse across sampler calls."""
         tmpl = cache["tmpl"]
         params = variables["params"]
-        src_q = traverse_util.flatten_dict(dict(variables.get("quant", {})))
-        new_q = {}
-        for path, sd in traverse_util.flatten_dict(
-                dict(tmpl.get("quant", {}))).items():
-            leaf = path[-1]
-            src = src_q.get(path)
-            if leaf == "act_scale" and src is not None:
-                new_q[path] = jnp.take(src, cb_idx_arr, axis=src.ndim - 2)
-            elif src is not None and tuple(src.shape) == tuple(sd.shape):
-                new_q[path] = src
-            else:
-                new_q[path] = jnp.zeros(sd.shape, sd.dtype)
-        q = traverse_util.unflatten_dict(new_q)
+        q = _union_q(variables, tmpl, span_slots=False)
         q = calibrate_weight_tables(params, q, resolver)
         q = pack_native_weights(params, q, resolver)
-        out = {"params": params, "quant": q}
-        if "qstats" in tmpl:
-            out["qstats"] = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                         dict(tmpl["qstats"]))
-        return out
+        return _qstats_zero(tmpl, {"params": params, "quant": q})
 
     n_tr_u = len(spans)
     frozen = new_smooth.frozen_tr0_weights
@@ -332,11 +352,24 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
             out[path] = v
         return traverse_util.unflatten_dict(out)
 
-    @jax.jit
-    def adapt_spans(variables):
-        vs = adapt(variables)
-        return tuple({**vs, "quant": _slice_span(vs["quant"], si)}
-                     for si in range(n_tr_u))
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def adapt_span(variables, si):
+        """One union span's adapted variables, without ever materializing
+        the union weight stack. BIG slots are declared with a length-1 tr
+        axis and packed at tr_only=si; the small per-tr tables are
+        calibrated union-whole (frozen-tr0 weight tables need timerange
+        0's CB fold regardless of si) and sliced at the end. Sequential
+        per-span calls keep peak HBM at base + one span (~8 GB on XL t20)
+        instead of base + stack + all slices (>11 GB, the queue-3 OOM)."""
+        tmpl = cache["tmpl"]
+        params = variables["params"]
+        q = _union_q(variables, tmpl, span_slots=True)
+        q = calibrate_weight_tables(params, q, resolver)
+        q = pack_native_weights(params, q, resolver, tr_only=si)
+        q = _slice_span(q, si)  # BIG slots are already length-1: no-op
+        return _qstats_zero(tmpl, {"params": params, "quant": q})
 
     @jax.jit
     def slice_spans(vs):
@@ -369,7 +402,8 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
         if cache.get("prep_src") is not variables:
             cache["prep_src"] = variables
             cache["prep_val"] = (slice_spans(variables) if matches
-                                 else adapt_spans(variables))
+                                 else tuple(adapt_span(variables, si)
+                                            for si in range(n_tr_u)))
         return cache["prep_val"]
 
     if static_segments:

@@ -78,9 +78,16 @@ def add_native_slots(quant_vars: Dict, params: Dict,
 
 
 def pack_native_weights(params: Dict, quant_vars: Dict,
-                        resolve: Callable[[str], Optional[LayerQuantSpec]]
-                        ) -> Dict:
-    """Fill w_int / w_colsum for every layer that declared them."""
+                        resolve: Callable[[str], Optional[LayerQuantSpec]],
+                        tr_only: Optional[int] = None) -> Dict:
+    """Fill w_int / w_colsum for every layer that declared them.
+
+    tr_only: pack ONLY this timerange index (the w_int/w_colsum/w_mp_*
+    slots must be declared with a length-1 tr axis). Used by the
+    static-segment MP sampler to build each union span's slab without ever
+    materializing the full [n_tr, rows, F] union stack in HBM — on
+    STDiT-XL t20 MP the full stack plus its per-span slices peaked >11 GB
+    inside one jit and OOMed a 16 GB v5e."""
     flat_q = traverse_util.flatten_dict(quant_vars)
     flat_p = traverse_util.flatten_dict(params)
     for layer_path in _layer_dirs(quant_vars, "w_int"):
@@ -103,6 +110,11 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
         # a declared slot at its init value (w_scale=1 → garbage output)
         has_mp_slot = layer_path + ("w_mp_scale",) in flat_q
         n_tr_slab = flat_q[layer_path + ("w_int",)].shape[1 if scanned else 0]
+        if tr_only is not None:
+            # span slots are length-1 but the mp_bits fill must index the
+            # FULL timerange axis (pack reads mp_bits[tr_only])
+            wd0 = flat_q[layer_path + ("w_delta",)]
+            n_tr_slab = wd0.shape[2 if scanned else 1]
 
         def norm_spec(s, _has=has_mp_slot, _ntr=n_tr_slab):
             w = s.weight
@@ -139,7 +151,8 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
                 # uniform specs: vmap the packing over the depth axis
                 def pack_one(k, wd, wz, a=None, al=None, c=None):
                     return _pack_layer(k, wd, wz, wspec, smooth, a,
-                                       pack4=pack4, w_alpha=al, cb=c)
+                                       pack4=pack4, w_alpha=al, cb=c,
+                                       tr_only=tr_only)
 
                 args = [kernel, wd_full, wz_full]
                 in_axes = [0, 0, 0]
@@ -161,7 +174,8 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
                                 pack4=pack4,
                                 w_alpha=None if w_alpha is None
                                 else w_alpha[d],
-                                cb=None if cb_full is None else cb_full[d])
+                                cb=None if cb_full is None else cb_full[d],
+                                tr_only=tr_only)
                     for d in range(kernel.shape[0])]
                 packed = tuple(jnp.stack([pb[i] for pb in per_block])
                                for i in range(len(per_block[0])))
@@ -174,7 +188,7 @@ def pack_native_weights(params: Dict, quant_vars: Dict,
         act_scale = flat_q.get(layer_path + ("act_scale",))
         packed = _pack_layer(kernel, wd_full, wz_full, wspec, smooth,
                              act_scale, pack4=pack4, w_alpha=w_alpha,
-                             cb=cb_full)
+                             cb=cb_full, tr_only=tr_only)
         flat_q[layer_path + ("w_int",)] = packed[0]
         flat_q[layer_path + ("w_colsum",)] = packed[1]
         if mp:
@@ -192,7 +206,8 @@ def _round_codes(w_eff, d, w_alpha):
 
 
 def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
-                pack4: bool = False, w_alpha=None, cb=None):
+                pack4: bool = False, w_alpha=None, cb=None,
+                tr_only: Optional[int] = None):
     """Quantize one [C_in, F] kernel into per-timerange int slabs + column
     sums. w_delta/w_zp: [n_bw, n_tr, 1, F] (full bit-axis tables). Full-
     native slabs are signed int8 (shifted codes); pack4 slabs hold two
@@ -211,7 +226,8 @@ def _pack_layer(kernel, w_delta, w_zp, wspec, smooth, act_scale,
     bits_tuple = wspec.bits_tuple
     mp = wspec.mp_bits is not None
     slabs, colsums, mp_scales, mp_zps = [], [], [], []
-    for tr in range(n_tr):
+    trs = range(n_tr) if tr_only is None else (tr_only,)
+    for tr in trs:
         bits = wspec.mp_bits[tr] if mp else wspec.n_bits
         bi = bits_tuple.index(bits)
         shift = float(2 ** (bits - 1))
