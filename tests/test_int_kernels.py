@@ -200,3 +200,122 @@ def test_quantize_rows_fused_gelu(sym):
     if not sym:
         np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]))
     np.testing.assert_allclose(np.asarray(got[3]), np.asarray(want[3]))
+
+
+def _sym_pack(w):
+    from viditq_tpu.kernels.int_matmul import pack_weight
+    wd = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+    return pack_weight(w, wd, jnp.zeros_like(wd), sym=True)
+
+
+def test_consumer_emit_gelu_parity():
+    """int8-emitting consumer epilogue (fc1 -> gelu -> tile row-quantize)
+    == the explicit chain: consumer matmul, approx_gelu, col_scale,
+    group-wise sym quantize (one scale per [row x block_n] tile)."""
+    from viditq_tpu.kernels.fused_matmul import int8_consumer_matmul
+    from viditq_tpu.kernels.int_matmul import (dynamic_quant_rows_ref,
+                                               int8_matmul_ref)
+    from viditq_tpu.models.layers import approx_gelu
+    rng = np.random.default_rng(3)
+    M, K, N, BN = 64, 256, 256, 128
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((N,)) * 0.1, jnp.float32)
+    cs = jnp.asarray(rng.uniform(0.5, 2.0, (N,)), jnp.float32)
+    packed = _sym_pack(w)
+    xq, xs, _, _ = dynamic_quant_rows_ref(x, sym=True)
+    out = int8_matmul_ref(xq, packed["w_q"], xs, jnp.zeros_like(xs),
+                          jnp.zeros_like(xs), packed["w_scale"],
+                          packed["w_zp"], packed["w_colsum"],
+                          out_dtype=jnp.float32) + bias
+    out = approx_gelu(out).astype(jnp.float32) * cs[None, :]
+    # group-wise oracle: per-row sym quantize of each BN-wide tile
+    G = N // BN
+    og = out.reshape(M, G, BN)
+    sc = jnp.maximum(jnp.max(jnp.abs(og), axis=-1) / 127.0, 1e-6)  # [M, G]
+    codes_want = jnp.clip(jnp.round(og / sc[..., None]), -128,
+                          127).reshape(M, N)
+    with pltpu.force_tpu_interpret_mode():
+        codes, scales = int8_consumer_matmul(
+            xq, xs, packed["w_q"], packed["w_scale"], bias=bias,
+            block_m=32, block_n=BN, emit={"gelu": True, "col_scale": cs})
+    assert codes.shape == (M, N) and scales.shape == (M, G)
+    np.testing.assert_allclose(np.asarray(scales), np.asarray(sc),
+                               rtol=1e-5)
+    # the kernel computes gelu in a different op order than XLA; allow
+    # off-by-one codes at tile boundaries of the rounding
+    diff = np.abs(np.asarray(codes, np.int32)
+                  - np.asarray(codes_want, np.int32))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.01, diff.max()
+
+
+def test_consumer_groupwise_scale_parity():
+    """Group-wise x_scale consumption (emitted codes in) == f32 oracle:
+    each k-block's partial sum dequantized by its group scale."""
+    from viditq_tpu.kernels.fused_matmul import int8_consumer_matmul
+    rng = np.random.default_rng(4)
+    M, K, N, G = 48, 256, 128, 2
+    codes = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    scales = jnp.asarray(rng.uniform(0.005, 0.05, (M, G)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    packed = _sym_pack(w)
+    bias = jnp.asarray(rng.standard_normal((N,)) * 0.1, jnp.float32)
+    cf = codes.astype(jnp.float32).reshape(M, G, K // G)
+    wf = (packed["w_q"].astype(jnp.float32)
+          * packed["w_scale"].reshape(1, -1))
+    part = jnp.einsum("mgk,gkn->mgn", cf,
+                      wf.reshape(G, K // G, N))
+    want = jnp.sum(part * scales[..., None], axis=1) + bias
+    with pltpu.force_tpu_interpret_mode():
+        got = int8_consumer_matmul(codes, scales, packed["w_q"],
+                                   packed["w_scale"], bias=bias,
+                                   out_dtype=jnp.float32,
+                                   block_m=16, block_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mlp_fc1_emission_model_parity(monkeypatch):
+    """Mlp with VIDITQ_EMIT_FC1: fc1's int8-emitting epilogue feeds fc2's
+    group-wise consumer. Must track the separate-producer path within
+    quantization noise (group scales are FINER than per-token, so the
+    emission path may only be more accurate, not less)."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+    from viditq_tpu.models.layers import Mlp
+    from viditq_tpu.quant.spec import LayerQuantSpec, QuantSpec
+    from viditq_tpu.quant.qlinear import QuantCtx
+    from viditq_tpu.quant.calibrate import calibrate_weight_tables
+    from viditq_tpu.quant.native_pack import pack_native_weights
+
+    monkeypatch.setenv("VIDITQ_FORCE_FUSED", "1")
+    W = QuantSpec(n_bits=8, granularity="channel", channel_axis=-1,
+                  sym=True)
+    A = QuantSpec(n_bits=8, granularity="token", dynamic=True, sym=True)
+    spec = LayerQuantSpec(weight=W, act=A, backend="native", impl="fused")
+    res = lambda n: spec
+    rng = np.random.default_rng(5)
+    C, H = 64, 256
+    x = jnp.asarray(rng.standard_normal((2, 24, C)), jnp.float32)
+    mlp = Mlp(hidden_features=H, out_features=C, resolver=res, prefix="mlp",
+              dtype=jnp.float32)
+    vs = dict(mlp.init(jax.random.PRNGKey(0), x, QuantCtx(mode="fp")))
+    vs["quant"] = calibrate_weight_tables(vs["params"], vs["quant"], res)
+    vs["quant"] = pack_native_weights(vs["params"], vs["quant"], res)
+    fp = mlp.apply(vs, x, QuantCtx(mode="fp"))
+    pre = dynamic_quant_rows_ref(x.reshape(-1, C), sym=True)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("VIDITQ_EMIT_FC1", "0")
+        out_prod = mlp.apply(vs, x, QuantCtx(mode="quant"), prequant=pre)
+        monkeypatch.setenv("VIDITQ_EMIT_FC1", "1")
+        out_emit = mlp.apply(vs, x, QuantCtx(mode="quant"), prequant=pre)
+
+    def rel(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return np.linalg.norm(a - b) / np.linalg.norm(b)
+
+    r_prod = rel(out_prod, fp)
+    r_emit = rel(out_emit, fp)
+    assert r_emit < max(r_prod * 1.25, 0.02), (r_emit, r_prod)
+    assert rel(out_emit, out_prod) < 0.02

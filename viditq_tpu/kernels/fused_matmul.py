@@ -95,6 +95,26 @@ def select_block_k(k: int, block_k: int) -> int:
     return block_k
 
 
+def emission_block_n(n: int, block_m: int = 512,
+                     block_k: int = 2304) -> int:
+    """N-block for the int8-emitting consumer epilogue: the row-quantize
+    needs the full tile in registers at the last k step, so the emitted
+    scale GROUP width == block_n — it must divide n exactly (no padded
+    group) and the f32 accumulator + int8 w/out tiles must fit VMEM.
+    Returns 0 when no lane-aligned divisor fits (caller falls back to the
+    separate producer pass). At fc1's [*, 1152] x [1152, 4608] this picks
+    1152 -> 4 groups (finer than the reference's per-token granularity)."""
+    for bn in range(min(n, 2304), 0, -128):
+        if n % bn:
+            continue
+        if (4 * block_m * bn          # f32 acc scratch
+                + 2 * block_k * bn    # int8 w blocks, x2 buffers
+                + 2 * block_m * bn    # int8 code tiles, x2 buffers
+                + 2 * block_m * block_k) <= 13_000_000:  # x blocks
+            return bn
+    return 0
+
+
 def _quantize_rows_f32(x, sym: bool):
     """Row-wise dynamic quant in f32 (reference dynamic per-token
     semantics); returns (q f32, scale, zp, rowsum?) with shifted-signed
@@ -295,30 +315,42 @@ def fused_dynq_int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
 
 def _consumer_kernel(*refs, k_size: int, n_k: int, sym: bool, sym_w: bool,
                      has_bias: bool, has_epi: bool, has_gate: bool,
-                     bpg: int = 1):
-    if has_epi and has_gate:
-        (xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref, wzp_ref, wcs_ref,
-         b_ref, res_ref, g_ref, o_ref, acc_ref) = refs
-    elif has_epi:
-        (xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref, wzp_ref, wcs_ref,
-         b_ref, res_ref, o_ref, acc_ref) = refs
+                     bpg: int = 1, gw_x: bool = False, emit: bool = False,
+                     emit_gelu: bool = False, has_ecs: bool = False):
+    refs = list(refs)
+    (xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref, wzp_ref, wcs_ref,
+     b_ref) = refs[:9]
+    rest = refs[9:]
+    ecs_ref = rest.pop(0) if has_ecs else None
+    res_ref = rest.pop(0) if has_epi else None
+    g_ref = rest.pop(0) if has_gate else None
+    if emit:
+        o_ref, os_ref, acc_ref = rest
     else:
-        (xq_ref, xs_ref, xzp_ref, xrs_ref, w_ref, ws_ref, wzp_ref, wcs_ref,
-         b_ref, o_ref, acc_ref) = refs
+        o_ref, acc_ref = rest
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jax.lax.dot_general(
+    p = jax.lax.dot_general(
         xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
+    if gw_x:
+        # GROUP-WISE act scales (one per k-block, from an int8-emitting
+        # producer epilogue): dequantize each group's partial sum as it
+        # lands — f32 accumulation, exact for sym acts x sym weights
+        acc_ref[:] += p.astype(jnp.float32) * xs_ref[:]
+    else:
+        acc_ref[:] += p
 
     @pl.when(k == n_k - 1)
     def _():
         acc = acc_ref[:].astype(jnp.float32)
-        if sym and sym_w:
+        if gw_x:
+            out = acc * ws_ref[:]
+        elif sym and sym_w:
             out = acc * (xs_ref[:] * ws_ref[:])
         elif sym:
             out = (acc - wzp_ref[:] * xrs_ref[:]) * (xs_ref[:] * ws_ref[:])
@@ -329,6 +361,22 @@ def _consumer_kernel(*refs, k_size: int, n_k: int, sym: bool, sym_w: bool,
             out = corrected * xs_ref[:] * ws_ref[:]
         if has_bias:
             out = out + b_ref[:]
+        if emit:
+            # int8-emitting epilogue (fc1 -> gelu -> row-quantize): the
+            # consumer's next input never round-trips HBM in bf16. Scales
+            # are PER (row x N-block) — group-wise, consumed by gw_x.
+            if emit_gelu:
+                out = 0.5 * out * (1.0 + jnp.tanh(
+                    _SQRT_2_OVER_PI * (out + 0.044715 * out ** 3)))
+            if has_ecs:
+                # consumer's smooth-quant 1/cs rescale (post-gelu)
+                out = out * ecs_ref[:]
+            absmax = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
+            scale = jnp.maximum(absmax * (1.0 / 127.0), 1e-6)
+            o_ref[:] = jnp.clip(jnp.round(out * (1.0 / scale)),
+                                -128, 127).astype(jnp.int8)
+            os_ref[:] = scale
+            return
         if has_epi:
             if has_gate:
                 rows = jax.lax.broadcasted_iota(jnp.int32, g_ref.shape, 0)
@@ -352,18 +400,41 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
                          block_n: Optional[int] = None,
                          block_k: int = 2304,
                          residual: Optional[jnp.ndarray] = None,
-                         gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                         gate: Optional[jnp.ndarray] = None,
+                         emit: Optional[dict] = None):
     """x_q: [M, K] int8 (+ per-row scales [M, 1]); w_q: [K, N] int8.
 
     Pure MXU work — the activation quantize already happened in a producer
     (shared q/k/v quantize, gelu+quantize pass, or an int8-emitting
     epilogue). sym mode (no x_zp) skips all corrections.
+
+    GROUP-WISE x_scale: [M, G] with G > 1 sets block_k = K // G and
+    dequantizes each k-block's partial sum by its group scale in f32 —
+    the consumer side of an int8-emitting producer epilogue (sym acts x
+    sym weights only). Per-token semantics are the G == 1 special case;
+    G > 1 is a strict granularity refinement.
+
+    emit: {'gelu': bool, 'col_scale': Optional[[N]]} — instead of a bf16
+    output, the epilogue applies tanh-GELU (+ the consumer's smooth-quant
+    1/cs) and row-quantizes each [block_m, block_n] tile to int8,
+    returning (codes [M, N] int8, scales [M, N // block_n]). Replaces the
+    separate quantize_rows_fused producer pass between fc1 and fc2
+    (saves a full [M, N] bf16 HBM write + read per MLP). Requires
+    N % block_n == 0 (use emission_block_n) and no residual/gate.
     """
     M, K = x_q.shape
     K2, N = w_q.shape
     assert K == K2
     sym = x_zp is None
     sym_w = w_zp is None
+    gw = x_scale.ndim == 2 and x_scale.shape[1] > 1
+    if gw:
+        assert sym and sym_w, "group-wise x_scale requires sym x sym"
+        assert K % x_scale.shape[1] == 0, (K, x_scale.shape)
+        block_k = K // x_scale.shape[1]
+    if emit is not None:
+        assert residual is None and gate is None, \
+            "int8 emission replaces the output epilogue"
     if sym and not sym_w:
         assert x_rowsum is not None, \
             "sym acts on asym weights need x_rowsum for the w_zp term"
@@ -372,11 +443,15 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
         # (sym weights have zp_w = 0 but their signed-code column sums are
         # not zero)
         assert w_colsum is not None, "asym acts require w_colsum"
+    if emit is not None and (block_n is None or N % block_n):
+        block_n = emission_block_n(N, block_m, min(block_k, K))
+        assert block_n, f"no emission block divides N={N}"
     block_m, block_n = select_mm_blocks(
         M, N, block_m, block_n,
         has_residual=residual is not None,
         gate_rows=None if gate is None else gate.shape[0])
-    block_k = select_block_k(K, block_k)
+    if not gw:
+        block_k = select_block_k(K, block_k)
     n_k = K // block_k
     Mp, Np = _round_up(M, block_m), _round_up(N, block_n)
     zeros = lambda r, c: jnp.zeros((r, c), jnp.float32)
@@ -410,12 +485,14 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
     grid = (Mp // block_m, Np // block_n, n_k)
     has_epi = residual is not None
     has_gate = gate is not None
+    has_ecs = emit is not None and emit.get("col_scale") is not None
     bpg = 1
     operands = [x_q, x_scale, x_zp, x_rowsum, w_q, w_scale, w_zp, w_colsum,
                 b]
     in_specs = [
         pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
-        pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
+        pl.BlockSpec((block_m, 1), (lambda i, j, k: (i, k)) if gw
+                     else (lambda i, j, k: (i, 0))),
         pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
         pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
         pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
@@ -424,6 +501,10 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
         pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
         pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
     ]
+    if has_ecs:
+        ecs = emit["col_scale"].reshape(1, -1).astype(jnp.float32)
+        operands.append(jnp.pad(ecs, ((0, 0), (0, Np - N))))
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)))
     if has_epi:
         residual = jnp.pad(residual, ((0, Mp - M), (0, Np - N)))
         operands.append(residual)
@@ -440,21 +521,42 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
                                          lambda i, j, k: (0, j)))
     kernel = functools.partial(_consumer_kernel, k_size=K, n_k=n_k, sym=sym,
                                sym_w=sym_w, has_bias=has_bias,
-                               has_epi=has_epi, has_gate=has_gate, bpg=bpg)
+                               has_epi=has_epi, has_gate=has_gate, bpg=bpg,
+                               gw_x=gw, emit=emit is not None,
+                               emit_gelu=bool(emit and emit.get("gelu")),
+                               has_ecs=has_ecs)
+    acc_dtype = jnp.float32 if gw else jnp.int32
+    cost = pl.CostEstimate(
+        flops=2 * Mp * Np * K,
+        bytes_accessed=(Mp * K + K * Np
+                        + Mp * Np * (1 if emit is not None
+                                     else np.dtype(out_dtype).itemsize)),
+        transcendentals=Mp * Np if emit is not None else 0)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary", "arbitrary"))
+    if emit is not None:
+        codes, scales = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((block_m, block_n),
+                                    lambda i, j, k: (i, j)),
+                       pl.BlockSpec((block_m, 1), lambda i, j, k: (i, j))],
+            out_shape=[jax.ShapeDtypeStruct((Mp, Np), jnp.int8),
+                       jax.ShapeDtypeStruct((Mp, Np // block_n),
+                                            jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), acc_dtype)],
+            compiler_params=params, cost_estimate=cost,
+        )(*operands)
+        return codes[:M], scales[:M]
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * Np * K,
-            bytes_accessed=(Mp * K + K * Np
-                            + Mp * Np * np.dtype(out_dtype).itemsize),
-            transcendentals=0),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), acc_dtype)],
+        compiler_params=params, cost_estimate=cost,
     )(*operands)
     return out[:M, :N]
 

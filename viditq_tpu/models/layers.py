@@ -93,10 +93,8 @@ class Mlp(nn.Module):
         out_features = self.out_features or x.shape[-1]
         kw = dict(dtype=self.dtype, token_layout=self.token_layout,
                   d_t=self.d_t, d_s=self.d_s)
+        spec1 = self.resolver(f"{self.prefix}.fc1")
         spec2 = self.resolver(f"{self.prefix}.fc2")
-        x = QuantLinear(self.hidden_features,
-                        lspec=self.resolver(f"{self.prefix}.fc1"),
-                        name="fc1", **kw)(x, qctx, prequant=prequant)
         # fused int8 dataflow: gelu + row-quantize in ONE bandwidth-bound
         # Pallas pass emitting int8 codes + scales (half the write bytes of
         # a bf16 gelu), consumed by fc2's pure-MXU kernel
@@ -110,7 +108,8 @@ class Mlp(nn.Module):
             # 1/cs folds into the producer's quantize with no sharing
             # deviation at all (declares the cbshare table; static gate)
             from viditq_tpu.quant.qlinear import cbshare_inv_cs
-            ics2 = cbshare_inv_cs(self, "fc2", spec2, qctx, x.shape[-1])
+            ics2 = cbshare_inv_cs(self, "fc2", spec2, qctx,
+                                  self.hidden_features)
         fused2 = (fused2_static
                   and (not spec2.smooth_quant.enable or ics2 is not None)
                   and qctx is not None and qctx.mode == "quant"
@@ -123,6 +122,36 @@ class Mlp(nn.Module):
                                                          quantize_rows_fused)
             fused2 = fused_available()
         if fused2:
+            # BEST path: fc1's consumer kernel emits gelu + row-quantized
+            # int8 codes straight from its epilogue (group-wise scales,
+            # one per N-tile — strictly finer than per-token), so the
+            # [M, hidden] bf16 intermediate never touches HBM at all
+            # (~0.7 ms/block of pure bandwidth on STDiT-XL 512 B=2).
+            # Requires sym acts x sym weights on fc2 (group-wise dequant
+            # has no zero-point correction) and fc1 on the consumer path.
+            import os
+            from viditq_tpu.kernels.fused_matmul import emission_block_n
+            emit1 = (os.environ.get("VIDITQ_EMIT_FC1", "1") == "1"
+                     and prequant is not None
+                     and spec2.act.sym
+                     and spec2.weight is not None and spec2.weight.sym
+                     and spec1 is not None and spec1.backend == "native"
+                     and spec1.impl == "fused" and not spec1.split
+                     and spec1.weight_quant and spec1.act_quant
+                     and spec1.act is not None and spec1.act.dynamic
+                     and spec1.act.n_bits == 8
+                     and emission_block_n(self.hidden_features) > 0)
+            if emit1:
+                pre = QuantLinear(self.hidden_features, lspec=spec1,
+                                  name="fc1", **kw)(
+                    x, qctx, prequant=prequant,
+                    emit={"gelu": True, "col_scale": ics2})
+                xh = pre[0].reshape(*x.shape[:-1], self.hidden_features)
+                return QuantLinear(out_features, lspec=spec2, name="fc2",
+                                   **kw)(xh, qctx, prequant=pre,
+                                         epilogue=epilogue)
+            x = QuantLinear(self.hidden_features, lspec=spec1,
+                            name="fc1", **kw)(x, qctx, prequant=prequant)
             pre = quantize_rows_fused(
                 x.reshape(-1, x.shape[-1]), sym=spec2.act.sym, gelu=True,
                 need_rowsum=not (spec2.weight is not None
@@ -131,6 +160,8 @@ class Mlp(nn.Module):
             return QuantLinear(out_features, lspec=spec2, name="fc2",
                                **kw)(x, qctx, prequant=pre,
                                      epilogue=epilogue)
+        x = QuantLinear(self.hidden_features, lspec=spec1,
+                        name="fc1", **kw)(x, qctx, prequant=prequant)
         x = approx_gelu(x)
         x = QuantLinear(out_features, lspec=spec2,
                         name="fc2", **kw)(x, qctx, epilogue=epilogue)

@@ -292,24 +292,38 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
                 new_q[path] = jnp.zeros(sd.shape, sd.dtype)
         return traverse_util.unflatten_dict(new_q)
 
-    def _qstats_zero(tmpl, out):
+    def _assemble(variables, q):
+        """Attach the caller's params (and one shared qstats zeros dict) to
+        a jit-produced quant collection HOST-SIDE. Returning params from
+        inside the jit would make XLA COPY the full bf16 weight set per
+        call — with one call per union span that duplicated ~1.3GB x
+        n_spans on the XL t20 arm and OOMed the 16GB v5e even after the
+        slabs themselves went per-span."""
+        tmpl = cache["tmpl"]
+        out = {"params": variables["params"], "quant": q}
         if "qstats" in tmpl:
-            out["qstats"] = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                         dict(tmpl["qstats"]))
+            if "qstats0" not in cache:
+                cache["qstats0"] = jax.jit(lambda: jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    dict(tmpl["qstats"])))()
+            out["qstats"] = cache["qstats0"]  # read-only in quant mode
         return out
 
     @jax.jit
-    def adapt(variables):
-        """Base-plan variables (CB timeranges) -> union-plan variables:
-        gather act stats per union range, recalibrate weight tables, pack
-        per-range slabs + effective MP dequant tables. Pure function of the
-        inputs — run once offline, reuse across sampler calls."""
+    def adapt_q(variables):
+        """Base-plan variables (CB timeranges) -> union-plan quant
+        collection: gather act stats per union range, recalibrate weight
+        tables, pack per-range slabs + effective MP dequant tables. Pure
+        function of the inputs — run once offline, reuse across sampler
+        calls."""
         tmpl = cache["tmpl"]
         params = variables["params"]
         q = _union_q(variables, tmpl, span_slots=False)
         q = calibrate_weight_tables(params, q, resolver)
-        q = pack_native_weights(params, q, resolver)
-        return _qstats_zero(tmpl, {"params": params, "quant": q})
+        return pack_native_weights(params, q, resolver)
+
+    def adapt(variables):
+        return _assemble(variables, adapt_q(variables))
 
     n_tr_u = len(spans)
     frozen = new_smooth.frozen_tr0_weights
@@ -355,25 +369,30 @@ def build_mp_sampler_gather(model_ctor, sampler: IDDPM, plan,
     import functools
 
     @functools.partial(jax.jit, static_argnums=1)
-    def adapt_span(variables, si):
-        """One union span's adapted variables, without ever materializing
-        the union weight stack. BIG slots are declared with a length-1 tr
-        axis and packed at tr_only=si; the small per-tr tables are
-        calibrated union-whole (frozen-tr0 weight tables need timerange
-        0's CB fold regardless of si) and sliced at the end. Sequential
-        per-span calls keep peak HBM at base + one span (~8 GB on XL t20)
-        instead of base + stack + all slices (>11 GB, the queue-3 OOM)."""
+    def adapt_span_q(variables, si):
+        """One union span's adapted quant collection, without ever
+        materializing the union weight stack. BIG slots are declared with
+        a length-1 tr axis and packed at tr_only=si; the small per-tr
+        tables are calibrated union-whole (frozen-tr0 weight tables need
+        timerange 0's CB fold regardless of si) and sliced at the end.
+        Sequential per-span calls keep peak HBM at base + one span
+        instead of base + stack + all slices (the queue-3 OOM)."""
         tmpl = cache["tmpl"]
         params = variables["params"]
         q = _union_q(variables, tmpl, span_slots=True)
         q = calibrate_weight_tables(params, q, resolver)
         q = pack_native_weights(params, q, resolver, tr_only=si)
-        q = _slice_span(q, si)  # BIG slots are already length-1: no-op
-        return _qstats_zero(tmpl, {"params": params, "quant": q})
+        return _slice_span(q, si)  # BIG slots are already length-1: no-op
 
-    @jax.jit
+    def adapt_span(variables, si):
+        return _assemble(variables, adapt_span_q(variables, si))
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def slice_span_q(vs, si):
+        return _slice_span(vs["quant"], si)
+
     def slice_spans(vs):
-        return tuple({**vs, "quant": _slice_span(vs["quant"], si)}
+        return tuple({**vs, "quant": slice_span_q(vs, si)}
                      for si in range(n_tr_u))
 
     def prepare(variables, z, y, mask):

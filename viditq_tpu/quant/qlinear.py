@@ -251,19 +251,24 @@ class QuantLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qctx: Optional[QuantCtx] = None,
-                 prequant=None, epilogue=None) -> jnp.ndarray:
+                 prequant=None, epilogue=None, emit=None):
         """`prequant`: optional (x_q int8 [M,K], scale, zp, rowsum) computed
         once by the parent for an input shared across sibling linears
         (q/k/v) — saves the redundant per-linear dynamic-quant passes in the
         native path. `epilogue`: optional (residual, gate) fused residual
-        add (see _quant_forward)."""
+        add (see _quant_forward). `emit`: optional {'gelu', 'col_scale'} —
+        the fused-consumer path returns (codes int8 [M, features],
+        group scales [M, G], None, None) from an int8-emitting epilogue
+        instead of a bf16 output (the caller feeds it to the next linear
+        as a group-wise prequant; see models/layers.Mlp). Only valid on
+        the prequant+fused native path in quant mode."""
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (in_features, self.features), self.param_dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            self.param_dtype) if self.use_bias else None)
         return self._quant_forward(x, kernel, bias, qctx, prequant,
-                                   epilogue)
+                                   epilogue, emit)
 
     def _epilogue_fusable(self, qctx) -> bool:
         """Whether the residual(+gate) epilogue runs inside the fused int8
@@ -291,7 +296,7 @@ class QuantLinear(nn.Module):
 
     def _quant_forward(self, x: jnp.ndarray, kernel: jnp.ndarray, bias,
                        qctx: Optional[QuantCtx], prequant=None,
-                       epilogue=None) -> jnp.ndarray:
+                       epilogue=None, emit=None):
         """The full quant pipeline over a 2D kernel [K, features] and inputs
         [..., K] — shared by QuantLinear and (via im2col) QuantConv.
 
@@ -300,6 +305,10 @@ class QuantLinear(nn.Module):
         caller's residual add `res + gate * out` fuses into the int8 matmul
         epilogue on the fused-native path (no HBM round trip of the raw
         projection output), and is applied identically in XLA otherwise."""
+        if emit is not None:
+            assert epilogue is None, "emit replaces the output epilogue"
+            return self._quant_core(x, kernel, bias, qctx, prequant,
+                                    None, emit)
         fused_epi = epilogue is not None and self._epilogue_fusable(qctx)
         out = self._quant_core(x, kernel, bias, qctx, prequant,
                                epilogue if fused_epi else None)
@@ -322,9 +331,16 @@ class QuantLinear(nn.Module):
 
     def _quant_core(self, x: jnp.ndarray, kernel: jnp.ndarray, bias,
                     qctx: Optional[QuantCtx], prequant=None,
-                    epilogue=None) -> jnp.ndarray:
+                    epilogue=None, emit=None):
         in_features = kernel.shape[0]
         lspec = self.lspec
+        if emit is not None and (lspec is None or qctx is None
+                                 or qctx.mode != "quant" or prequant is None
+                                 or lspec.backend != "native"
+                                 or lspec.impl != "fused"):
+            raise ValueError(
+                "emit requires the fused-native consumer path in quant "
+                "mode (the caller's gate must mirror the dispatch)")
         if lspec is None or (not lspec.weight_quant and not lspec.act_quant
                              and not lspec.smooth_quant.enable):
             return self._dense(x, kernel, bias)
@@ -579,6 +595,16 @@ class QuantLinear(nn.Module):
                 if lspec.impl == "fused" and fused_available():
                     from viditq_tpu.kernels.fused_matmul import \
                         int8_consumer_matmul
+                    if emit is not None:
+                        # int8-emitting epilogue: (codes, group scales) for
+                        # the NEXT consumer — the bf16 output never exists
+                        codes, scales = int8_consumer_matmul(
+                            x_qv, xs, packed["w_q"], packed["w_scale"],
+                            x_zp=xzp, x_rowsum=xrs,
+                            w_zp=None if wspec.sym else packed["w_zp"],
+                            w_colsum=packed["w_colsum"],
+                            bias=bias, out_dtype=self.dtype, emit=emit)
+                        return codes, scales, None, None
                     res2 = gate2 = None
                     if epilogue is not None:
                         res2 = epilogue[0].reshape(-1, self.features)
@@ -591,6 +617,10 @@ class QuantLinear(nn.Module):
                         bias=bias, out_dtype=self.dtype,
                         residual=res2, gate=gate2)
                     return out.reshape(*x.shape[:-1], self.features)
+                if emit is not None:
+                    raise ValueError(
+                        "emit requires the fused consumer kernel "
+                        "(fused_available() was false at dispatch)")
                 out = int8_matmul_ref(
                     x_qv, packed["w_q"], xs, xzp, xrs, packed["w_scale"],
                     packed["w_zp"], packed["w_colsum"],
