@@ -222,7 +222,17 @@ def main():
     # ---- HEADLINE: bf16 + sm8 (the historical winner) — measured FIRST so
     # the artifact exists before any enrichment compile can eat the budget.
     t_fp = bench(fp_denoise, fp_vars, "bf16")
-    t_q = bench(q_denoise, q_vars, "w8a8-fused-sm8")
+    try:
+        t_q = bench(q_denoise, q_vars, "w8a8-fused-sm8")
+    except Exception as e:
+        # the fc1 int8-emission epilogue is the newest kernel in this arm;
+        # a Mosaic regression there must cost the emission win, not the
+        # round's artifact — retrace with the kill-switch set
+        print(f"sm8 arm failed ({e}); retrying with VIDITQ_EMIT_FC1=0",
+              file=sys.stderr)
+        os.environ["VIDITQ_EMIT_FC1"] = "0"
+        q_denoise = make_denoise(model_q, y, mask, True)
+        t_q = bench(q_denoise, q_vars, "w8a8-fused-sm8-noemit")
 
     arms_ms = {"w8a8_tpu_fused_sm8": round(t_q * 1e3, 2)}
 

@@ -341,6 +341,8 @@ def arm_t20mp():
         "speedup": round(t_fp / t_mp, 3),
         "n_ranges": len([k for k in mp_w if k != "fp_layers"]),
     }))
+    _maybe_profile("t20mp_bf16", fp_denoise, fp_vars, z)
+    _maybe_profile("t20mp_mp", mp_run, z)
 
 
 def arm_sigma1024():
@@ -542,6 +544,8 @@ def arm_latte():
         "speedup": round(t_fp / t_mp, 3),
         "rel_err_vs_bf16": round(rel, 4),
     }))
+    _maybe_profile("latte_bf16", fp_denoise, fp_vars, z)
+    _maybe_profile("latte_mp", mp_run, z)
 
 
 def arm_mmdit():
