@@ -158,22 +158,15 @@ def test_attention_ok_dispatch_gate():
         del os.environ["VIDITQ_FORCE_ATTN_KERNEL"]
 
 
-def test_stream_blocks_emission_downselect():
-    """N=M=4096 C=1152 (PixArt-Σ 1024 self-attn under the int8-quantizing
-    attention plan): bf16 output keeps the measured (512, 1024) optimum,
-    but the asym+rowsum int8-emission variant measured 532KB OVER Mosaic's
-    16MB scoped stack there (round-5 queue-3 compile OOM) — the selector
-    must shrink a block dimension for it."""
+def test_stream_blocks_width_downselect():
+    """N=M=4096: C=1152 keeps the measured (512, 1024) optimum; a wider
+    model (C=2304) must down-select below it instead of failing Mosaic
+    compilation (round-4 ADVICE). int8 emission never reaches this
+    selector — streaming outputs quantize in a separate pass (the
+    emission stat tiles overflowed Mosaic's scoped stack unpredictably:
+    queue-3/4 compile OOMs)."""
     from viditq_tpu.kernels.attention import select_stream_blocks
     assert select_stream_blocks(4096, 4096, 1152) == (512, 1024)
-    bq, bkv = select_stream_blocks(4096, 4096, 1152, emit_int8=True,
-                                   emit_sym=False, need_rowsum=True)
-    assert bq and bkv and (bq, bkv) != (512, 1024), (bq, bkv)
-    # sym single-stat emission nets out (int8 code tile saving covers the
-    # one extra stat tile): keeps the full blocks
-    assert select_stream_blocks(4096, 4096, 1152,
-                                emit_int8=True) == (512, 1024)
-    # wider model (C=2304): even bf16 must down-select below (512, 1024)
     bq, bkv = select_stream_blocks(4096, 4096, 2304)
     assert bq and bkv and (bq, bkv) != (512, 1024), (bq, bkv)
 

@@ -369,8 +369,6 @@ def _attn_stream_kernel(*refs, scale: float, n_heads: int, head_dim: int,
 
 
 def select_stream_blocks(n: int, m: int, c: int = 1152,
-                         emit_int8: bool = False, emit_sym: bool = True,
-                         need_rowsum: bool = False,
                          v_int8_in: bool = False) -> "tuple[int, int]":
     """(block_q, block_kv) for the kv-streaming kernel: the largest
     power-of-two blocks (<=512 q rows / <=1024 kv rows) dividing the
@@ -379,28 +377,23 @@ def select_stream_blocks(n: int, m: int, c: int = 1152,
     smaller blocks instead of failing Mosaic compilation. At C=1152 the
     estimate reproduces the measured (512, 1024) optimum: q 1.2MB +
     k/v 2x2.4MB(x2 buf) + f32 acc 2.4MB + scores 2MB + stat tiles ~15.6MB.
-    int8 EMISSION adds the extra stat-output tiles (scale / zp / rowsum,
-    each padded to [bq, 128] f32 and double-buffered) minus the int8-
-    for-bf16 code-tile saving — at (512, 1024) the asym+rowsum variant
-    measured 532KB over Mosaic's 16MB scoped stack (round-5 queue-3
-    sigma1024 compile OOM), so it must down-select (512, 512).
-    VIDITQ_STREAM_BQ / VIDITQ_STREAM_BKV override the caps (bench A/B)."""
+    The kernel never emits int8 from this path — the emission stat tiles
+    overflowed Mosaic's scoped stack in ways this block model cannot
+    predict (queue-3/4: (512,1024) 532KB over, (512,512) 1.05M over), so
+    _attention_bnhd_impl quantizes streaming outputs in a separate
+    bandwidth pass instead. VIDITQ_STREAM_BQ / VIDITQ_STREAM_BKV override
+    the caps (bench A/B)."""
     cap_q = int(os.environ.get("VIDITQ_STREAM_BQ", "512"))
     cap_kv = int(os.environ.get("VIDITQ_STREAM_BKV", "1024"))
     budget = float(os.environ.get("VIDITQ_STREAM_VMEM", "16e6"))
 
     def vmem(bq, bkv):
-        est = (bq * c * 2          # q block, bf16
-               + 2 * bkv * c * 2   # k blocks, double-buffered, bf16
-               + 2 * bkv * c * (1 if v_int8_in else 2)  # v blocks, x2 buf
-               + bq * c * 4        # f32 PV accumulator scratch
-               + bq * bkv * 4      # f32 per-head score/e tile (live copy)
-               + 2 * bq * 128 * 4)  # running max/sum stat tiles
-        if emit_int8:
-            n_stats = 1 + (0 if emit_sym else 1) + (1 if need_rowsum else 0)
-            est += 2 * n_stats * bq * 128 * 4  # stat out tiles, x2 buf
-            est -= bq * c                      # int8 code tile vs bf16 out
-        return est
+        return (bq * c * 2          # q block, bf16
+                + 2 * bkv * c * 2   # k blocks, double-buffered, bf16
+                + 2 * bkv * c * (1 if v_int8_in else 2)  # v blocks, x2 buf
+                + bq * c * 4        # f32 PV accumulator scratch
+                + bq * bkv * 4      # f32 per-head score/e tile (live copy)
+                + 2 * bq * 128 * 4)  # running max/sum stat tiles
 
     for bq in (512, 256, 128):
         if bq > cap_q or n % bq:
@@ -645,17 +638,27 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # kv blocks, everything else (layouts, int8 modes, emission)
         # identical to the one-shot kernel
         assert H <= 128, H
-        bq, bkv = select_stream_blocks(
-            N, M, C, emit_int8=emit_int8, emit_sym=emit_sym,
-            need_rowsum=need_rowsum, v_int8_in=v_int8_in)
+        # int8 EMISSION is handled by an external quantize pass here, not
+        # the kernel epilogue: the emit variant's extra stat-output tiles
+        # overflow Mosaic's 16MB scoped stack at N=M=4096 C=1152 (queue-3:
+        # 532KB over at (512,1024); the (512,512) down-select measured
+        # WORSE, 1.05M over — Mosaic's scoped accounting does not follow
+        # the block model). At streaming sizes the separate pass costs
+        # ~2.5 bytes/elem of HBM (~35us at Σ-1024) — noise next to the
+        # attention itself, and the kernel keeps the proven bf16 shape.
+        stream_emit = emit_int8
+        if stream_emit:
+            emit_int8 = False
+        bq, bkv = select_stream_blocks(N, M, C, v_int8_in=v_int8_in)
         assert bq and bkv, (N, M)
         grid = (B, N // bq, M // bkv)
         kernel = functools.partial(
             _attn_stream_kernel, scale=scale, n_heads=H, head_dim=D,
             has_mask=kv_mask is not None, int8_pv=int8_pv,
-            v_int8_in=v_int8_in, emit_int8=emit_int8, emit_sym=emit_sym,
+            v_int8_in=v_int8_in, emit_int8=False, emit_sym=emit_sym,
             need_rowsum=need_rowsum,
-            out_col_scale=out_col_scale is not None, n_kv=M // bkv)
+            out_col_scale=(out_col_scale is not None
+                           and not stream_emit), n_kv=M // bkv)
         in_specs = [
             pl.BlockSpec((1, bq, C), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bkv, C), lambda b, i, j: (b, j, 0)),
@@ -670,7 +673,7 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             in_specs.append(pl.BlockSpec((1, 1, bkv),
                                          lambda b, i, j: (b, 0, j)))
             operands.append(kv_mask.astype(jnp.int32).reshape(B, 1, M))
-        if out_col_scale is not None:
+        if out_col_scale is not None and not stream_emit:
             in_specs.append(pl.BlockSpec((1, 1, C),
                                          lambda b, i, j: (0, 0, 0)))
             operands.append(
@@ -685,34 +688,21 @@ def _attention_bnhd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         scratch = [pltpu.VMEM((bq, C), jnp.float32),
                    pltpu.VMEM((bq, 128), jnp.float32),
                    pltpu.VMEM((bq, 128), jnp.float32)]
-        s1 = pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0))
-        if emit_int8:
-            out_specs = [pl.BlockSpec((1, bq, C),
-                                      lambda b, i, j: (b, i, 0)), s1]
-            out_shape = [jax.ShapeDtypeStruct((B, N, C), jnp.int8),
-                         jax.ShapeDtypeStruct((B, N, 1), jnp.float32)]
-            if not emit_sym:
-                out_specs.append(s1)
-                out_shape.append(jax.ShapeDtypeStruct((B, N, 1),
-                                                      jnp.float32))
-            if need_rowsum:
-                out_specs.append(s1)
-                out_shape.append(jax.ShapeDtypeStruct((B, N, 1),
-                                                      jnp.float32))
-            outs = list(pl.pallas_call(
-                kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
-                out_shape=out_shape, scratch_shapes=scratch,
-                compiler_params=params, cost_estimate=cost)(*operands))
-            codes, scales = outs.pop(0), outs.pop(0)
-            zp = None if emit_sym else outs.pop(0)
-            rowsum = outs.pop(0) if need_rowsum else None
-            return codes, scales, zp, rowsum
         out = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs,
             out_specs=pl.BlockSpec((1, bq, C), lambda b, i, j: (b, i, 0)),
             out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
             scratch_shapes=scratch,
             compiler_params=params, cost_estimate=cost)(*operands)
+        if stream_emit:
+            from viditq_tpu.kernels.fused_matmul import quantize_rows_fused
+            codes, scales, zp, rowsum = quantize_rows_fused(
+                out.reshape(B * N, C), sym=emit_sym,
+                need_rowsum=need_rowsum, col_scale=out_col_scale)
+            return (codes.reshape(B, N, C),
+                    scales.reshape(B, N, 1),
+                    None if zp is None else zp.reshape(B, N, 1),
+                    None if rowsum is None else rowsum.reshape(B, N, 1))
         return out.reshape(B, N, H, D)
     block_q = select_block_q(N, seg_len, block_q)
     grid = (B // block_b, N // block_q)
