@@ -22,6 +22,9 @@ VIDITQ_PROFILE=1 timeout 3600 python benchmarks/bench_configs.py t20mp >> $OUT 2
 echo "--- latte (params aliasing, profiled) ---" >> $OUT
 VIDITQ_PROFILE=1 timeout 3600 python benchmarks/bench_configs.py latte >> $OUT 2>&1
 
+echo "--- sigma1024 (streaming emission via external pass) ---" >> $OUT
+timeout 3600 python benchmarks/bench_configs.py sigma1024 >> $OUT 2>&1
+
 echo "--- w4a8 grid-search-Lp weight scales (quality ablation) ---" >> $OUT
 VIDITQ_W4A8_SCALE=grid_search_lp timeout 3600 python benchmarks/bench_configs.py w4a8 >> $OUT 2>&1
 
