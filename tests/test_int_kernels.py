@@ -239,9 +239,13 @@ def test_consumer_emit_gelu_parity():
         codes, scales = int8_consumer_matmul(
             xq, xs, packed["w_q"], packed["w_scale"], bias=bias,
             block_m=32, block_n=BN, emit={"gelu": True, "col_scale": cs})
-    assert codes.shape == (M, N) and scales.shape == (M, G)
-    np.testing.assert_allclose(np.asarray(scales), np.asarray(sc),
-                               rtol=1e-5)
+    # scales use the lane-padded [M, G*128] layout (scale broadcast
+    # across each group's 128-lane tile)
+    assert codes.shape == (M, N) and scales.shape == (M, G * 128)
+    np.testing.assert_allclose(np.asarray(scales[:, ::128]),
+                               np.asarray(sc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(scales[:, 5::128]),
+                               np.asarray(sc), rtol=1e-5)
     # the kernel computes gelu in a different op order than XLA; allow
     # off-by-one codes at tile boundaries of the rounding
     diff = np.abs(np.asarray(codes, np.int32)
@@ -257,6 +261,7 @@ def test_consumer_groupwise_scale_parity():
     M, K, N, G = 48, 256, 128, 2
     codes = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
     scales = jnp.asarray(rng.uniform(0.005, 0.05, (M, G)), jnp.float32)
+    scales_padded = jnp.repeat(scales, 128, axis=1)
     w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
     packed = _sym_pack(w)
     bias = jnp.asarray(rng.standard_normal((N,)) * 0.1, jnp.float32)
@@ -267,7 +272,7 @@ def test_consumer_groupwise_scale_parity():
                       wf.reshape(G, K // G, N))
     want = jnp.sum(part * scales[..., None], axis=1) + bias
     with pltpu.force_tpu_interpret_mode():
-        got = int8_consumer_matmul(codes, scales, packed["w_q"],
+        got = int8_consumer_matmul(codes, scales_padded, packed["w_q"],
                                    packed["w_scale"], bias=bias,
                                    out_dtype=jnp.float32,
                                    block_m=16, block_n=128)

@@ -339,9 +339,10 @@ def _consumer_kernel(*refs, k_size: int, n_k: int, sym: bool, sym_w: bool,
         preferred_element_type=jnp.int32)
     if gw_x:
         # GROUP-WISE act scales (one per k-block, from an int8-emitting
-        # producer epilogue): dequantize each group's partial sum as it
-        # lands — f32 accumulation, exact for sym acts x sym weights
-        acc_ref[:] += p.astype(jnp.float32) * xs_ref[:]
+        # producer epilogue; lane-padded [M, G*128] layout — Mosaic
+        # requires output lane dims of 128): dequantize each group's
+        # partial sum as it lands — f32 accumulation, exact for sym x sym
+        acc_ref[:] += p.astype(jnp.float32) * xs_ref[:, :1]
     else:
         acc_ref[:] += p
 
@@ -375,7 +376,9 @@ def _consumer_kernel(*refs, k_size: int, n_k: int, sym: bool, sym_w: bool,
             scale = jnp.maximum(absmax * (1.0 / 127.0), 1e-6)
             o_ref[:] = jnp.clip(jnp.round(out * (1.0 / scale)),
                                 -128, 127).astype(jnp.int8)
-            os_ref[:] = scale
+            # scale broadcast across the 128-lane tile (Mosaic rejects
+            # 1-lane output blocks unless they span the whole array)
+            os_ref[:] = jnp.broadcast_to(scale, os_ref.shape)
             return
         if has_epi:
             if has_gate:
@@ -408,19 +411,22 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
     (shared q/k/v quantize, gelu+quantize pass, or an int8-emitting
     epilogue). sym mode (no x_zp) skips all corrections.
 
-    GROUP-WISE x_scale: [M, G] with G > 1 sets block_k = K // G and
-    dequantizes each k-block's partial sum by its group scale in f32 —
-    the consumer side of an int8-emitting producer epilogue (sym acts x
-    sym weights only). Per-token semantics are the G == 1 special case;
-    G > 1 is a strict granularity refinement.
+    GROUP-WISE x_scale: lane-padded [M, G*128] (each group's scale
+    broadcast across its 128-lane tile — Mosaic rejects 1-lane output
+    blocks) sets block_k = K // G and dequantizes each k-block's partial
+    sum by its group scale in f32 — the consumer side of an int8-emitting
+    producer epilogue (sym acts x sym weights only). Per-token semantics
+    are the G == 1 special case; G > 1 is a strict granularity
+    refinement.
 
     emit: {'gelu': bool, 'col_scale': Optional[[N]]} — instead of a bf16
     output, the epilogue applies tanh-GELU (+ the consumer's smooth-quant
     1/cs) and row-quantizes each [block_m, block_n] tile to int8,
-    returning (codes [M, N] int8, scales [M, N // block_n]). Replaces the
-    separate quantize_rows_fused producer pass between fc1 and fc2
-    (saves a full [M, N] bf16 HBM write + read per MLP). Requires
-    N % block_n == 0 (use emission_block_n) and no residual/gate.
+    returning (codes [M, N] int8, scales [M, (N // block_n) * 128] lane-
+    padded). Replaces the separate quantize_rows_fused producer pass
+    between fc1 and fc2 (saves a full [M, N] bf16 HBM write + read per
+    MLP). Requires N % block_n == 0 (use emission_block_n) and no
+    residual/gate.
     """
     M, K = x_q.shape
     K2, N = w_q.shape
@@ -430,8 +436,11 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
     gw = x_scale.ndim == 2 and x_scale.shape[1] > 1
     if gw:
         assert sym and sym_w, "group-wise x_scale requires sym x sym"
-        assert K % x_scale.shape[1] == 0, (K, x_scale.shape)
-        block_k = K // x_scale.shape[1]
+        assert x_scale.shape[1] % 128 == 0, \
+            "group scales use the lane-padded [M, G*128] layout"
+        n_groups = x_scale.shape[1] // 128
+        assert K % n_groups == 0, (K, n_groups)
+        block_k = K // n_groups
     if emit is not None:
         assert residual is None and gate is None, \
             "int8 emission replaces the output epilogue"
@@ -491,8 +500,8 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
                 b]
     in_specs = [
         pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
-        pl.BlockSpec((block_m, 1), (lambda i, j, k: (i, k)) if gw
-                     else (lambda i, j, k: (i, 0))),
+        pl.BlockSpec((block_m, 128), lambda i, j, k: (i, k)) if gw
+        else pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
         pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
         pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
         pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
@@ -541,9 +550,10 @@ def int8_consumer_matmul(x_q: jnp.ndarray, x_scale: jnp.ndarray,
             in_specs=in_specs,
             out_specs=[pl.BlockSpec((block_m, block_n),
                                     lambda i, j, k: (i, j)),
-                       pl.BlockSpec((block_m, 1), lambda i, j, k: (i, j))],
+                       pl.BlockSpec((block_m, 128),
+                                    lambda i, j, k: (i, j))],
             out_shape=[jax.ShapeDtypeStruct((Mp, Np), jnp.int8),
-                       jax.ShapeDtypeStruct((Mp, Np // block_n),
+                       jax.ShapeDtypeStruct((Mp, (Np // block_n) * 128),
                                             jnp.float32)],
             scratch_shapes=[pltpu.VMEM((block_m, block_n), acc_dtype)],
             compiler_params=params, cost_estimate=cost,
