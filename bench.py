@@ -225,14 +225,16 @@ def main():
     try:
         t_q = bench(q_denoise, q_vars, "w8a8-fused-sm8")
     except Exception as e:
-        # the fc1 int8-emission epilogue is the newest kernel in this arm;
-        # a Mosaic regression there must cost the emission win, not the
-        # round's artifact — retrace with the kill-switch set
-        print(f"sm8 arm failed ({e}); retrying with VIDITQ_EMIT_FC1=0",
-              file=sys.stderr)
+        # the fc1 int8-emission epilogue and the cross-attn bq=1024 tiles
+        # are the newest kernel configs in this arm; a Mosaic regression
+        # there must cost those wins, not the round's artifact — retrace
+        # with both kill-switches set
+        print(f"sm8 arm failed ({e}); retrying with VIDITQ_EMIT_FC1=0 "
+              f"VIDITQ_ATTN_CROSS_BQ=256", file=sys.stderr)
         os.environ["VIDITQ_EMIT_FC1"] = "0"
+        os.environ["VIDITQ_ATTN_CROSS_BQ"] = "256"
         q_denoise = make_denoise(model_q, y, mask, True)
-        t_q = bench(q_denoise, q_vars, "w8a8-fused-sm8-noemit")
+        t_q = bench(q_denoise, q_vars, "w8a8-fused-sm8-safe")
 
     arms_ms = {"w8a8_tpu_fused_sm8": round(t_q * 1e3, 2)}
 

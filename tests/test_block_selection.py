@@ -112,14 +112,16 @@ ATTN_ZOO = [
 @pytest.mark.parametrize("name,N,M,C,H,seg", ATTN_ZOO,
                          ids=[z[0] for z in ATTN_ZOO])
 def test_attention_block_q_zoo(name, N, M, C, H, seg):
-    bq = select_block_q(N, seg)
+    bq = select_block_q(N, seg, m=M)
     assert N % bq == 0
     if seg:
         assert bq % seg == 0, (bq, seg)
         assert bq <= max(seg, 256)
         bkv = bq                      # block-diagonal kv rides the q index
     else:
-        assert bq <= 256
+        # tiny-kv (cross) sites amortize per-step overhead with q tiles up
+        # to 1024 (round-5 sweep: 1.581 vs 1.997 ms); larger kv keeps 256
+        assert bq <= (1024 if M <= 256 else 256)
         bkv = M                       # full kv block
     for kw in (dict(), dict(v_int8=True), dict(emit_int8=True),
                dict(v_int8=True, emit_int8=True)):
