@@ -10,5 +10,11 @@ echo "=== round-5 queue6 $(date -u +%FT%TZ) ===" >> $OUT
 echo "--- block_bisect fused-allsym emit=1 (lane-padded scales) ---" >> $OUT
 VIDITQ_EMIT_FC1=1 timeout 1800 python benchmarks/block_bisect.py bf16 fused-allsym >> $OUT 2>&1
 
+echo "--- latte with pooled qkv CB (shared quantize producer) ---" >> $OUT
+VIDITQ_CB_SHARE=1 timeout 3600 python benchmarks/bench_configs.py latte >> $OUT 2>&1
+
+echo "--- w4a8 with pooled qkv CB ---" >> $OUT
+VIDITQ_CB_SHARE=1 timeout 3600 python benchmarks/bench_configs.py w4a8 >> $OUT 2>&1
+
 echo "=== round-5 queue6 done $(date -u +%FT%TZ) ===" >> $OUT
 tail -8 $OUT
