@@ -158,7 +158,7 @@ def arm_w4a8():
         plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
             d, weight=dataclasses.replace(d.weight,
                                           scale_method=scale_method)))
-    cb_share = os.environ.get("VIDITQ_CB_SHARE") == "1"
+    cb_share = os.environ.get("VIDITQ_CB_SHARE", "1") == "1"  # pooled-qkv CB: 1.071->1.16x, rel err unchanged (queue-6)
     if cb_share:
         d = plan.default_layer
         plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
@@ -285,7 +285,7 @@ def arm_t20mp():
     import dataclasses
     plan = load_quant_config(
         "configs/opensora/w4a8_timestep_aware_cb.yaml").with_backend("fused")
-    if os.environ.get("VIDITQ_CB_SHARE") == "1":
+    if os.environ.get("VIDITQ_CB_SHARE", "1") == "1":  # default on: queue-6 A/B
         d = plan.default_layer
         plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
             d, smooth_quant=dataclasses.replace(d.smooth_quant,
@@ -362,7 +362,7 @@ def arm_sigma1024():
     import dataclasses
     plan = load_quant_config(
         "configs/pixart_sigma/w4a8.yaml").with_backend("fused")
-    if os.environ.get("VIDITQ_CB_SHARE") == "1":
+    if os.environ.get("VIDITQ_CB_SHARE", "1") == "1":  # default on: queue-6 A/B
         d = plan.default_layer
         plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
             d, smooth_quant=dataclasses.replace(d.smooth_quant,
@@ -451,7 +451,7 @@ def arm_latte():
     import dataclasses
     plan = load_quant_config(
         "configs/opensora/w4a8_timestep_aware_cb.yaml").with_backend("fused")
-    if os.environ.get("VIDITQ_CB_SHARE") == "1":
+    if os.environ.get("VIDITQ_CB_SHARE", "1") == "1":  # default on: queue-6 A/B
         d = plan.default_layer
         plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
             d, smooth_quant=dataclasses.replace(d.smooth_quant,
