@@ -170,6 +170,16 @@ def arm_w4a8():
         plan = dataclasses.replace(
             plan, default_layer=dataclasses.replace(d, act_quant=False))
     midbits = int(os.environ.get("VIDITQ_W4A8_MIDBITS", "4"))
+    allsym = os.environ.get("VIDITQ_ALLSYM") == "1"
+    if allsym:
+        # TPU-native allocation variant: sym acts x sym weights drop every
+        # zero-point correction AND unlock the fc1 int8-emission epilogue
+        # (sym-only); quality trade measured small at XL (sym 0.0572 vs
+        # asym 0.0583 in-run, bench round-5)
+        d = plan.default_layer
+        plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
+            d, weight=dataclasses.replace(d.weight, sym=True),
+            act=dataclasses.replace(d.act, sym=True)))
     res = plan.resolver()
 
     from viditq_tpu.models.stdit import STDiT
@@ -253,6 +263,7 @@ def arm_w4a8():
         "qkv_share_cs": cb_share,
         "weights_only_floor": floor,
         "mid_range_bits": midbits,
+        "allsym": allsym,
         "single_scan": hasattr(mp_fn, "n_ranges"),
         "bf16_ms_per_step": round(t_fp * 1e3, 2),
         "w4a8_ms_per_step": round(t_q * 1e3, 2),
@@ -456,6 +467,12 @@ def arm_latte():
         plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
             d, smooth_quant=dataclasses.replace(d.smooth_quant,
                                                 qkv_share_cs=True)))
+    if os.environ.get("VIDITQ_ALLSYM") == "1":
+        # see arm_w4a8: sym x sym variant (emission + zp-free epilogues)
+        d = plan.default_layer
+        plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
+            d, weight=dataclasses.replace(d.weight, sym=True),
+            act=dataclasses.replace(d.act, sym=True)))
     res = plan.resolver()
 
     from viditq_tpu.models.dit import Latte
@@ -538,6 +555,7 @@ def arm_latte():
                 / jnp.linalg.norm(out_fp.astype(jnp.float32)))
     print(json.dumps({
         "arm": "latte_xl2_16x256x256_w4a8_timestep_mp",
+        "allsym": os.environ.get("VIDITQ_ALLSYM") == "1",
         "single_scan": hasattr(mp_fn, "n_ranges"),
         "bf16_ms_per_step": round(t_fp * 1e3, 2),
         "w4a8mp_ms_per_step": round(t_mp * 1e3, 2),
