@@ -378,6 +378,12 @@ def arm_sigma1024():
         plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
             d, smooth_quant=dataclasses.replace(d.smooth_quant,
                                                 qkv_share_cs=True)))
+    if os.environ.get("VIDITQ_ALLSYM") == "1":
+        # see arm_w4a8: sym x sym variant (emission + zp-free epilogues)
+        d = plan.default_layer
+        plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
+            d, weight=dataclasses.replace(d.weight, sym=True),
+            act=dataclasses.replace(d.act, sym=True)))
     res = plan.resolver()
     size = 16 if TINY else 128
     kw = dict(input_size=size, caption_channels=4096, model_max_length=300,
@@ -583,6 +589,13 @@ def arm_mmdit():
            if os.environ.get("VIDITQ_MMDIT_TXT_QUANT") == "1"
            else "configs/mmdit/w4a8_tpu_fused.yaml")
     plan = load_quant_config(cfg)
+    if os.environ.get("VIDITQ_ALLSYM") == "1":
+        # see arm_w4a8: sym x sym variant (emission + zp-free epilogues)
+        import dataclasses
+        d = plan.default_layer
+        plan = dataclasses.replace(plan, default_layer=dataclasses.replace(
+            d, weight=dataclasses.replace(d.weight, sym=True),
+            act=dataclasses.replace(d.act, sym=True)))
     res = plan.resolver()
     size = 16 if TINY else 128
     kw = dict(input_size=size, patch_size=2, in_channels=4,
